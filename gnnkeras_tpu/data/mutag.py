@@ -1,0 +1,108 @@
+"""Mutagenicity (TU 'MUTAG' dump) loader.
+
+Parses the 6-file TU format into per-graph GraphObjects /
+CompositeGraphObjects with one-hot node(14)/edge(3)/target(2) labels,
+reproducing the reference's procedure (load_MUTAG.py:1-60) step by step —
+including its global edge-row ``np.unique`` re-sort — so the resulting
+dataset is bit-identical and accuracy comparisons are apples-to-apples.
+(The reference's composite path passes a ``dim_node_features`` kwarg that its
+own constructor doesn't accept, load_MUTAG.py:59; fixed here.)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from gnnkeras_tpu.graph.graph import CompositeGraphObject, GraphObject
+
+_DEFAULT_PATHS = ("MUTAG_raw", "/root/reference/MUTAG_raw")
+
+
+def _one_hot(labels: np.ndarray) -> np.ndarray:
+    out = np.zeros((labels.shape[0], len(np.unique(labels))), dtype=int)
+    out[np.arange(out.shape[0]), labels] = 1
+    return out
+
+
+def load_mutag(
+    path: Optional[str] = None,
+    composite: bool = False,
+    verbose: bool = False,
+) -> List[GraphObject]:
+    """Load the 4,337 Mutagenicity graphs as graph-focused GraphObjects
+    (CompositeGraphObjects with a single node type if ``composite``)."""
+    if path is None:
+        for candidate in _DEFAULT_PATHS:
+            if os.path.isdir(candidate):
+                path = candidate
+                break
+        else:
+            raise FileNotFoundError(f"MUTAG_raw not found in {_DEFAULT_PATHS}")
+    if path[-1] != "/":
+        path += "/"
+
+    edges_ids = np.loadtxt(path + "Mutagenicity_edges.txt", dtype=int, delimiter=",")
+    edges_labels = np.loadtxt(path + "Mutagenicity_edge_labels.txt", dtype=int)
+    node_labels = np.loadtxt(path + "Mutagenicity_node_labels.txt", dtype=int)
+    graph_of_node = np.loadtxt(path + "Mutagenicity_graph_indicator.txt", dtype=int)
+    graph_targets = np.loadtxt(path + "Mutagenicity_graph_labels.txt", dtype=int)
+
+    # per-graph node-index boundaries (graph_indicator is sorted).
+    _, first = np.unique(graph_of_node, return_index=True)
+    bounds = np.concatenate([first, [len(graph_of_node)]]).tolist()
+
+    node_oh = _one_hot(node_labels)
+    nodes_per_graph = [node_oh[i:j] for i, j in zip(bounds[:-1], bounds[1:])]
+
+    # the reference re-sorts edge rows globally before splitting
+    # (load_MUTAG.py:29); membership/labels are then selected on the sorted
+    # order — reproduced verbatim for dataset parity.
+    edges_ids = np.unique(edges_ids, axis=0)
+    edge_oh = _one_hot(edges_labels)
+    membership = [
+        np.logical_and(edges_ids[:, 0] > i, edges_ids[:, 0] <= j)
+        & np.logical_and(edges_ids[:, 1] > i, edges_ids[:, 1] <= j)
+        for i, j in zip(bounds[:-1], bounds[1:])
+    ]
+    edges = []
+    for sel in membership:
+        ids = edges_ids[sel].copy()
+        unique = np.unique(ids)
+        remap = {int(v): k for k, v in enumerate(unique)}
+        ids = np.vectorize(remap.get)(ids) if ids.size else ids.reshape(0, 2)
+        edges.append(np.concatenate([ids, edge_oh[sel]], axis=1))
+
+    targets = _one_hot(graph_targets)
+
+    graphs: List[GraphObject] = []
+    for e, n, t in zip(edges, nodes_per_graph, targets):
+        if composite:
+            graphs.append(
+                CompositeGraphObject(
+                    arcs=e,
+                    nodes=n,
+                    targets=t[np.newaxis, ...],
+                    focus="g",
+                    type_mask=np.ones((n.shape[0], 1), dtype=bool),
+                    dim_node_label=(n.shape[1],),
+                )
+            )
+        else:
+            graphs.append(GraphObject(arcs=e, nodes=n, targets=t[np.newaxis, ...], focus="g"))
+    if verbose:
+        print(f"Loaded {len(graphs)} Mutagenicity graphs from {path}")
+    return graphs
+
+
+def mutag_splits(
+    graphs: List[GraphObject], seed: Optional[int] = None
+) -> Tuple[List[GraphObject], List[GraphObject], List[GraphObject]]:
+    """The reference starters' split: shuffle, then train=[:-1500],
+    test=[-1500:-750], val=[-750:] (starter.py:63-66)."""
+    graphs = list(graphs)
+    rng = np.random.default_rng(seed)
+    rng.shuffle(graphs)
+    return graphs[:-1500], graphs[-1500:-750], graphs[-750:]

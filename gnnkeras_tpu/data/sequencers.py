@@ -1,0 +1,229 @@
+"""Host-side batchers ("sequencers") feeding padded device batches.
+
+Capability-equivalent to the reference's six ``tf.keras.utils.Sequence``
+subclasses (GNN/Sequencers/GraphSequencers.py):
+
+- multi-graph: each batch is the disjoint-union merge of a slice of graphs
+  (GraphSequencers.py:42-46), shuffled and re-merged per epoch (123-127);
+- single-graph: one big graph whose supervised nodes are mini-batched through
+  boolean set-masks (162-166).
+
+TPU adaptation: every emitted batch is padded to sequencer-wide bucket sizes
+(monotonic across epochs), so the jitted train step compiles once and replays
+for every batch and epoch.  Composite variants only change the graph class —
+the padded batch carries the extra type information transparently.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from gnnkeras_tpu.graph.batch import GraphBatch, from_graph_object
+from gnnkeras_tpu.graph.graph import CompositeGraphObject, GraphObject
+
+
+def _round_up(x: int, m: int) -> int:
+    return max(((x + m - 1) // m) * m, m)
+
+
+class MultiGraphSequencer:
+    """Batches a list of GraphObjects by merging each slice into one
+    disjoint-union graph (reference MultiGraphSequencer,
+    GraphSequencers.py:12-127)."""
+
+    graph_class = GraphObject
+
+    def __init__(
+        self,
+        graphs: Sequence[GraphObject],
+        focus: str,
+        aggregation_mode: str,
+        batch_size: int = 32,
+        shuffle: bool = True,
+        *,
+        pad_multiple: int = 128,
+    ):
+        self.data: List[GraphObject] = list(graphs) if isinstance(graphs, (list, tuple)) else [graphs]
+        self.focus = focus
+        self.aggregation_mode = aggregation_mode
+        self.batch_size = int(batch_size)
+        self.shuffle = bool(shuffle)
+        self.pad_multiple = int(pad_multiple)
+        self._pad_nodes = 0
+        self._pad_arcs = 0
+        self._pad_graphs = 0
+        self.build_batches()
+
+    # -- batching -------------------------------------------------------------
+    def build_batches(self) -> None:
+        merged = [
+            self.graph_class.merge(
+                self.data[i * self.batch_size : (i + 1) * self.batch_size],
+                focus=self.focus,
+                aggregation_mode=self.aggregation_mode,
+            )
+            for i in range(len(self))
+        ]
+        # monotonic sequencer-wide pads: one compiled step for all epochs.
+        self._pad_nodes = max(
+            self._pad_nodes, _round_up(max(g.nodes.shape[0] for g in merged), self.pad_multiple)
+        )
+        self._pad_arcs = max(
+            self._pad_arcs, _round_up(max(g.arcs.shape[0] for g in merged), self.pad_multiple)
+        )
+        self._pad_graphs = max(self._pad_graphs, _round_up(max(g.num_graphs for g in merged), 8))
+        self.batches: List[GraphBatch] = [
+            from_graph_object(g, self._pad_nodes, self._pad_arcs, self._pad_graphs) for g in merged
+        ]
+
+    def __len__(self) -> int:
+        return int(np.ceil(len(self.data) / self.batch_size))
+
+    def __getitem__(self, index: int) -> GraphBatch:
+        return self.batches[index]
+
+    def on_epoch_end(self) -> None:
+        if self.shuffle:
+            np.random.shuffle(self.data)
+            self.build_batches()
+
+    # -- config / copy ---------------------------------------------------------
+    def set_batch_size(self, new_batch_size: int) -> None:
+        self.batch_size = int(new_batch_size)
+        self.build_batches()
+
+    def get_config(self) -> dict:
+        return {
+            "graphs": self.data,
+            "focus": self.focus,
+            "aggregation_mode": self.aggregation_mode,
+            "batch_size": self.batch_size,
+            "shuffle": self.shuffle,
+        }
+
+    @classmethod
+    def from_config(cls, config: dict):
+        return cls(**config)
+
+    def copy(self):
+        config = self.get_config()
+        config["graphs"] = [g.copy() for g in config["graphs"]]
+        return self.from_config(config)
+
+    def with_graphs(self, graphs: Sequence[GraphObject]):
+        """Same sequencer settings over a new graph list (used by LGNN serial
+        mode to re-bake features between layers, reference LGNN.py:335-338)."""
+        config = self.get_config()
+        config["graphs"] = list(graphs)
+        return self.from_config(config)
+
+    def __repr__(self):
+        problem = {"a": "edge", "n": "node", "g": "graph"}[self.focus]
+        return (
+            f"graph_sequencer(type=multiple {problem}-focused, len={len(self)}, "
+            f"aggregation='{self.aggregation_mode}', batch_size={self.batch_size}, shuffle={self.shuffle})"
+        )
+
+    __str__ = __repr__
+
+
+class SingleGraphSequencer(MultiGraphSequencer):
+    """Mini-batches one big graph through boolean masks over its supervised
+    nodes (reference SingleGraphSequencer, GraphSequencers.py:133-208)."""
+
+    def __init__(
+        self,
+        graph: GraphObject,
+        focus: str,
+        batch_size: int = 32,
+        shuffle: bool = True,
+        *,
+        pad_multiple: int = 128,
+    ):
+        self.graph = graph
+        self.focus = focus
+        self.aggregation_mode = graph.aggregation_mode
+        self.batch_size = int(batch_size)
+        self.shuffle = bool(shuffle)
+        self.pad_multiple = int(pad_multiple)
+        self.set_mask_idx = np.flatnonzero(graph.set_mask)
+        self._pad_nodes = _round_up(graph.nodes.shape[0], pad_multiple)
+        self._pad_arcs = _round_up(graph.arcs.shape[0], pad_multiple)
+        self.build_batches()
+
+    @property
+    def data(self):
+        return self.graph
+
+    def build_batches(self) -> None:
+        n_batches = len(self)
+        self.batch_masks = np.zeros((n_batches, len(self.graph.set_mask)), dtype=bool)
+        for i in range(n_batches):
+            self.batch_masks[i, self.set_mask_idx[i * self.batch_size : (i + 1) * self.batch_size]] = True
+        self.batches = [
+            from_graph_object(
+                self.graph, self._pad_nodes, self._pad_arcs, set_mask_override=self.batch_masks[i]
+            )
+            for i in range(n_batches)
+        ]
+
+    def __len__(self) -> int:
+        return int(np.ceil(np.sum(self.graph.set_mask) / self.batch_size))
+
+    def on_epoch_end(self) -> None:
+        if self.shuffle:
+            np.random.shuffle(self.set_mask_idx)
+            self.build_batches()
+
+    def get_config(self) -> dict:
+        return {
+            "graph": self.graph,
+            "focus": self.focus,
+            "batch_size": self.batch_size,
+            "shuffle": self.shuffle,
+        }
+
+    def copy(self):
+        config = self.get_config()
+        config["graph"] = config["graph"].copy()
+        return self.from_config(config)
+
+    def with_graphs(self, graphs):
+        config = self.get_config()
+        config["graph"] = graphs[0] if isinstance(graphs, (list, tuple)) else graphs
+        return self.from_config(config)
+
+    def __repr__(self):
+        problem = {"a": "edge", "n": "node", "g": "graph"}[self.focus]
+        return (
+            f"graph_sequencer(type=single {problem}-focused, len={len(self)}, "
+            f"batch_size={self.batch_size}, shuffle={self.shuffle})"
+        )
+
+    __str__ = __repr__
+
+
+class CompositeMultiGraphSequencer(MultiGraphSequencer):
+    """Multi-graph sequencer over heterogeneous graphs (reference
+    GraphSequencers.py:214-245)."""
+
+    graph_class = CompositeGraphObject
+
+    def __repr__(self):
+        return f"composite_{super().__repr__()}"
+
+    __str__ = __repr__
+
+
+class CompositeSingleGraphSequencer(SingleGraphSequencer):
+    """Single heterogeneous graph sequencer (reference
+    GraphSequencers.py:252-266)."""
+
+    graph_class = CompositeGraphObject
+
+    def __repr__(self):
+        return f"composite_{super().__repr__()}"
+
+    __str__ = __repr__

@@ -1,0 +1,275 @@
+"""Device-side graph batch: an immutable pytree with static padded shapes.
+
+This replaces the reference's ``GraphTensor`` + the flat positional tuple
+protocol of its sequencers (GNN/graph_class.py:433-560,
+GNN/Sequencers/GraphSequencers.py:104-120).  Design differences, all mandated
+by XLA/TPU:
+
+- **Static shapes**: nodes/arcs/graphs are padded to caller-chosen bucket
+  sizes so every batch compiles once.  Padded arcs carry weight 0 and padded
+  nodes are masked everywhere, so they are bit-inert in aggregation, batch
+  normalization, convergence checks and losses.
+- **No sparse tensors**: the ArcNode/Adjacency/NodeGraph operators travel as
+  (src, dst, weight) / (graph_of_node, weight) arrays; matvecs are
+  gather + segment-sum (gnnkeras_tpu.ops.segment).
+- **Targets are row-aligned** with their focus entity (node/arc/graph) and
+  gated by ``target_mask``, instead of being boolean-masked to a dynamic-length
+  tensor as the reference does (GraphSequencers.py:112-116).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnnkeras_tpu.graph.graph import CompositeGraphObject, GraphObject
+from gnnkeras_tpu.utils.dtypes import floatx
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "nodes",
+        "arc_src",
+        "arc_dst",
+        "arc_label",
+        "arcnode_weight",
+        "node_mask",
+        "arc_mask",
+        "set_mask",
+        "output_mask",
+        "graph_of_node",
+        "nodegraph_weight",
+        "graph_mask",
+        "targets",
+        "target_mask",
+        "sample_weight",
+        "type_mask",
+    ],
+    meta_fields=["focus", "dim_node_label"],
+)
+@dataclasses.dataclass(frozen=True)
+class GraphBatch:
+    """One padded (possibly merged / disjoint-union) graph batch.
+
+    Shapes (N = padded nodes, A = padded arcs, G = padded graphs,
+    M = N or A depending on focus, R = M or G for targets):
+      nodes (N, dn) · arc_src/arc_dst (A,) i32 · arc_label (A, da)
+      arcnode_weight (A,) · node_mask (N,) · arc_mask (A,)
+      set_mask/output_mask (M,) · graph_of_node (N,) i32
+      nodegraph_weight (N,) · graph_mask (G,) · targets (R, T)
+      target_mask (R,) · sample_weight (R,) · type_mask (N, T_types) or None
+    """
+
+    nodes: jax.Array
+    arc_src: jax.Array
+    arc_dst: jax.Array
+    arc_label: jax.Array
+    arcnode_weight: jax.Array
+    node_mask: jax.Array
+    arc_mask: jax.Array
+    set_mask: jax.Array
+    output_mask: jax.Array
+    graph_of_node: jax.Array
+    nodegraph_weight: jax.Array
+    graph_mask: jax.Array
+    targets: jax.Array
+    target_mask: jax.Array
+    sample_weight: jax.Array
+    type_mask: Optional[jax.Array]
+    focus: str
+    dim_node_label: Tuple[int, ...]
+
+    # -- static sizes --------------------------------------------------------
+    @property
+    def num_nodes(self) -> int:
+        return self.nodes.shape[0]
+
+    @property
+    def num_arcs(self) -> int:
+        return self.arc_src.shape[0]
+
+    @property
+    def num_graphs(self) -> int:
+        return self.graph_mask.shape[0]
+
+    @property
+    def num_types(self) -> int:
+        return 1 if self.type_mask is None else self.type_mask.shape[1]
+
+    @property
+    def dim_arc_label(self) -> int:
+        return self.arc_label.shape[1]
+
+    @property
+    def dim_target(self) -> int:
+        return self.targets.shape[1]
+
+    @property
+    def output_row_mask(self) -> jax.Array:
+        """set ∧ output (∧ valid): rows whose state feeds net_output
+        (reference GNN.py:269-270)."""
+        valid = self.arc_mask if self.focus == "a" else self.node_mask
+        return jnp.logical_and(jnp.logical_and(self.set_mask, self.output_mask), valid)
+
+    def replace(self, **kwargs) -> "GraphBatch":
+        return dataclasses.replace(self, **kwargs)
+
+
+def _scatter_targets(
+    g: GraphObject, focus: str, n_rows: int, n_graphs_pad: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Row-align targets/sample_weight with their focus entity.
+
+    The reference's sequencer emits targets already boolean-masked
+    (GraphSequencers.py:112-116): one row per output_mask-true entity, further
+    filtered to the batch's set.  Here targets live at their entity's row and
+    ``target_mask`` encodes the same set∧output filter."""
+    t_dim = g.DIM_TARGET
+    dtype = floatx()
+    if focus == "g":
+        rows = n_graphs_pad
+        targets = np.zeros((rows, t_dim), dtype=dtype)
+        sw = np.zeros(rows, dtype=dtype)
+        mask = np.zeros(rows, dtype=bool)
+        n_real = g.targets.shape[0]
+        targets[:n_real] = g.targets
+        sw[:n_real] = g.sample_weight
+        mask[:n_real] = True
+        return targets, mask, sw
+
+    # node/arc focus: reference targets rows correspond, in order, to
+    # output_mask-true entities; scatter them back to entity rows.
+    targets = np.zeros((n_rows, t_dim), dtype=dtype)
+    sw = np.zeros(n_rows, dtype=dtype)
+    out_idx = np.flatnonzero(g.output_mask)
+    if len(out_idx) != g.targets.shape[0]:
+        raise ValueError(
+            f"targets rows ({g.targets.shape[0]}) must match output_mask-true entities ({len(out_idx)})"
+        )
+    targets[out_idx] = g.targets
+    sw[out_idx] = g.sample_weight
+    mask = np.zeros(n_rows, dtype=bool)
+    mask[out_idx] = g.set_mask[out_idx]
+    return targets, mask, sw
+
+
+def from_graph_object(
+    g: GraphObject,
+    pad_nodes: Optional[int] = None,
+    pad_arcs: Optional[int] = None,
+    pad_graphs: Optional[int] = None,
+    set_mask_override: Optional[np.ndarray] = None,
+) -> GraphBatch:
+    """Convert a (possibly merged) host graph into a padded device batch.
+
+    ``set_mask_override`` supports single-graph mini-batching, where each batch
+    is a boolean mask over the one graph's supervised nodes
+    (reference GraphSequencers.py:162-166,194-196)."""
+    n, a = g.nodes.shape[0], g.arcs.shape[0]
+    n_graphs = max(g.num_graphs, 1)
+    N = pad_nodes if pad_nodes is not None else _round_up(max(n, 1), 8)
+    A = pad_arcs if pad_arcs is not None else _round_up(max(a, 1), 8)
+    G = pad_graphs if pad_graphs is not None else _round_up(n_graphs, 8)
+    if N < n or A < a or G < n_graphs:
+        raise ValueError(f"padding ({N},{A},{G}) smaller than graph ({n},{a},{n_graphs})")
+
+    dtype = floatx()
+    nodes = np.zeros((N, g.nodes.shape[1]), dtype=dtype)
+    nodes[:n] = g.nodes
+    src = np.zeros(A, dtype=np.int32)
+    dst = np.zeros(A, dtype=np.int32)
+    src[:a] = g.arcs[:, 0].astype(np.int32)
+    dst[:a] = g.arcs[:, 1].astype(np.int32)
+    arc_label = np.zeros((A, g.DIM_ARC_LABEL), dtype=dtype)
+    arc_label[:a] = g.arcs[:, 2:]
+    w = np.zeros(A, dtype=dtype)
+    w[:a] = g.arcnode_weight
+
+    node_mask = np.zeros(N, dtype=bool)
+    node_mask[:n] = True
+    arc_mask = np.zeros(A, dtype=bool)
+    arc_mask[:a] = True
+
+    m_rows = A if g.focus == "a" else N
+    set_mask = np.zeros(m_rows, dtype=bool)
+    output_mask = np.zeros(m_rows, dtype=bool)
+    sm = g.set_mask if set_mask_override is None else np.asarray(set_mask_override, dtype=bool)
+    set_mask[: len(sm)] = sm
+    output_mask[: len(g.output_mask)] = g.output_mask
+
+    graph_of_node = np.zeros(N, dtype=np.int32)
+    graph_of_node[:n] = g.graph_of_node.astype(np.int32)
+    ngw = np.zeros(N, dtype=dtype)
+    ngw[:n] = g.nodegraph_weight
+    graph_mask = np.zeros(G, dtype=bool)
+    graph_mask[:n_graphs] = True
+
+    r_rows = G if g.focus == "g" else m_rows
+    targets, target_mask, sample_weight = _scatter_targets(g, g.focus, r_rows, G)
+    if g.focus != "g" and set_mask_override is not None:
+        full = np.zeros(r_rows, dtype=bool)
+        idx = np.flatnonzero(g.output_mask)
+        full[idx] = sm[idx]
+        target_mask = full
+
+    type_mask = None
+    dims: Tuple[int, ...] = tuple(int(d) for d in g.DIM_NODE_LABEL)
+    if isinstance(g, CompositeGraphObject):
+        type_mask = np.zeros((N, g.num_types), dtype=bool)
+        type_mask[:n] = g.type_mask
+
+    return GraphBatch(
+        nodes=jnp.asarray(nodes),
+        arc_src=jnp.asarray(src),
+        arc_dst=jnp.asarray(dst),
+        arc_label=jnp.asarray(arc_label),
+        arcnode_weight=jnp.asarray(w),
+        node_mask=jnp.asarray(node_mask),
+        arc_mask=jnp.asarray(arc_mask),
+        set_mask=jnp.asarray(set_mask),
+        output_mask=jnp.asarray(output_mask),
+        graph_of_node=jnp.asarray(graph_of_node),
+        nodegraph_weight=jnp.asarray(ngw),
+        graph_mask=jnp.asarray(graph_mask),
+        targets=jnp.asarray(targets),
+        target_mask=jnp.asarray(target_mask),
+        sample_weight=jnp.asarray(sample_weight),
+        type_mask=None if type_mask is None else jnp.asarray(type_mask),
+        focus=g.focus,
+        dim_node_label=dims,
+    )
+
+
+def graphs_to_batch(
+    graphs: Sequence[GraphObject],
+    focus: str,
+    aggregation_mode: str,
+    pad_nodes: Optional[int] = None,
+    pad_arcs: Optional[int] = None,
+    pad_graphs: Optional[int] = None,
+) -> GraphBatch:
+    """Merge a list of host graphs (disjoint union) and pad to a device batch."""
+    cls = CompositeGraphObject if isinstance(graphs[0], CompositeGraphObject) else GraphObject
+    merged = cls.merge(list(graphs), focus=focus, aggregation_mode=aggregation_mode)
+    return from_graph_object(merged, pad_nodes, pad_arcs, pad_graphs)
+
+
+def single_graph_batch(
+    g: GraphObject,
+    batch_set_mask: Optional[np.ndarray] = None,
+    pad_nodes: Optional[int] = None,
+    pad_arcs: Optional[int] = None,
+) -> GraphBatch:
+    """Batch view over one large graph: the full topology with a per-batch
+    set-mask (reference SingleGraphSequencer, GraphSequencers.py:133-208)."""
+    return from_graph_object(g, pad_nodes, pad_arcs, pad_graphs=None, set_mask_override=batch_set_mask)

@@ -1,0 +1,258 @@
+"""Composite (heterogeneous) GNN models: one state-transition MLP per node
+type, one shared output MLP.
+
+Re-implements the reference's ``CompositeGNN*`` (GNN/Models/CompositeGNN.py)
+with a TPU-friendly type dispatch: instead of ``boolean_mask`` + ``scatter_nd``
+per type (CompositeGNN.py:222-232, dynamic shapes), every type's MLP runs over
+*all* (padded) node rows — with BatchNorm statistics restricted to that type's
+real rows — and the per-type results are combined through the type one-hot.
+The per-type CompositeAdjacencies (composite_graph_class.py:57-70) are never
+materialized: the shared edge weights are gated by the source node's type on
+the fly.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gnnkeras_tpu.graph.batch import GraphBatch
+from gnnkeras_tpu.models.gnn import GNNnodeBased, STATE_INIT_STDDEV, _select_tree, unconverged
+from gnnkeras_tpu.models.mlp import MLP
+from gnnkeras_tpu.ops.segment import aggregate_edges, graph_readout, segment_sum
+from gnnkeras_tpu.utils.dtypes import floatx
+
+
+class CompositeGNNnodeBased(GNNnodeBased):
+    """Node-focused composite GNN (reference CompositeGNN.py:8-304).
+
+    ``net_state`` is a list of MLPs, one per node type, each applied to
+    ``[nodes[:, :d_t] | state | Σ_neigh state | aggregated_component]``
+    (exact concat order of CompositeGNN.py:224) where ``aggregated_component``
+    stacks per-type neighbor-label aggregations and the incoming-arc-label
+    aggregation (CompositeGNN.py:251-253)."""
+
+    name = "node"
+
+    def __init__(
+        self,
+        net_state: List[MLP],
+        net_output: MLP,
+        state_vect_dim: int,
+        max_iteration: int,
+        state_threshold: float,
+    ) -> None:
+        assert max_iteration > 0  # reference CompositeGNN.py:27
+        super().__init__(
+            net_state=None,  # type: ignore[arg-type]
+            net_output=net_output,
+            state_vect_dim=state_vect_dim,
+            max_iteration=max_iteration,
+            state_threshold=state_threshold,
+        )
+        self.net_state: List[MLP] = list(net_state)
+
+    # -- parameters -----------------------------------------------------------
+    def init(self, rng: jax.Array) -> dict:
+        keys = jax.random.split(rng, len(self.net_state) + 1)
+        vs = [net.init(k) for net, k in zip(self.net_state, keys[:-1])]
+        vo = self.net_output.init(keys[-1])
+        return {
+            "params": {"net_state": [v["params"] for v in vs], "net_output": vo["params"]},
+            "state": {"net_state": [v["state"] for v in vs], "net_output": vo["state"]},
+        }
+
+    # -- forward --------------------------------------------------------------
+    def _aggregated_component(self, batch: GraphBatch) -> jax.Array:
+        """concat of per-type ``CompAdjᵀ·nodes[:, :d_t]`` and ``ArcNodeᵀ·arcs``
+        (CompositeGNN.py:251-253); type gating replaces the per-type matrices."""
+        n = batch.num_nodes
+        src_type = batch.type_mask[batch.arc_src]  # (A, T) bool
+        parts = []
+        for t, d_t in enumerate(batch.dim_node_label):
+            w_t = batch.arcnode_weight * src_type[:, t].astype(floatx())
+            msg = batch.nodes[batch.arc_src, :d_t] * w_t[:, None]
+            parts.append(segment_sum(msg, batch.arc_dst, n))
+        parts.append(aggregate_edges(batch.arc_label, batch.arc_dst, batch.arcnode_weight, n))
+        return jnp.concatenate(parts, axis=1)
+
+    def unfold(
+        self,
+        variables: dict,
+        batch: GraphBatch,
+        *,
+        training: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array, list]:
+        if batch.type_mask is None:
+            raise ValueError("CompositeGNN requires a composite batch (type_mask set)")
+        n = batch.num_nodes
+        n_types = len(self.net_state)
+        aggregated_component = self._aggregated_component(batch)
+
+        if self.state_vect_dim > 0:
+            if rng is None:
+                raise ValueError("state_vect_dim > 0 requires an rng for the random state init")
+            state0 = STATE_INIT_STDDEV * jax.random.normal(rng, (n, self.state_vect_dim), dtype=floatx())
+        else:
+            state0 = batch.nodes
+        state_old0 = jnp.ones_like(state0)
+
+        net_state_params = variables["params"]["net_state"]
+        bn0 = variables["state"]["net_state"]
+
+        n_steps = max(self.max_iteration, 1)
+        key_shape = jax.random.PRNGKey(0).shape
+        if rng is not None:
+            step_rngs = jax.random.split(rng, n_steps * n_types).reshape((n_steps, n_types) + key_shape)
+        else:
+            step_rngs = jnp.zeros((n_steps, n_types) + key_shape, dtype=jax.random.PRNGKey(0).dtype)
+
+        type_cols = [batch.type_mask[:, t] for t in range(n_types)]
+        state_width = self.state_vect_dim or batch.nodes.shape[1]
+
+        def transition(state, bn_states, rngs_t):
+            aggregated_states = segment_sum(
+                state[batch.arc_src] * batch.arcnode_weight[:, None], batch.arc_dst, n
+            )
+            new_state = jnp.zeros((n, state_width), dtype=floatx())
+            new_bns = []
+            for t, (net, d_t) in enumerate(zip(self.net_state, batch.dim_node_label)):
+                inp = jnp.concatenate(
+                    [batch.nodes[:, :d_t], state, aggregated_states, aggregated_component], axis=1
+                )
+                mask_t = jnp.logical_and(type_cols[t], batch.node_mask)
+                out_t, bn_t = net.apply(
+                    {"params": net_state_params[t], "state": bn_states[t]},
+                    inp,
+                    training=training,
+                    mask=mask_t,
+                    rng=rngs_t[t] if rng is not None else None,
+                )
+                new_state = new_state + jnp.where(mask_t[:, None], out_t, 0.0)
+                new_bns.append(bn_t)
+            return new_state, new_bns
+
+        if training:
+            def step(carry, rngs_t):
+                k, state, state_old, bn_states = carry
+                run = unconverged(state, state_old, batch.node_mask, self.state_threshold)
+                new_state, new_bns = transition(state, bn_states, rngs_t)
+                state_next = jnp.where(run, new_state, state)
+                state_old_next = jnp.where(run, state, state_old)
+                bn_next = _select_tree(run, new_bns, bn_states)
+                return (k + run.astype(floatx()), state_next, state_old_next, bn_next), None
+
+            step = jax.checkpoint(step)
+            (k, state, _, bn_final), _ = jax.lax.scan(
+                step,
+                (jnp.zeros((), floatx()), state0, state_old0, bn0),
+                step_rngs,
+                length=self.max_iteration,
+            )
+        else:
+            def cond_fn(carry):
+                k, state, state_old, _ = carry
+                c1 = unconverged(state, state_old, batch.node_mask, self.state_threshold)
+                return jnp.logical_and(c1, k < self.max_iteration)
+
+            def body_fn(carry):
+                k, state, state_old, bn_states = carry
+                idx = jnp.minimum(k.astype(jnp.int32), self.max_iteration - 1)
+                new_state, new_bns = transition(state, bn_states, step_rngs[idx])
+                return (k + 1.0, new_state, state, new_bns)
+
+            k, state, _, bn_final = jax.lax.while_loop(
+                cond_fn, body_fn, (jnp.zeros((), floatx()), state0, state_old0, bn0)
+            )
+
+        return k, state, bn_final
+
+    def readout_input(self, state: jax.Array, batch: GraphBatch) -> Tuple[jax.Array, jax.Array]:
+        """Composite node readout: converged state only — the reference's
+        composite apply_filters ignores node labels even when dim_state==0
+        (CompositeGNN.py:237-239), unlike the homogeneous version; we follow
+        the code per-model."""
+        return state, batch.output_row_mask
+
+    def regularization_loss(self, params: dict) -> jax.Array:
+        dummy = lambda p: {"params": p, "state": None}
+        total = self.net_output.regularization_loss(dummy(params["net_output"]))
+        for net, p in zip(self.net_state, params["net_state"]):
+            total = total + net.regularization_loss(dummy(p))
+        return total
+
+    # -- config / io ------------------------------------------------------------
+    def _json_config(self) -> dict:
+        return {
+            "model_class": type(self).__name__,
+            "net_state": [net.get_config() for net in self.net_state],
+            "net_output": self.net_output.get_config(),
+            "state_vect_dim": self.state_vect_dim,
+            "max_iteration": self.max_iteration,
+            "state_threshold": self.state_threshold,
+        }
+
+    @classmethod
+    def load(cls, path: str):
+        import json
+        import os
+
+        if path[-1] != "/":
+            path += "/"
+        with open(os.path.join(path, "config.json")) as f:
+            cfg = json.load(f)
+        cfg.pop("model_class", None)
+        model = cls(
+            net_state=[MLP.from_config(c) for c in cfg.pop("net_state")],
+            net_output=MLP.from_config(cfg.pop("net_output")),
+            **cfg,
+        )
+        model._load_variables(path)
+        return model
+
+    def copy(self, copy_weights: bool = True):
+        clone = type(self)(
+            net_state=[MLP.from_config(net.get_config()) for net in self.net_state],
+            net_output=MLP.from_config(self.net_output.get_config()),
+            state_vect_dim=self.state_vect_dim,
+            max_iteration=self.max_iteration,
+            state_threshold=self.state_threshold,
+        )
+        if copy_weights and self.variables is not None:
+            clone.variables = jax.tree_util.tree_map(lambda x: x, self.variables)
+        return clone
+
+    def __repr__(self):
+        return f"Composite{super().__repr__()}"
+
+    __str__ = __repr__
+
+    def summary(self) -> None:
+        print(repr(self))
+        for net in self.net_state:
+            net.summary(None)
+        self.net_output.summary(None)
+
+
+class CompositeGNNarcBased(CompositeGNNnodeBased):
+    """Arc-focused composite GNN (reference CompositeGNN.py:310-327)."""
+
+    name = "arc"
+
+    def readout_input(self, state: jax.Array, batch: GraphBatch) -> Tuple[jax.Array, jax.Array]:
+        arc_rows = jnp.concatenate([state[batch.arc_src], state[batch.arc_dst], batch.arc_label], axis=1)
+        return arc_rows, batch.output_row_mask
+
+
+class CompositeGNNgraphBased(CompositeGNNnodeBased):
+    """Graph-focused composite GNN (reference CompositeGNN.py:333-343)."""
+
+    name = "graph"
+
+    def apply_output(self, variables, state, batch, *, training, rng):
+        out_nodes, _, new_bn = self.node_level_output(variables, state, batch, training=training, rng=rng)
+        out_graph = graph_readout(out_nodes, batch.graph_of_node, batch.nodegraph_weight, batch.num_graphs)
+        return out_graph, batch.graph_mask, new_bn

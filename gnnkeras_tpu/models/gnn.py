@@ -1,0 +1,370 @@
+"""Homogeneous GNN models: the iterate-to-convergence unfolding engine.
+
+Re-implements the reference's ``GNNnodeBased/GNNarcBased/GNNgraphBased``
+(GNN/Models/GNN.py:8-346) as a jit-compiled functional core:
+
+- the eager ``tf.while_loop`` over ``convergence`` (GNN.py:265) becomes a
+  ``lax.scan`` to the static ``max_iteration`` bound with a per-step
+  "still-running" predicate — identical semantics (run while any node's
+  relative state change exceeds the threshold AND k < max_iteration,
+  GNN.py:196-214) but reverse-differentiable, rematerialized per step
+  (``jax.checkpoint``), and compiled once;
+- sparse matvecs become gather + segment-sum (gnnkeras_tpu.ops.segment);
+- the boolean-mask readout filter (GNN.py:239-242) becomes a static-shape
+  masked computation: net_output runs on every (padded) row with BatchNorm
+  statistics restricted to real masked rows, and the loss is gated by the
+  same set∧output mask downstream.
+
+A ``lax.while_loop`` fast path is used for inference, where early convergence
+saves wall-clock and no reverse pass is needed.
+
+Variables layout: ``{'params': {'net_state': ..., 'net_output': ...},
+'state': {...}}`` — ``params`` is the trainable tree handed to optax/grad,
+``state`` carries BatchNorm moving statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gnnkeras_tpu.graph.batch import GraphBatch
+from gnnkeras_tpu.models.base import GraphModel
+from gnnkeras_tpu.models.mlp import MLP
+from gnnkeras_tpu.ops.segment import aggregate_edges, aggregate_neighbors, graph_readout
+from gnnkeras_tpu.utils.dtypes import floatx
+
+STATE_INIT_STDDEV = 0.1  # reference: tf.random.normal(..., stddev=0.1), GNN.py:257
+
+
+def unconverged(
+    state: jax.Array,
+    state_old: jax.Array,
+    node_mask: jax.Array,
+    threshold: float,
+) -> jax.Array:
+    """True while any *real* node moved more than threshold·‖old‖₂
+    (reference ``condition``, GNN.py:196-214; padding is excluded)."""
+    distance = jnp.sqrt(jnp.sum(jnp.square(state - state_old), axis=1))
+    norm = jnp.sqrt(jnp.sum(jnp.square(state_old), axis=1))
+    check = distance > threshold * norm
+    return jnp.any(jnp.logical_and(check, node_mask))
+
+
+def _select_tree(pred: jax.Array, on_true, on_false):
+    return jax.tree_util.tree_map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
+
+
+class GNNnodeBased(GraphModel):
+    """Node-focused GNN (reference GNN/Models/GNN.py:8-306)."""
+
+    name = "node"
+
+    def __init__(
+        self,
+        net_state: MLP,
+        net_output: MLP,
+        state_vect_dim: int,
+        max_iteration: int,
+        state_threshold: float,
+    ) -> None:
+        assert state_vect_dim >= 0
+        assert max_iteration >= 0
+        assert state_threshold >= 0
+        super().__init__()
+        self.net_state = net_state
+        self.net_output = net_output
+        self.state_vect_dim = int(state_vect_dim)
+        self.max_iteration = int(max_iteration)
+        self.state_threshold = float(state_threshold)
+
+    # -- parameters -----------------------------------------------------------
+    def init(self, rng: jax.Array) -> dict:
+        k1, k2 = jax.random.split(rng)
+        vs, vo = self.net_state.init(k1), self.net_output.init(k2)
+        return {
+            "params": {"net_state": vs["params"], "net_output": vo["params"]},
+            "state": {"net_state": vs["state"], "net_output": vo["state"]},
+        }
+
+    def scale_state_grads(self, grads: dict, k) -> dict:
+        """The reference's ``average_st_grads``: divide state-net grads by the
+        iteration count (GNN.py:295)."""
+        return {
+            "net_state": jax.tree_util.tree_map(lambda g: g / jnp.maximum(k, 1.0), grads["net_state"]),
+            "net_output": grads["net_output"],
+        }
+
+    # -- functional forward ----------------------------------------------------
+    def _initial_state(self, batch: GraphBatch, rng: Optional[jax.Array]) -> Tuple[jax.Array, jax.Array]:
+        """(state₀, aggregated_nodes).  dim_state==0 → state is the node label
+        (deterministic); otherwise N(0, 0.1²) with aggregated neighbor labels
+        precomputed once (reference GNN.py:254-259)."""
+        n = batch.num_nodes
+        if self.state_vect_dim > 0:
+            if rng is None:
+                raise ValueError("state_vect_dim > 0 requires an rng for the random state init")
+            state = STATE_INIT_STDDEV * jax.random.normal(rng, (n, self.state_vect_dim), dtype=floatx())
+            aggregated_nodes = aggregate_neighbors(
+                batch.nodes, batch.arc_src, batch.arc_dst, batch.arcnode_weight, n
+            )
+        else:
+            state = batch.nodes
+            aggregated_nodes = jnp.zeros((n, 0), dtype=floatx())
+        return state, aggregated_nodes
+
+    def _transition_input(
+        self,
+        state: jax.Array,
+        batch: GraphBatch,
+        aggregated_states: jax.Array,
+        aggregated_nodes: jax.Array,
+        aggregated_arcs: jax.Array,
+    ) -> jax.Array:
+        """net_state input: [state | (labels if dim_state>0) | Σ_neigh state |
+        Σ_neigh labels | Σ_in arcs] — exact concat order of GNN.py:221-231."""
+        components = [state]
+        if self.state_vect_dim > 0:
+            components.append(batch.nodes)
+        return jnp.concatenate(components + [aggregated_states, aggregated_nodes, aggregated_arcs], axis=1)
+
+    def unfold(
+        self,
+        variables: dict,
+        batch: GraphBatch,
+        *,
+        training: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array, list]:
+        """Run the state unfolding to convergence.
+
+        Returns (k, state, new_net_state_bn).  Training uses a checkpointed
+        ``lax.scan`` with a running-mask (reverse-differentiable, matching the
+        reference's backprop-through-unfolding); inference a ``lax.while_loop``.
+        """
+        n = batch.num_nodes
+        aggregated_arcs = aggregate_edges(batch.arc_label, batch.arc_dst, batch.arcnode_weight, n)
+        state0, aggregated_nodes = self._initial_state(batch, rng)
+        state_old0 = jnp.ones_like(state0)
+
+        net_state_params = variables["params"]["net_state"]
+        bn0 = variables["state"]["net_state"]
+
+        n_steps = max(self.max_iteration, 1)
+        if rng is not None:
+            step_rngs = jax.random.split(rng, n_steps)
+        else:
+            step_rngs = jnp.zeros((n_steps,) + jax.random.PRNGKey(0).shape, dtype=jax.random.PRNGKey(0).dtype)
+
+        def transition(state, bn_state, step_rng):
+            aggregated_states = aggregate_neighbors(
+                state, batch.arc_src, batch.arc_dst, batch.arcnode_weight, n
+            )
+            inp = self._transition_input(state, batch, aggregated_states, aggregated_nodes, aggregated_arcs)
+            new_state, new_bn = self.net_state.apply(
+                {"params": net_state_params, "state": bn_state},
+                inp,
+                training=training,
+                mask=batch.node_mask,
+                rng=step_rng if rng is not None else None,
+            )
+            return new_state, new_bn
+
+        if training or self.max_iteration == 0:
+            # scan to the static bound; once converged every further step is a
+            # pass-through (identity in the reverse pass), so gradients flow
+            # through exactly the k executed iterations as in the reference.
+            def step(carry, step_rng):
+                k, state, state_old, bn_state = carry
+                run = unconverged(state, state_old, batch.node_mask, self.state_threshold)
+                new_state, new_bn = transition(state, bn_state, step_rng)
+                state_next = jnp.where(run, new_state, state)
+                state_old_next = jnp.where(run, state, state_old)
+                bn_next = _select_tree(run, new_bn, bn_state)
+                return (k + run.astype(floatx()), state_next, state_old_next, bn_next), None
+
+            step = jax.checkpoint(step)
+            (k, state, _, bn_final), _ = jax.lax.scan(
+                step,
+                (jnp.zeros((), floatx()), state0, state_old0, bn0),
+                step_rngs,
+                length=self.max_iteration,
+            )
+        else:
+            def cond_fn(carry):
+                k, state, state_old, _ = carry
+                c1 = unconverged(state, state_old, batch.node_mask, self.state_threshold)
+                return jnp.logical_and(c1, k < self.max_iteration)
+
+            def body_fn(carry):
+                k, state, state_old, bn_state = carry
+                idx = jnp.minimum(k.astype(jnp.int32), self.max_iteration - 1)
+                new_state, new_bn = transition(state, bn_state, step_rngs[idx])
+                return (k + 1.0, new_state, state, new_bn)
+
+            k, state, _, bn_final = jax.lax.while_loop(
+                cond_fn, body_fn, (jnp.zeros((), floatx()), state0, state_old0, bn0)
+            )
+
+        return k, state, bn_final
+
+    def readout_input(self, state: jax.Array, batch: GraphBatch) -> Tuple[jax.Array, jax.Array]:
+        """(net_output input rows, BN/loss row mask).  Node focus: converged
+        state (| labels), one row per node (reference apply_filters,
+        GNN.py:239-242)."""
+        if self.state_vect_dim:
+            state = jnp.concatenate([state, batch.nodes], axis=1)
+        return state, batch.output_row_mask
+
+    def node_level_output(
+        self,
+        variables: dict,
+        state: jax.Array,
+        batch: GraphBatch,
+        *,
+        training: bool,
+        rng: Optional[jax.Array],
+    ) -> Tuple[jax.Array, jax.Array, list]:
+        """net_output over the readout rows WITHOUT the graph-level readout —
+        the per-layer processing function LGNN uses for every focus but 'a'
+        (reference LGNN.py:225).  Returns (out_rows, row_mask, new_bn)."""
+        x, row_mask = self.readout_input(state, batch)
+        out, new_bn = self.net_output.apply(
+            {"params": variables["params"]["net_output"], "state": variables["state"]["net_output"]},
+            x,
+            training=training,
+            mask=row_mask,
+            rng=rng,
+        )
+        return out, row_mask, new_bn
+
+    def apply_output(self, variables, state, batch, *, training, rng):
+        """Focus-specific final output.  Overridden by the graph-focused model
+        to add the NodeGraph readout."""
+        return self.node_level_output(variables, state, batch, training=training, rng=rng)
+
+    def forward(
+        self,
+        variables: dict,
+        batch: GraphBatch,
+        *,
+        training: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, dict]:
+        """Full forward pass (reference ``Loop``, GNN.py:245-274).
+
+        Returns (k, state, out, out_mask, new_model_state) where ``out`` is
+        row-aligned with the focus entity and gated by ``out_mask``, and
+        ``new_model_state`` is the updated BatchNorm-statistics tree.
+        """
+        if rng is not None:
+            rng_loop, rng_out = jax.random.split(rng)
+        else:
+            rng_loop = rng_out = None
+        k, state, bn_state = self.unfold(variables, batch, training=training, rng=rng_loop)
+        out, out_mask, bn_out = self.apply_output(variables, state, batch, training=training, rng=rng_out)
+        new_model_state = {"net_state": bn_state, "net_output": bn_out}
+        return k, state, out, out_mask, new_model_state
+
+    def regularization_loss(self, params: dict) -> jax.Array:
+        dummy = lambda p: {"params": p, "state": None}
+        return self.net_state.regularization_loss(dummy(params["net_state"])) + self.net_output.regularization_loss(
+            dummy(params["net_output"])
+        )
+
+    # -- config / io ------------------------------------------------------------
+    def get_config(self) -> dict:
+        return {
+            "net_state": self.net_state,
+            "net_output": self.net_output,
+            "state_vect_dim": self.state_vect_dim,
+            "max_iteration": self.max_iteration,
+            "state_threshold": self.state_threshold,
+        }
+
+    def _json_config(self) -> dict:
+        return {
+            "model_class": type(self).__name__,
+            "net_state": self.net_state.get_config(),
+            "net_output": self.net_output.get_config(),
+            "state_vect_dim": self.state_vect_dim,
+            "max_iteration": self.max_iteration,
+            "state_threshold": self.state_threshold,
+        }
+
+    @classmethod
+    def from_config(cls, config: dict, **kwargs) -> "GNNnodeBased":
+        return cls(**config)
+
+    @classmethod
+    def load(cls, path: str) -> "GNNnodeBased":
+        import json
+        import os
+
+        if path[-1] != "/":
+            path += "/"
+        with open(os.path.join(path, "config.json")) as f:
+            cfg = json.load(f)
+        cfg.pop("model_class", None)
+        model = cls(
+            net_state=MLP.from_config(cfg.pop("net_state")),
+            net_output=MLP.from_config(cfg.pop("net_output")),
+            **cfg,
+        )
+        model._load_variables(path)
+        return model
+
+    def copy(self, copy_weights: bool = True) -> "GNNnodeBased":
+        """Deep copy; fresh parameter init unless ``copy_weights``
+        (reference GNN.py:44-61)."""
+        clone = type(self)(
+            net_state=MLP.from_config(self.net_state.get_config()),
+            net_output=MLP.from_config(self.net_output.get_config()),
+            state_vect_dim=self.state_vect_dim,
+            max_iteration=self.max_iteration,
+            state_threshold=self.state_threshold,
+        )
+        if copy_weights and self.variables is not None:
+            clone.variables = jax.tree_util.tree_map(lambda x: x, self.variables)
+        return clone
+
+    def __repr__(self):
+        return (
+            f"GNN(type={self.name}, state_dim={self.state_vect_dim}, "
+            f"threshold={self.state_threshold}, max_iter={self.max_iteration}, "
+            f"avg={self.average_st_grads})"
+        )
+
+    __str__ = __repr__
+
+    def summary(self) -> None:
+        print(repr(self))
+        self.net_state.summary(None)
+        self.net_output.summary(None)
+
+
+class GNNarcBased(GNNnodeBased):
+    """Arc-focused GNN: readout rows are [src_state | dst_state | arc_label]
+    (reference GNN.py:312-330)."""
+
+    name = "arc"
+
+    def readout_input(self, state: jax.Array, batch: GraphBatch) -> Tuple[jax.Array, jax.Array]:
+        if self.state_vect_dim:
+            state = jnp.concatenate([state, batch.nodes], axis=1)
+        arc_rows = jnp.concatenate([state[batch.arc_src], state[batch.arc_dst], batch.arc_label], axis=1)
+        return arc_rows, batch.output_row_mask
+
+
+class GNNgraphBased(GNNnodeBased):
+    """Graph-focused GNN: node outputs averaged per graph through the
+    NodeGraph weights (reference GNN.py:336-346)."""
+
+    name = "graph"
+
+    def apply_output(self, variables, state, batch, *, training, rng):
+        out_nodes, _, new_bn = self.node_level_output(variables, state, batch, training=training, rng=rng)
+        out_graph = graph_readout(out_nodes, batch.graph_of_node, batch.nodegraph_weight, batch.num_graphs)
+        return out_graph, batch.graph_mask, new_bn

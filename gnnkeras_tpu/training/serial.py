@@ -1,0 +1,164 @@
+"""LGNN 'serial' training mode.
+
+Each layer is trained standalone, then its converged state/output are baked
+into a rebuilt dataset feeding the next layer — always concatenated onto the
+*original* t=0 features (reference LGNN.fit, LGNN.py:290-359).  The baking
+pass runs the freshly trained layer over every graph with ``training=True``
+(LGNN.py:332), exactly as the reference does — BatchNorm moving statistics are
+committed sequentially across graphs.
+
+TPU adaptation: the reference retrieves per-graph states by mutating the
+sequencer to batch_size=1 and round-tripping tensors to numpy
+(LGNN.py:328-338).  Here every graph is padded to a dataset-wide bucket so the
+per-graph baking forward is a single compiled program replayed per graph.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from gnnkeras_tpu.graph.batch import from_graph_object
+from gnnkeras_tpu.graph.graph import CompositeGraphObject, GraphObject
+
+
+def _update_host_graph(model, g0: GraphObject, state: np.ndarray, out: np.ndarray) -> GraphObject:
+    """Host-side mirror of LGNN.update_graph (LGNN.py:175-214): prepend state
+    and/or masked-scattered output to the t=0 node (or arc-label) features."""
+    nodeplus: List[np.ndarray] = []
+    arcplus: List[np.ndarray] = []
+    if model.get_state:
+        nodeplus.append(state)
+    if model.get_output:
+        mask = np.logical_and(g0.set_mask, g0.output_mask)
+        scattered = np.zeros((len(mask), out.shape[1]), dtype=g0.dtype)
+        scattered[mask] = out[mask]
+        (arcplus if model._is_arc else nodeplus).append(scattered)
+
+    nodes_new = np.concatenate(nodeplus + [g0.nodes], axis=1) if nodeplus else g0.nodes.copy()
+    if arcplus:
+        arcs_new = np.concatenate([g0.arcs[:, :2]] + arcplus + [g0.arcs[:, 2:]], axis=1)
+    else:
+        arcs_new = g0.arcs.copy()
+    grow = sum(p.shape[1] for p in nodeplus)
+
+    common = dict(
+        nodes=nodes_new,
+        arcs=arcs_new,
+        targets=g0.targets.copy(),
+        focus=g0.focus,
+        set_mask=g0.set_mask.copy(),
+        output_mask=g0.output_mask.copy(),
+        sample_weight=g0.sample_weight.copy(),
+        NodeGraph=g0.NodeGraph_coo() if g0.focus == "g" else None,
+        aggregation_mode=g0.aggregation_mode,
+    )
+    if isinstance(g0, CompositeGraphObject):
+        return CompositeGraphObject(
+            type_mask=g0.getTypeMask(), dim_node_label=g0.DIM_NODE_LABEL + grow, **common
+        )
+    return GraphObject(**common)
+
+
+def _bake_layer(model, gnn, sequence, t0_sequence):
+    """Run the trained layer over every graph of ``sequence`` (training=True,
+    per reference LGNN.py:332) and rebuild the dataset from t=0 features +
+    this layer's (state, output)."""
+    graphs = sequence.data if isinstance(sequence.data, list) else [sequence.data]
+    t0_graphs = t0_sequence.data if isinstance(t0_sequence.data, list) else [t0_sequence.data]
+
+    pad_n = max(g.nodes.shape[0] for g in graphs)
+    pad_a = max(g.arcs.shape[0] for g in graphs)
+    pad_n = ((pad_n + 127) // 128) * 128
+    pad_a = ((pad_a + 127) // 128) * 128
+
+    def bake_step(params, mstate, batch, rng):
+        variables = {"params": params, "state": mstate}
+        rng_loop, rng_out = jax.random.split(rng)
+        k, state, bn_state = gnn.unfold(variables, batch, training=True, rng=rng_loop)
+        out, row_mask, bn_out = gnn.node_level_output(variables, state, batch, training=True, rng=rng_out)
+        return state, out, {"net_state": bn_state, "net_output": bn_out}
+
+    bake_step = jax.jit(bake_step)
+
+    new_graphs = []
+    variables = gnn.variables
+    for g, g0 in zip(graphs, t0_graphs):
+        batch = from_graph_object(g, pad_n, pad_a)
+        state, out, new_bn = bake_step(variables["params"], variables["state"], batch, gnn.next_rng())
+        variables = {"params": variables["params"], "state": new_bn}
+        n_rows = g.arcs.shape[0] if model._is_arc else g.nodes.shape[0]
+        state_np = np.asarray(state)[: g.nodes.shape[0]]
+        out_np = np.asarray(out)[:n_rows]
+        new_graphs.append(_update_host_graph(model, g0, state_np, out_np))
+    gnn.variables = variables
+    return t0_sequence.with_graphs(new_graphs)
+
+
+def fit_serial(
+    model,
+    sequencer,
+    epochs: int = 1,
+    validation_data=None,
+    callbacks: Optional[list] = None,
+    verbose: int = 1,
+    seed: int = 0,
+):
+    """Serial-mode LGNN fit (reference LGNN.py:292-359).  ``callbacks``, if
+    given, must be one list per layer (LGNN.py:300-304)."""
+    from gnnkeras_tpu.data.transductive import (
+        TransductiveMultiGraphSequencer,
+        TransductiveSingleGraphSequencer,
+    )
+
+    if isinstance(sequencer, (TransductiveMultiGraphSequencer, TransductiveSingleGraphSequencer)):
+        raise NotImplementedError("serial LGNN training over transductive sequencers is not supported")
+
+    model.build(seed=seed)
+    if callbacks is not None:
+        assert len(callbacks) == model.LAYERS, "serial mode needs one callback list per layer"
+    else:
+        callbacks = [[] for _ in range(model.LAYERS)]
+
+    training_data_t0 = sequencer
+    training_sequence = sequencer.copy()
+    valid_t0 = validation_data
+    valid_sequence = validation_data.copy() if validation_data is not None else None
+
+    histories = []
+    for idx, gnn in enumerate(model.gnns[:-1]):
+        if verbose:
+            print(f"\n--- GNN {idx + 1}/{model.LAYERS} ---")
+        model.pull_layer_variables(idx)
+        h = gnn.fit(
+            training_sequence.copy(),
+            epochs=epochs,
+            validation_data=valid_sequence.copy() if valid_sequence is not None else None,
+            callbacks=callbacks[idx],
+            verbose=verbose,
+        )
+        model.push_layer_variables(idx)
+        histories.append(h)
+
+        training_sequence = _bake_layer(model, gnn, training_sequence, training_data_t0)
+        model.push_layer_variables(idx)  # commit baking-pass BatchNorm updates
+        if valid_sequence is not None:
+            valid_sequence = _bake_layer(model, gnn, valid_sequence, valid_t0)
+            model.push_layer_variables(idx)
+
+    if verbose:
+        print(f"\n--- GNN {model.LAYERS}/{model.LAYERS} ---")
+    gnn = model.gnns[-1]
+    model.pull_layer_variables(model.LAYERS - 1)
+    h = gnn.fit(
+        training_sequence.copy(),
+        epochs=epochs,
+        validation_data=valid_sequence.copy() if valid_sequence is not None else None,
+        callbacks=callbacks[-1],
+        verbose=verbose,
+    )
+    model.push_layer_variables(model.LAYERS - 1)
+    histories.append(h)
+    return histories

@@ -1,0 +1,227 @@
+"""Jit-compiled training runtime.
+
+Replaces the reference's forced-eager Keras ``Model.fit``/``train_step``
+(GNN/Models/GNN.py:148-162,277-306): one XLA-compiled program per batch
+*shape* covers the whole training step — forward unfolding, loss, backprop
+through the unfolding, the optional ``average_st_grads`` grads/k division
+(GNN.py:295), the optax update and the metric sums.  Static padded batch
+shapes (gnnkeras_tpu.graph.batch) mean the first batch compiles and every
+subsequent one replays.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gnnkeras_tpu.training.callbacks import Callback, History
+from gnnkeras_tpu.training.losses import masked_mean
+from gnnkeras_tpu.training.metrics import get_metric
+
+
+def _is_lgnn(model) -> bool:
+    from gnnkeras_tpu.models.lgnn import LGNN
+
+    return isinstance(model, LGNN)
+
+
+def _objective(model, params, mstate, batch, rng, training: bool):
+    """loss + aux for one batch.  Handles both single GNNs and LGNN stacks
+    (parallel: mean of per-layer losses, LGNN.py:262; residual: loss of the
+    mean output, LGNN.py:263; evaluation scores the last layer only,
+    LGNN.py:167)."""
+    variables = {"params": params, "state": mstate}
+    loss_fn = model.loss
+    y, mask, sw = batch.targets, batch.target_mask, batch.sample_weight
+
+    if _is_lgnn(model):
+        ks, _, outs, _, new_state = model.forward(variables, batch, training=training, rng=rng)
+        if training and model.training_mode == "parallel":
+            data_loss = sum(masked_mean(loss_fn(y, out), mask, sw) for out in outs) / len(outs)
+        elif training and model.training_mode == "residual":
+            mean_out = sum(outs) / len(outs)
+            data_loss = masked_mean(loss_fn(y, mean_out), mask, sw)
+        else:
+            data_loss = masked_mean(loss_fn(y, outs[-1]), mask, sw)
+        loss = data_loss + model.regularization_loss(params)
+        aux = {"y_pred": outs[-1], "k": ks, "new_state": new_state}
+    else:
+        k, _, out, _, new_state = model.forward(variables, batch, training=training, rng=rng)
+        loss = masked_mean(loss_fn(y, out), mask, sw) + model.regularization_loss(params)
+        aux = {"y_pred": out, "k": k, "new_state": new_state}
+    return loss, aux
+
+
+def _metric_sums(model, y_pred, batch):
+    sums = {}
+    for spec in model.metrics:
+        name, fn = get_metric(spec)
+        s, c = fn(batch.targets, y_pred, batch.target_mask, batch.sample_weight)
+        sums[name] = (s, c)
+    return sums
+
+
+def _get_train_step(model):
+    cache = getattr(model, "_compiled_cache", None)
+    if cache is None:
+        model._compiled_cache = cache = {}
+    if "train_step" not in cache:
+
+        def step(params, mstate, opt_state, batch, rng):
+            (loss, aux), grads = jax.value_and_grad(
+                lambda p: _objective(model, p, mstate, batch, rng, training=True), has_aux=True
+            )(params)
+            if model.average_st_grads:
+                grads = model.scale_state_grads(grads, aux["k"])
+            updates, opt_state = model.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            count = jnp.maximum(jnp.sum(batch.target_mask.astype(jnp.float32)), 1.0)
+            logs = {"loss_sum": loss * count, "count": count}
+            for name, (s, c) in _metric_sums(model, aux["y_pred"], batch).items():
+                logs[f"{name}_sum"] = s
+                logs[f"{name}_count"] = c
+            return params, aux["new_state"], opt_state, logs
+
+        cache["train_step"] = jax.jit(step, donate_argnums=(0, 1, 2))
+    return cache["train_step"]
+
+
+def _get_eval_step(model):
+    cache = getattr(model, "_compiled_cache", None)
+    if cache is None:
+        model._compiled_cache = cache = {}
+    if "eval_step" not in cache:
+
+        def step(params, mstate, batch, rng):
+            loss, aux = _objective(model, params, mstate, batch, rng, training=False)
+            count = jnp.maximum(jnp.sum(batch.target_mask.astype(jnp.float32)), 1.0)
+            logs = {"loss_sum": loss * count, "count": count}
+            for name, (s, c) in _metric_sums(model, aux["y_pred"], batch).items():
+                logs[f"{name}_sum"] = s
+                logs[f"{name}_count"] = c
+            return logs
+
+        cache["eval_step"] = jax.jit(step)
+    return cache["eval_step"]
+
+
+def _reduce_logs(accum: list, prefix: str = "") -> dict:
+    total = {}
+    for logs in accum:
+        for key, value in logs.items():
+            total[key] = total.get(key, 0.0) + float(value)
+    out = {prefix + "loss": total.get("loss_sum", 0.0) / max(total.get("count", 1.0), 1.0)}
+    for key in list(total):
+        if key.endswith("_sum") and key != "loss_sum":
+            name = key[:-4]
+            out[prefix + name] = total[key] / max(total.get(f"{name}_count", 1.0), 1e-9)
+    return out
+
+
+def fit(
+    model,
+    sequencer,
+    epochs: int = 1,
+    validation_data=None,
+    callbacks: Optional[list] = None,
+    verbose: int = 1,
+    seed: int = 0,
+):
+    """Keras-like fit loop over a graph sequencer.  Returns a History."""
+    if model.optimizer is None:
+        raise RuntimeError("call compile() before fit()")
+    model.build(seed=seed)
+    if model._opt_state is None:
+        model._opt_state = model.optimizer.init(model.variables["params"])
+
+    train_step = _get_train_step(model)
+    history = History()
+    cbs = [history] + list(callbacks or [])
+    for cb in cbs:
+        cb.set_model(model)
+        cb.on_train_begin()
+
+    params, mstate, opt_state = model.variables["params"], model.variables["state"], model._opt_state
+    for epoch in range(epochs):
+        t0 = time.perf_counter()
+        accum = []
+        for i in range(len(sequencer)):
+            batch = sequencer[i]
+            params, mstate, opt_state, logs = train_step(params, mstate, opt_state, batch, model.next_rng())
+            accum.append(logs)
+        sequencer.on_epoch_end()
+        logs = _reduce_logs(accum)
+
+        model.variables = {"params": params, "state": mstate}
+        model._opt_state = opt_state
+        if validation_data is not None:
+            logs.update(evaluate(model, validation_data, verbose=0, prefix="val_", _return_raw=True))
+        if verbose:
+            dt = time.perf_counter() - t0
+            msg = " - ".join(f"{k}: {v:.4f}" for k, v in logs.items())
+            print(f"Epoch {epoch + 1}/{epochs} [{dt:.1f}s] {msg}")
+        stop = False
+        for cb in cbs:
+            cb.on_epoch_end(epoch, logs)
+            stop = stop or cb.stop_training
+        if stop:
+            break
+        params, mstate = model.variables["params"], model.variables["state"]
+        opt_state = model._opt_state
+
+    model.variables = {"params": params, "state": mstate}
+    model._opt_state = opt_state
+    for cb in cbs:
+        cb.on_train_end()
+    return history
+
+
+def evaluate(model, sequencer, verbose: int = 0, prefix: str = "", _return_raw: bool = False):
+    """Loss + metrics over a sequencer (reference ``Model.evaluate``)."""
+    if model.loss is None:
+        raise RuntimeError("call compile() before evaluate() (loaded models need recompiling, as in the reference)")
+    model.build()
+    eval_step = _get_eval_step(model)
+    accum = []
+    for i in range(len(sequencer)):
+        batch = sequencer[i]
+        accum.append(eval_step(model.variables["params"], model.variables["state"], batch, model.next_rng()))
+    logs = _reduce_logs(accum, prefix=prefix)
+    if verbose:
+        print(" - ".join(f"{k}: {v:.4f}" for k, v in logs.items()))
+    return logs
+
+
+def predict(model, sequencer, seed: Optional[int] = None):
+    """Model outputs for every supervised row, concatenated over batches
+    (the reference's ``call(training=False)`` path, GNN.py:176-177)."""
+    model.build()
+    cache = getattr(model, "_compiled_cache", None)
+    if cache is None:
+        model._compiled_cache = cache = {}
+    if "predict_step" not in cache:
+
+        def step(params, mstate, batch, rng):
+            variables = {"params": params, "state": mstate}
+            if _is_lgnn(model):
+                _, _, outs, out_mask, _ = model.forward(variables, batch, training=False, rng=rng)
+                return outs[-1], out_mask
+            _, _, out, out_mask, _ = model.forward(variables, batch, training=False, rng=rng)
+            return out, out_mask
+
+        cache["predict_step"] = jax.jit(step)
+
+    outs = []
+    for i in range(len(sequencer)):
+        batch = sequencer[i]
+        out, _ = cache["predict_step"](
+            model.variables["params"], model.variables["state"], batch, model.next_rng()
+        )
+        mask = np.asarray(batch.target_mask)
+        outs.append(np.asarray(out)[mask])
+    return np.concatenate(outs, axis=0)
