@@ -1,0 +1,214 @@
+"""Graph construction invariants: aggregation weights vs hand-computed scipy
+oracles (reference math at graph_class.py:91-138, composite_graph_class.py:
+73-103), merge index offsetting (graph_class.py:385-413), persistence."""
+
+import numpy as np
+import pytest
+
+from gnnkeras_tpu.graph.graph import GraphObject, CompositeGraphObject, arcnode_weights
+
+
+def small_graph(aggregation_mode="sum", focus="n"):
+    # 4 nodes; arcs [src, dst, label(2)]
+    nodes = np.arange(8, dtype=float).reshape(4, 2)
+    arcs = np.array(
+        [
+            [0, 1, 1.0, 0.0],
+            [0, 2, 0.5, 1.0],
+            [1, 2, 2.0, 0.0],
+            [2, 3, 0.0, 1.0],
+            [3, 0, 1.0, 1.0],
+            [1, 3, 0.0, 0.5],
+        ]
+    )
+    targets = np.eye(4)[:, :2] if focus == "n" else np.array([[1.0, 0.0]])
+    return GraphObject(nodes=nodes, arcs=arcs, targets=targets, focus=focus, aggregation_mode=aggregation_mode)
+
+
+class TestArcNodeWeights:
+    def test_sum(self):
+        g = small_graph("sum")
+        assert np.all(g.arcnode_weight == 1.0)
+
+    def test_normalized_divides_by_arc_count(self):
+        # the reference divides by the number of ARCS (graph_class.py:114),
+        # not nodes as its docstring claims.
+        g = small_graph("normalized")
+        np.testing.assert_allclose(g.arcnode_weight, np.full(6, 1 / 6), rtol=1e-6)
+
+    def test_average_divides_by_indegree(self):
+        g = small_graph("average")
+        dst = g.arcs[:, 1].astype(int)
+        indeg = np.bincount(dst, minlength=4)
+        np.testing.assert_allclose(g.arcnode_weight, 1.0 / indeg[dst], rtol=1e-6)
+        # column sums of ArcNode == 1 for nodes with incoming arcs
+        an = g.ArcNode_coo().toarray()
+        for col in range(4):
+            if indeg[col]:
+                np.testing.assert_allclose(an[:, col].sum(), 1.0, rtol=1e-6)
+
+    def test_adjacency_shares_arcnode_values(self):
+        # reference graph_class.py:86-87: Adjacency data IS ArcNode data.
+        g = small_graph("average")
+        adj = g.Adjacency_coo()
+        an = g.ArcNode_coo()
+        np.testing.assert_allclose(adj.data, an.data)
+
+    def test_arcs_are_deduped_and_sorted(self):
+        arcs = np.array([[1, 0, 1.0], [0, 1, 1.0], [1, 0, 1.0]])
+        g = GraphObject(nodes=np.ones((2, 2)), arcs=arcs, targets=np.ones((2, 1)))
+        assert g.arcs.shape[0] == 2
+        np.testing.assert_array_equal(g.arcs[:, 0], [0, 1])
+
+    def test_spmm_against_scipy(self):
+        g = small_graph("average")
+        state = np.random.default_rng(0).normal(size=(4, 3))
+        oracle = g.Adjacency_coo().T @ state
+        from gnnkeras_tpu.ops.segment import aggregate_neighbors
+        import jax.numpy as jnp
+
+        ours = aggregate_neighbors(
+            jnp.asarray(state.astype(np.float32)),
+            jnp.asarray(g.arcs[:, 0].astype(np.int32)),
+            jnp.asarray(g.arcs[:, 1].astype(np.int32)),
+            jnp.asarray(g.arcnode_weight),
+            4,
+        )
+        np.testing.assert_allclose(np.asarray(ours), oracle, rtol=1e-5)
+
+
+class TestNodeGraph:
+    def test_single_graph_weights(self):
+        g = small_graph(focus="g")
+        np.testing.assert_allclose(g.nodegraph_weight, np.full(4, 0.25))
+        assert g.num_graphs == 1
+
+    def test_merge_block_diag(self):
+        g1, g2 = small_graph(focus="g"), small_graph(focus="g")
+        m = GraphObject.merge([g1, g2], focus="g", aggregation_mode="sum")
+        assert m.num_graphs == 2
+        np.testing.assert_array_equal(m.graph_of_node, [0] * 4 + [1] * 4)
+        np.testing.assert_allclose(m.nodegraph_weight, np.full(8, 0.25))
+        ng = m.NodeGraph_coo().toarray()
+        assert ng.shape == (8, 2)
+        np.testing.assert_allclose(ng[:4, 0], 0.25)
+        np.testing.assert_allclose(ng[4:, 1], 0.25)
+        np.testing.assert_allclose(ng[:4, 1], 0.0)
+
+
+class TestMerge:
+    def test_arc_offsets(self):
+        g1, g2 = small_graph(), small_graph()
+        m = GraphObject.merge([g1, g2], focus="n", aggregation_mode="sum")
+        assert m.nodes.shape == (8, 2)
+        assert m.arcs.shape == (12, 4)
+        # second graph's arcs offset by 4
+        assert m.arcs[:, :2].max() == 7
+        np.testing.assert_array_equal(np.sort(m.arcs[:, 0]), np.sort(np.concatenate([g1.arcs[:, 0], g2.arcs[:, 0] + 4])))
+
+    def test_merged_normalized_uses_total_arcs(self):
+        g1, g2 = small_graph("normalized"), small_graph("normalized")
+        m = GraphObject.merge([g1, g2], focus="n", aggregation_mode="normalized")
+        np.testing.assert_allclose(m.arcnode_weight, np.full(12, 1 / 12), rtol=1e-6)
+
+    def test_merge_preserves_masks_and_weights(self):
+        g1 = small_graph()
+        g1.set_mask[:2] = False
+        g1.sample_weight[:] = 2.0
+        g2 = small_graph()
+        m = GraphObject.merge([g1, g2], focus="n", aggregation_mode="sum")
+        np.testing.assert_array_equal(m.set_mask, np.concatenate([g1.set_mask, g2.set_mask]))
+        np.testing.assert_allclose(m.sample_weight[:4], 2.0)
+
+
+class TestCompositeWeights:
+    def make_composite(self, mode):
+        nodes = np.arange(10, dtype=float).reshape(5, 2)
+        arcs = np.array(
+            [[0, 2, 1.0], [1, 2, 0.0], [3, 2, 1.0], [4, 2, 0.0], [0, 1, 1.0], [3, 4, 0.5]]
+        )
+        # types: nodes 0,1 type0; 2,3,4 type1
+        tm = np.zeros((5, 2), dtype=bool)
+        tm[:2, 0] = True
+        tm[2:, 1] = True
+        return CompositeGraphObject(
+            nodes=nodes,
+            arcs=arcs,
+            targets=np.ones((5, 1)),
+            type_mask=tm,
+            dim_node_label=(2, 2),
+            focus="n",
+            aggregation_mode=mode,
+        )
+
+    def test_composite_average(self):
+        g = self.make_composite("composite_average")
+        # node 2 receives: from type0 {0,1} → each weight 1/2;
+        # from type1 {3,4} → each 1/2.  arc (0,1): sole type0→1 → 1.
+        # arc (3,4): sole type1→4 → 1.
+        arcs = g.arcs
+        w = g.arcnode_weight
+        for i, (s, d) in enumerate(arcs[:, :2].astype(int)):
+            if d == 2:
+                assert w[i] == pytest.approx(0.5)
+            else:
+                assert w[i] == pytest.approx(1.0)
+
+    def test_plain_modes_still_work(self):
+        g = self.make_composite("average")
+        indeg = np.bincount(g.arcs[:, 1].astype(int), minlength=5)
+        dst = g.arcs[:, 1].astype(int)
+        np.testing.assert_allclose(g.arcnode_weight, 1.0 / indeg[dst])
+
+    def test_composite_merge(self):
+        g1, g2 = self.make_composite("sum"), self.make_composite("sum")
+        m = CompositeGraphObject.merge([g1, g2], focus="n", aggregation_mode="composite_average")
+        assert m.type_mask.shape == (10, 2)
+        assert tuple(m.DIM_NODE_LABEL) == (2, 2)
+        # per-graph weights identical to single-graph composite_average
+        single = self.make_composite("composite_average")
+        np.testing.assert_allclose(m.arcnode_weight[:6], single.arcnode_weight)
+
+
+class TestPersistence(object):
+    def test_npz_roundtrip(self, tmp_path):
+        g = small_graph("average", focus="n")
+        g.set_mask[0] = False
+        g.save(str(tmp_path / "g"))
+        g2 = GraphObject.load(str(tmp_path / "g"), focus="n", aggregation_mode="average")
+        np.testing.assert_allclose(g.nodes, g2.nodes)
+        np.testing.assert_allclose(g.arcs, g2.arcs)
+        np.testing.assert_array_equal(g.set_mask, g2.set_mask)
+        np.testing.assert_allclose(g.arcnode_weight, g2.arcnode_weight)
+
+    def test_txt_roundtrip(self, tmp_path):
+        g = small_graph("sum", focus="n")
+        g.savetxt(str(tmp_path / "gdir"))
+        g2 = GraphObject.load_txt(str(tmp_path / "gdir"), focus="n", aggregation_mode="sum")
+        np.testing.assert_allclose(g.nodes, g2.nodes)
+        np.testing.assert_allclose(g.arcs, g2.arcs)
+
+    def test_dataset_roundtrip(self, tmp_path):
+        gs = [small_graph(), small_graph()]
+        GraphObject.save_dataset(str(tmp_path / "ds"), gs)
+        loaded = GraphObject.load_dataset(str(tmp_path / "ds"), focus="n", aggregation_mode="sum")
+        assert len(loaded) == 2
+        np.testing.assert_allclose(loaded[0].nodes, gs[0].nodes)
+
+    def test_merged_nodegraph_roundtrip(self, tmp_path):
+        m = GraphObject.merge([small_graph(focus="g"), small_graph(focus="g")], "g", "sum")
+        m.save(str(tmp_path / "m"))
+        m2 = GraphObject.load(str(tmp_path / "m"), focus="g", aggregation_mode="sum")
+        assert m2.num_graphs == 2
+        np.testing.assert_allclose(m2.nodegraph_weight, m.nodegraph_weight)
+
+
+class TestSetAggregation:
+    def test_switch_modes(self):
+        g = small_graph("sum")
+        w_sum = g.arcnode_weight.copy()
+        g.setAggregation("average")
+        assert g.aggregation_mode == "average"
+        assert not np.allclose(w_sum, g.arcnode_weight)
+        g.setAggregation("sum")
+        np.testing.assert_allclose(g.arcnode_weight, w_sum)

@@ -1,0 +1,204 @@
+"""Activation-level parity against the actual reference implementation.
+
+Runs the reference (TensorFlow, /root/reference) and this framework on the
+same graph with the same transplanted MLP weights and compares the converged
+state, iteration count and model output — the BASELINE.md requirement
+("per-iteration node-state activations allclose vs reference").
+
+dim_state=0 keeps the reference deterministic (state init = node labels,
+GNN/Models/GNN.py:259); BatchNorm is on (the reference default) so these
+tests also pin masked-BN semantics end-to-end.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+sys.path.insert(0, "/root/reference")
+
+from GNN.Models.GNN import (  # noqa: E402  (reference import)
+    GNNarcBased as RefGNNarc,
+    GNNgraphBased as RefGNNgraph,
+    GNNnodeBased as RefGNNnode,
+)
+from GNN.Models.MLP import MLP as RefMLP, get_inout_dims as ref_get_inout_dims  # noqa: E402
+from GNN.graph_class import GraphObject as RefGraphObject, GraphTensor as RefGraphTensor  # noqa: E402
+
+# Modern-scipy shim for the reference: its buildAdjacency passes a zip
+# iterator as coo indices (graph_class.py:87-88), which scipy >= 1.11 rejects.
+# Functionally identical replacement with materialized index arrays.
+def _build_adjacency_shim(self):
+    from scipy.sparse import coo_matrix
+
+    values = self.ArcNode.data
+    row = self.arcs[:, 0].astype(int)
+    col = self.arcs[:, 1].astype(int)
+    return coo_matrix((values, (row, col)), shape=(self.nodes.shape[0],) * 2, dtype=self.dtype)
+
+
+RefGraphObject.buildAdjacency = _build_adjacency_shim
+
+from gnnkeras_tpu.graph.batch import from_graph_object  # noqa: E402
+from gnnkeras_tpu.graph.graph import GraphObject  # noqa: E402
+from gnnkeras_tpu.models.gnn import GNNarcBased, GNNgraphBased, GNNnodeBased  # noqa: E402
+from gnnkeras_tpu.models.mlp import MLP, get_inout_dims  # noqa: E402
+
+
+def rand_graph_arrays(seed=0, n=7, a=14, dn=3, da=2, T=2, focus="n"):
+    rng = np.random.default_rng(seed)
+    nodes = rng.normal(size=(n, dn)).astype(np.float32)
+    arcs = np.concatenate(
+        [rng.integers(0, n, (a, 2)).astype(np.float32), rng.normal(size=(a, da)).astype(np.float32)], axis=1
+    )
+    arcs = np.unique(arcs, axis=0)
+    if focus == "g":
+        targets = np.eye(T, dtype=np.float32)[[0]]
+    elif focus == "a":
+        targets = rng.normal(size=(arcs.shape[0], T)).astype(np.float32)
+    else:
+        targets = rng.normal(size=(n, T)).astype(np.float32)
+    return nodes, arcs, targets
+
+
+def transplant_keras_to_ours(keras_model, ours: MLP, variables):
+    import jax.numpy as jnp
+
+    params = [dict(p) for p in variables["params"]]
+    state = [dict(s) for s in variables["state"]]
+    k_layers = list(keras_model.layers)
+    ki = 0
+    for idx, layer in enumerate(ours.program):
+        if layer[0] == "dense":
+            while not k_layers[ki].get_weights() or len(k_layers[ki].get_weights()) != 2:
+                ki += 1
+            w, b = k_layers[ki].get_weights()
+            params[idx]["kernel"], params[idx]["bias"] = jnp.asarray(w), jnp.asarray(b)
+            ki += 1
+        elif layer[0] == "batch_norm":
+            while len(k_layers[ki].get_weights()) != 4:
+                ki += 1
+            gamma, beta, mm, mv = k_layers[ki].get_weights()
+            params[idx]["gamma"], params[idx]["beta"] = jnp.asarray(gamma), jnp.asarray(beta)
+            state[idx]["moving_mean"], state[idx]["moving_var"] = jnp.asarray(mm), jnp.asarray(mv)
+            ki += 1
+    return {"params": params, "state": state}
+
+
+def build_pair(focus, ref_cls, our_cls, dn=3, da=2, T=2, max_iter=8, threshold=0.01):
+    """Reference model + our model with identical (reference-initialized)
+    weights, both dim_state=0."""
+    inp_s, layers_s = ref_get_inout_dims("state", dn, da, T, focus, 0)
+    inp_o, layers_o = ref_get_inout_dims("output", dn, da, T, focus, 0)
+    ref_st = RefMLP(input_dim=inp_s[0], layers=[int(u) for u in np.ravel(layers_s)], activations="selu",
+                    kernel_initializer="lecun_normal", bias_initializer="lecun_normal")
+    ref_out = RefMLP(input_dim=inp_o[0], layers=[int(u) for u in np.ravel(layers_o)], activations="softmax",
+                     kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+    ref_gnn = ref_cls(ref_st, ref_out, 0, max_iter, threshold)
+
+    our_st = MLP(input_dim=inp_s[0], layers=layers_s, activations="selu",
+                 kernel_initializer="lecun_normal", bias_initializer="lecun_normal")
+    our_out = MLP(input_dim=inp_o[0], layers=layers_o, activations="softmax",
+                  kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+    our_gnn = our_cls(our_st, our_out, 0, max_iter, threshold)
+    our_gnn.build(seed=0)
+    our_gnn.variables = {
+        "params": {
+            "net_state": transplant_keras_to_ours(ref_st, our_st, {"params": our_gnn.variables["params"]["net_state"], "state": our_gnn.variables["state"]["net_state"]})["params"],
+            "net_output": transplant_keras_to_ours(ref_out, our_out, {"params": our_gnn.variables["params"]["net_output"], "state": our_gnn.variables["state"]["net_output"]})["params"],
+        },
+        "state": our_gnn.variables["state"],
+    }
+    return ref_gnn, our_gnn
+
+
+def make_ref_graph(nodes, arcs, targets, focus, mode):
+    """Reference GraphObject; for non-'g' focus its buildNodeGraph creates an
+    empty coo_matrix that newer scipy rejects — pass an explicit zero
+    NodeGraph (semantically unused for 'n'/'a')."""
+    from scipy.sparse import coo_matrix
+
+    kwargs = {}
+    if focus != "g":
+        kwargs["NodeGraph"] = coo_matrix((nodes.shape[0], 1), dtype=np.float32)
+    return RefGraphObject(nodes=nodes.copy(), arcs=arcs.copy(), targets=targets.copy(), focus=focus,
+                          aggregation_mode=mode, **kwargs)
+
+
+def run_reference(ref_gnn, g_ref: RefGraphObject, training=False):
+    gt = RefGraphTensor.fromGraphObject(g_ref)
+    k, state, out = ref_gnn.Loop(
+        gt.nodes, gt.arcs, gt.DIM_NODE_LABEL, gt.set_mask, gt.output_mask,
+        gt.Adjacency, gt.ArcNode, gt.NodeGraph, training=training,
+    )
+    return float(k), state.numpy(), out.numpy()
+
+
+@pytest.mark.parametrize("mode", ["sum", "average", "normalized"])
+@pytest.mark.parametrize(
+    "focus,ref_cls,our_cls",
+    [("n", RefGNNnode, GNNnodeBased), ("a", RefGNNarc, GNNarcBased), ("g", RefGNNgraph, GNNgraphBased)],
+)
+def test_forward_parity(focus, ref_cls, our_cls, mode):
+    nodes, arcs, targets = rand_graph_arrays(seed=11, focus=focus)
+    g_ref = make_ref_graph(nodes, arcs, targets, focus, mode)
+    g_our = GraphObject(nodes=nodes.copy(), arcs=arcs.copy(), targets=targets.copy(), focus=focus,
+                        aggregation_mode=mode)
+
+    ref_gnn, our_gnn = build_pair(focus, ref_cls, our_cls)
+    k_ref, state_ref, out_ref = run_reference(ref_gnn, g_ref)
+
+    batch = from_graph_object(g_our, pad_nodes=16, pad_arcs=32)
+    k, state, out, out_mask, _ = our_gnn.forward(our_gnn.variables, batch, training=False)
+
+    assert float(k) == k_ref
+    n = nodes.shape[0]
+    np.testing.assert_allclose(np.asarray(state)[:n], state_ref, rtol=1e-4, atol=1e-5)
+    rows = {"n": n, "a": g_our.arcs.shape[0], "g": 1}[focus]
+    np.testing.assert_allclose(np.asarray(out)[:rows], out_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_forward_parity_merged_batch():
+    """Disjoint-union merge of 3 graphs must match the reference's merged
+    GraphTensor bit-for-bit at the activation level."""
+    parts_ref, parts_our = [], []
+    for seed in (1, 2, 3):
+        nodes, arcs, targets = rand_graph_arrays(seed=seed, focus="g")
+        parts_ref.append(make_ref_graph(nodes, arcs, targets, "g", "average"))
+        parts_our.append(GraphObject(nodes=nodes.copy(), arcs=arcs.copy(), targets=targets.copy(),
+                                     focus="g", aggregation_mode="average"))
+    merged_ref = RefGraphObject.merge(parts_ref, focus="g", aggregation_mode="average")
+    merged_our = GraphObject.merge(parts_our, focus="g", aggregation_mode="average")
+
+    ref_gnn, our_gnn = build_pair("g", RefGNNgraph, GNNgraphBased)
+    k_ref, state_ref, out_ref = run_reference(ref_gnn, merged_ref)
+
+    batch = from_graph_object(merged_our, pad_nodes=64, pad_arcs=128)
+    k, state, out, _, _ = our_gnn.forward(our_gnn.variables, batch, training=False)
+
+    assert float(k) == k_ref
+    n = merged_our.nodes.shape[0]
+    np.testing.assert_allclose(np.asarray(state)[:n], state_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out)[:3], out_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_training_mode_bn_parity():
+    """training=True: BatchNorm uses batch statistics inside the unfolding;
+    state trajectories must still match the reference."""
+    nodes, arcs, targets = rand_graph_arrays(seed=21, focus="n")
+    g_ref = make_ref_graph(nodes, arcs, targets, "n", "average")
+    g_our = GraphObject(nodes=nodes.copy(), arcs=arcs.copy(), targets=targets.copy(), focus="n",
+                        aggregation_mode="average")
+
+    ref_gnn, our_gnn = build_pair("n", RefGNNnode, GNNnodeBased)
+    k_ref, state_ref, out_ref = run_reference(ref_gnn, g_ref, training=True)
+
+    batch = from_graph_object(g_our, pad_nodes=16, pad_arcs=32)
+    k, state, out, _, _ = our_gnn.forward(our_gnn.variables, batch, training=True)
+
+    assert float(k) == k_ref
+    n = nodes.shape[0]
+    np.testing.assert_allclose(np.asarray(state)[:n], state_ref, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out)[:n], out_ref, rtol=1e-3, atol=1e-4)
