@@ -1,0 +1,99 @@
+"""Flagship benchmark: edges/s/chip in the transition iteration.
+
+Workload: the full Mutagenicity dataset merged into one disjoint-union batch
+(N=131,488 nodes, A=266,894 arcs — the reference's own dataset at
+starter.py scale), graph-focused GNN with the starter.py architecture
+(dim_state=0, 31→14 state MLP with BatchNorm, max_iter=5), threshold=0 so
+every run executes exactly 5 transition iterations.
+
+Metric: edges processed per second in the transition iteration (BASELINE.md
+primary metric).  vs_baseline compares against the reference's forced-eager
+TensorFlow execution of the same computation on this machine's CPU —
+11,502,498 edges/s measured 2026-08-17 (see BASELINE.md §Measured).
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_EDGES_PER_S = 11_502_498.0  # reference eager TF, this host, 2026-08-17
+ITERS = 5
+TIMED_RUNS = 5
+
+
+def build_workload():
+    from gnnkeras_tpu.graph.batch import from_graph_object
+    from gnnkeras_tpu.graph.graph import GraphObject
+    from gnnkeras_tpu.models.gnn import GNNgraphBased
+    from gnnkeras_tpu.models.mlp import MLP, get_inout_dims
+
+    try:
+        from gnnkeras_tpu.data.mutag import load_mutag
+
+        graphs = load_mutag()
+        merged = GraphObject.merge(graphs, focus="g", aggregation_mode="average")
+    except FileNotFoundError:
+        rng = np.random.default_rng(0)
+        n, a = 131_488, 266_894
+        nodes = np.eye(14, dtype=np.float32)[rng.integers(0, 14, n)]
+        arcs = np.concatenate(
+            [rng.integers(0, n, (a, 2)), np.eye(3, dtype=np.float32)[rng.integers(0, 3, a)]], axis=1
+        )
+        targets = np.eye(2, dtype=np.float32)[rng.integers(0, 2, 4337)]
+        merged = GraphObject(nodes=nodes, arcs=arcs, targets=targets, focus="g", aggregation_mode="average")
+
+    batch = from_graph_object(merged)
+    n_arcs = merged.arcs.shape[0]
+
+    inp_s, layers_s = get_inout_dims("state", 14, 3, 2, "g", 0)
+    inp_o, layers_o = get_inout_dims("output", 14, 3, 2, "g", 0)
+    net_st = MLP(input_dim=inp_s[0], layers=layers_s, activations="selu",
+                 kernel_initializer="lecun_normal", bias_initializer="lecun_normal")
+    net_out = MLP(input_dim=inp_o[0], layers=layers_o, activations="softmax",
+                  kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+    gnn = GNNgraphBased(net_st, net_out, 0, ITERS, 0.0)  # threshold 0 → exactly ITERS iterations
+    gnn.build(seed=0)
+    return gnn, batch, n_arcs
+
+
+def main():
+    import jax
+
+    gnn, batch, n_arcs = build_workload()
+
+    @jax.jit
+    def forward(variables, batch):
+        k, state, out, mask, _ = gnn.forward(variables, batch, training=False)
+        return k, out
+
+    # warmup/compile
+    k, out = forward(gnn.variables, batch)
+    jax.block_until_ready(out)
+    iters = float(k)
+
+    times = []
+    for _ in range(TIMED_RUNS):
+        t0 = time.perf_counter()
+        k, out = forward(gnn.variables, batch)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    edges_per_s = iters * n_arcs / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "transition_edges_per_s",
+                "value": round(edges_per_s),
+                "unit": "edges/s/chip",
+                "vs_baseline": round(edges_per_s / REFERENCE_EDGES_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

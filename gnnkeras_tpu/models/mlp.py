@@ -148,21 +148,32 @@ _BN_EPS = 1e-3
 _ALPHA_P = -1.7580993408473766
 
 
-def _masked_moments(x: jax.Array, mask: Optional[jax.Array]) -> Tuple[jax.Array, jax.Array]:
+def _masked_moments(
+    x: jax.Array, mask: Optional[jax.Array], axis_name: Optional[str] = None
+) -> Tuple[jax.Array, jax.Array]:
+    """Masked batch moments; with ``axis_name`` the sums span a mesh axis so
+    sharded rows (edge-partitioned graphs) see the same global statistics the
+    reference computes over the full unpadded batch."""
     if mask is None:
-        mean = jnp.mean(x, axis=0)
-        var = jnp.mean(jnp.square(x - mean), axis=0)
-        return mean, var
-    m = mask.astype(x.dtype)[:, None]
-    count = jnp.maximum(jnp.sum(m), 1.0)
-    mean = jnp.sum(x * m, axis=0) / count
-    var = jnp.sum(jnp.square(x - mean) * m, axis=0) / count
+        m = jnp.ones((x.shape[0], 1), x.dtype)
+    else:
+        m = mask.astype(x.dtype)[:, None]
+    s, sq, c = jnp.sum(x * m, axis=0), None, jnp.sum(m)
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+        c = jax.lax.psum(c, axis_name)
+    count = jnp.maximum(c, 1.0)
+    mean = s / count
+    var_local = jnp.sum(jnp.square(x - mean) * m, axis=0)
+    if axis_name is not None:
+        var_local = jax.lax.psum(var_local, axis_name)
+    var = var_local / count
     return mean, var
 
 
-def _batch_norm_apply(params, state, x, training, mask):
+def _batch_norm_apply(params, state, x, training, mask, axis_name=None):
     if training:
-        mean, var = _masked_moments(x, mask)
+        mean, var = _masked_moments(x, mask, axis_name)
         new_state = {
             "moving_mean": _BN_MOMENTUM * state["moving_mean"] + (1.0 - _BN_MOMENTUM) * mean,
             "moving_var": _BN_MOMENTUM * state["moving_var"] + (1.0 - _BN_MOMENTUM) * var,
@@ -325,9 +336,11 @@ class MLP:
         training: bool = False,
         mask: Optional[jax.Array] = None,
         rng: Optional[jax.Array] = None,
+        axis_name: Optional[str] = None,
     ) -> Tuple[jax.Array, List[dict]]:
         """Run the stack. ``mask`` selects real rows for BatchNorm statistics
-        (padding is excluded).  Returns (output, new_state_list)."""
+        (padding is excluded); ``axis_name`` extends those statistics across a
+        mesh axis for sharded batches.  Returns (output, new_state_list)."""
         params, state = variables["params"], variables["state"]
         new_state: List[dict] = []
         for layer, p, s in zip(self.program, params, state):
@@ -337,7 +350,7 @@ class MLP:
                 x = get_activation(act)(x)
                 new_state.append({})
             elif layer[0] == "batch_norm":
-                x, s_new = _batch_norm_apply(p, s, x, training, mask)
+                x, s_new = _batch_norm_apply(p, s, x, training, mask, axis_name)
                 new_state.append(s_new)
             else:
                 _, rate, alpha = layer

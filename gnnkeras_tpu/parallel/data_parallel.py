@@ -1,0 +1,146 @@
+"""Data parallelism over merged graph batches.
+
+Each device trains on its own padded disjoint-union batch; gradients (and
+BatchNorm statistic updates) are averaged over the ``data`` mesh axis with
+``psum``-backed collectives inside ``shard_map``, then the (replicated) optax
+update is applied identically everywhere.  No reference counterpart — the
+reference is strictly single-device (SURVEY §2, "Parallelism statement").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gnnkeras_tpu.graph.batch import GraphBatch
+
+
+def stack_batches(batches: Sequence[GraphBatch]) -> GraphBatch:
+    """Stack equal-shape batches along a new leading device axis."""
+    metas = {(b.focus, b.dim_node_label) for b in batches}
+    if len(metas) != 1:
+        raise ValueError("all stacked batches must share focus/dim_node_label")
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *batches)
+
+
+def shard_batches(stacked: GraphBatch, mesh: Mesh, axis: str = "data") -> GraphBatch:
+    """Place a stacked batch so its leading axis is sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), stacked)
+
+
+def make_dp_train_step(model, mesh: Mesh, axis: str = "data"):
+    """Build a jitted data-parallel train step.
+
+    Signature: ``(params, mstate, opt_state, stacked_batch, rngs) ->
+    (params, mstate, opt_state, logs)`` where ``stacked_batch`` has a leading
+    device axis of size ``mesh.shape[axis]`` and ``rngs`` one PRNG key per
+    device.  Params/opt-state are replicated; the loss/grads/BN updates are
+    mesh-averaged so every replica applies the identical update.
+    """
+    from gnnkeras_tpu.training.trainer import _metric_sums, _objective
+
+    def device_step(params, mstate, opt_state, batch, rng):
+        # shard_map hands us a leading axis of size 1 (this device's shard).
+        batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+        rng = rng[0]
+
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: _objective(model, p, mstate, batch, rng, training=True), has_aux=True
+        )(params)
+        if model.average_st_grads:
+            grads = model.scale_state_grads(grads, aux["k"])
+
+        grads = jax.lax.pmean(grads, axis)
+        new_mstate = jax.lax.pmean(aux["new_state"], axis)
+        loss = jax.lax.pmean(loss, axis)
+
+        updates, opt_state = model.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        count = jnp.maximum(jnp.sum(batch.target_mask.astype(jnp.float32)), 1.0)
+        logs = {"loss_sum": loss * count, "count": count}
+        for name, (s, c) in _metric_sums(model, aux["y_pred"], batch).items():
+            logs[f"{name}_sum"] = s
+            logs[f"{name}_count"] = c
+        logs = jax.tree_util.tree_map(lambda x: jax.lax.psum(x, axis), logs)
+        return params, new_mstate, opt_state, logs
+
+    sharded = shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis)),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1, 2))
+
+
+class DataParallelTrainer:
+    """fit/evaluate over a mesh: slices the sequencer's batches into
+    per-device groups of equal padded shape and drives the DP train step."""
+
+    def __init__(self, model, mesh: Optional[Mesh] = None, axis: str = "data"):
+        from gnnkeras_tpu.parallel.mesh import make_mesh
+
+        self.model = model
+        self.mesh = mesh if mesh is not None else make_mesh((axis,))
+        self.axis = axis
+        self.n_devices = self.mesh.shape[axis]
+        self._step = None
+
+    def _device_groups(self, sequencer) -> List[GraphBatch]:
+        batches = [sequencer[i] for i in range(len(sequencer))]
+        groups = []
+        for i in range(0, len(batches), self.n_devices):
+            group = batches[i : i + self.n_devices]
+            while len(group) < self.n_devices:
+                # pad the group by repeating the last batch with zeroed masks
+                filler = group[-1].replace(
+                    target_mask=jnp.zeros_like(group[-1].target_mask),
+                    sample_weight=jnp.zeros_like(group[-1].sample_weight),
+                )
+                group.append(filler)
+            groups.append(shard_batches(stack_batches(group), self.mesh, self.axis))
+        return groups
+
+    def fit(self, sequencer, epochs: int = 1, verbose: int = 1, seed: int = 0):
+        import time
+
+        from gnnkeras_tpu.training.trainer import _reduce_logs
+
+        model = self.model
+        if model.optimizer is None:
+            raise RuntimeError("call compile() before fit()")
+        model.build(seed=seed)
+        if model._opt_state is None:
+            model._opt_state = model.optimizer.init(model.variables["params"])
+        if self._step is None:
+            self._step = make_dp_train_step(model, self.mesh, self.axis)
+
+        params, mstate, opt_state = model.variables["params"], model.variables["state"], model._opt_state
+        history = {}
+        for epoch in range(epochs):
+            t0 = time.perf_counter()
+            accum = []
+            for stacked in self._device_groups(sequencer):
+                rngs = jax.random.split(model.next_rng(), self.n_devices)
+                params, mstate, opt_state, logs = self._step(params, mstate, opt_state, stacked, rngs)
+                accum.append(logs)
+            sequencer.on_epoch_end()
+            logs = _reduce_logs(accum)
+            for key, value in logs.items():
+                history.setdefault(key, []).append(value)
+            if verbose:
+                dt = time.perf_counter() - t0
+                print(f"Epoch {epoch + 1}/{epochs} [{dt:.1f}s] " + " - ".join(f"{k}: {v:.4f}" for k, v in logs.items()))
+        model.variables = {"params": params, "state": mstate}
+        model._opt_state = opt_state
+        return history

@@ -1,0 +1,399 @@
+"""Edge-partitioned training of one large graph — the sequence/context-
+parallel analog for the convergence loop (SURVEY §5 "long-context").
+
+One big graph's node-state rows are sharded into contiguous ranges over the
+``graph`` mesh axis; every edge lives on the device that owns its destination
+node, so aggregation is a local segment-sum after the boundary/source states
+arrive.  v1 transport is an ``all_gather`` of the sharded state each unfolding
+iteration (rides ICI; bandwidth = N·d per step); the Pallas ring/halo overlap
+path slots in behind the same interface.  BatchNorm statistics and the
+convergence predicate are mesh-global (psum/pmax), so the partitioned run is
+numerically equivalent to the single-device run — the determinism check that
+stands in for race detection on TPU (SURVEY §5).
+
+No reference counterpart: the reference computes the same graph on one eager
+device (GNN/Models/GNN.py:245-274) and its scalability ceiling is that
+device's memory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gnnkeras_tpu.graph.graph import GraphObject
+from gnnkeras_tpu.models.gnn import GNNnodeBased
+from gnnkeras_tpu.ops.segment import segment_sum
+from gnnkeras_tpu.utils.dtypes import floatx
+
+
+def _round_up(x: int, m: int) -> int:
+    return max(((x + m - 1) // m) * m, m)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "nodes",
+        "node_mask",
+        "arc_src_global",
+        "arc_dst_local",
+        "arc_weight",
+        "arc_label",
+        "arc_mask",
+        "set_mask",
+        "output_mask",
+        "targets",
+        "target_mask",
+        "sample_weight",
+    ],
+    meta_fields=["focus", "dim_node_label", "n_parts", "nodes_per_part"],
+)
+@dataclasses.dataclass(frozen=True)
+class PartitionedGraph:
+    """One large graph split into ``n_parts`` equal padded node ranges.
+
+    All arrays carry a leading part axis (D).  ``arc_src_global`` indexes the
+    concatenated global state (D·nodes_per_part rows); ``arc_dst_local``
+    indexes the owning part's rows.  Padded slots carry zero weight/masks.
+    """
+
+    nodes: jax.Array  # (D, Np, dn)
+    node_mask: jax.Array  # (D, Np)
+    arc_src_global: jax.Array  # (D, Ap)
+    arc_dst_local: jax.Array  # (D, Ap)
+    arc_weight: jax.Array  # (D, Ap)
+    arc_label: jax.Array  # (D, Ap, da)
+    arc_mask: jax.Array  # (D, Ap)
+    set_mask: jax.Array  # (D, R)  R = Np ('n') or Ap ('a')
+    output_mask: jax.Array  # (D, R)
+    targets: jax.Array  # (D, R, T)
+    target_mask: jax.Array  # (D, R)
+    sample_weight: jax.Array  # (D, R)
+    focus: str
+    dim_node_label: Tuple[int, ...]
+    n_parts: int
+    nodes_per_part: int
+
+
+def partition_graph(g: GraphObject, n_parts: int, pad_multiple: int = 8) -> PartitionedGraph:
+    """Contiguous node-range partition; edges assigned to the destination's
+    part (incoming aggregation is local)."""
+    if g.focus == "g":
+        raise NotImplementedError("partitioned training supports node/arc focus (one large graph)")
+    n = g.nodes.shape[0]
+    chunk = -(-n // n_parts)
+    np_pad = _round_up(chunk, pad_multiple)
+
+    src = g.arcs[:, 0].astype(np.int64)
+    dst = g.arcs[:, 1].astype(np.int64)
+    part_of = np.minimum(dst // chunk, n_parts - 1)
+    src_part = np.minimum(src // chunk, n_parts - 1)
+    src_global_new = src_part * np_pad + (src - src_part * chunk)
+
+    edges_per_part = [np.flatnonzero(part_of == p) for p in range(n_parts)]
+    ap_pad = _round_up(max((len(e) for e in edges_per_part), default=1), pad_multiple)
+
+    dtype = floatx()
+    dn, da, t_dim = g.nodes.shape[1], g.DIM_ARC_LABEL, g.DIM_TARGET
+
+    nodes = np.zeros((n_parts, np_pad, dn), dtype)
+    node_mask = np.zeros((n_parts, np_pad), bool)
+    a_srcg = np.zeros((n_parts, ap_pad), np.int32)
+    a_dstl = np.zeros((n_parts, ap_pad), np.int32)
+    a_w = np.zeros((n_parts, ap_pad), dtype)
+    a_lab = np.zeros((n_parts, ap_pad, da), dtype)
+    a_mask = np.zeros((n_parts, ap_pad), bool)
+
+    r_rows = np_pad if g.focus == "n" else ap_pad
+    set_mask = np.zeros((n_parts, r_rows), bool)
+    output_mask = np.zeros((n_parts, r_rows), bool)
+    targets = np.zeros((n_parts, r_rows, t_dim), dtype)
+    target_mask = np.zeros((n_parts, r_rows), bool)
+    sample_weight = np.zeros((n_parts, r_rows), dtype)
+
+    # targets row-aligned with output-true entities, reference protocol
+    full_targets = np.zeros((len(g.output_mask), t_dim), dtype)
+    full_sw = np.zeros(len(g.output_mask), dtype)
+    out_idx = np.flatnonzero(g.output_mask)
+    full_targets[out_idx] = g.targets
+    full_sw[out_idx] = g.sample_weight
+
+    for p in range(n_parts):
+        lo, hi = p * chunk, min((p + 1) * chunk, n)
+        size = hi - lo
+        nodes[p, :size] = g.nodes[lo:hi]
+        node_mask[p, :size] = True
+        e = edges_per_part[p]
+        a_srcg[p, : len(e)] = src_global_new[e]
+        a_dstl[p, : len(e)] = dst[e] - lo
+        a_w[p, : len(e)] = g.arcnode_weight[e]
+        a_lab[p, : len(e)] = g.arcs[e, 2:]
+        a_mask[p, : len(e)] = True
+        if g.focus == "n":
+            set_mask[p, :size] = g.set_mask[lo:hi]
+            output_mask[p, :size] = g.output_mask[lo:hi]
+            targets[p, :size] = full_targets[lo:hi]
+            sample_weight[p, :size] = full_sw[lo:hi]
+            target_mask[p, :size] = np.logical_and(g.set_mask[lo:hi], g.output_mask[lo:hi])
+        else:  # arc focus: rows follow the per-part edge layout
+            set_mask[p, : len(e)] = g.set_mask[e]
+            output_mask[p, : len(e)] = g.output_mask[e]
+            targets[p, : len(e)] = full_targets[e]
+            sample_weight[p, : len(e)] = full_sw[e]
+            target_mask[p, : len(e)] = np.logical_and(g.set_mask[e], g.output_mask[e])
+
+    return PartitionedGraph(
+        nodes=jnp.asarray(nodes),
+        node_mask=jnp.asarray(node_mask),
+        arc_src_global=jnp.asarray(a_srcg),
+        arc_dst_local=jnp.asarray(a_dstl),
+        arc_weight=jnp.asarray(a_w),
+        arc_label=jnp.asarray(a_lab),
+        arc_mask=jnp.asarray(a_mask),
+        set_mask=jnp.asarray(set_mask),
+        output_mask=jnp.asarray(output_mask),
+        targets=jnp.asarray(targets),
+        target_mask=jnp.asarray(target_mask),
+        sample_weight=jnp.asarray(sample_weight),
+        focus=g.focus,
+        dim_node_label=tuple(int(d) for d in g.DIM_NODE_LABEL),
+        n_parts=n_parts,
+        nodes_per_part=np_pad,
+    )
+
+
+class PartitionedGNN:
+    """Sharded unfolding engine around a homogeneous ``GNNnodeBased`` /
+    ``GNNarcBased`` model.  State rows live sharded; each iteration
+    all-gathers the state over ICI and aggregates locally."""
+
+    def __init__(self, gnn: GNNnodeBased, mesh: Optional[Mesh] = None, axis: str = "graph"):
+        from gnnkeras_tpu.parallel.mesh import make_mesh
+
+        if gnn.name == "graph":
+            raise NotImplementedError("partitioned training supports node/arc focus")
+        self.gnn = gnn
+        self.axis = axis
+        self.mesh = mesh if mesh is not None else make_mesh((axis,))
+        self.n_devices = self.mesh.shape[axis]
+        self._cache = {}
+
+    # -- device-local compute (runs inside shard_map) -------------------------
+    def _local_forward(self, params, mstate, pg: PartitionedGraph, rng, training: bool, strip_axes: int = 1):
+        gnn, axis = self.gnn, self.axis
+        for _ in range(strip_axes):
+            pg = jax.tree_util.tree_map(lambda x: x[0], pg)
+        np_local = pg.nodes.shape[0]
+
+        agg_arcs = segment_sum(pg.arc_label * pg.arc_weight[:, None], pg.arc_dst_local, np_local)
+
+        if gnn.state_vect_dim > 0:
+            my = jax.lax.axis_index(axis)
+            state0 = 0.1 * jax.random.normal(
+                jax.random.fold_in(rng, my), (np_local, gnn.state_vect_dim), dtype=floatx()
+            )
+            full_nodes = jax.lax.all_gather(pg.nodes, axis, tiled=True)
+            agg_nodes = segment_sum(
+                full_nodes[pg.arc_src_global] * pg.arc_weight[:, None], pg.arc_dst_local, np_local
+            )
+        else:
+            state0 = pg.nodes
+            agg_nodes = jnp.zeros((np_local, 0), dtype=floatx())
+
+        state_old0 = jnp.ones_like(state0)
+        bn0 = mstate["net_state"]
+        n_steps = max(gnn.max_iteration, 1)
+        step_rngs = jax.random.split(rng, n_steps)
+
+        def local_unconverged(state, state_old):
+            distance = jnp.sqrt(jnp.sum(jnp.square(state - state_old), axis=1))
+            norm = jnp.sqrt(jnp.sum(jnp.square(state_old), axis=1))
+            local_any = jnp.any(jnp.logical_and(distance > gnn.state_threshold * norm, pg.node_mask))
+            return jax.lax.pmax(local_any.astype(jnp.int32), axis) > 0
+
+        def transition(state, bn_state, step_rng):
+            full_state = jax.lax.all_gather(state, axis, tiled=True)
+            agg_states = segment_sum(
+                full_state[pg.arc_src_global] * pg.arc_weight[:, None], pg.arc_dst_local, np_local
+            )
+            components = [state]
+            if gnn.state_vect_dim > 0:
+                components.append(pg.nodes)
+            inp = jnp.concatenate(components + [agg_states, agg_nodes, agg_arcs], axis=1)
+            return gnn.net_state.apply(
+                {"params": params["net_state"], "state": bn_state},
+                inp,
+                training=training,
+                mask=pg.node_mask,
+                rng=step_rng if training else None,
+                axis_name=axis,
+            )
+
+        if training:
+            def step(carry, step_rng):
+                k, state, state_old, bn_state = carry
+                run = local_unconverged(state, state_old)
+                new_state, new_bn = transition(state, bn_state, step_rng)
+                return (
+                    k + run.astype(floatx()),
+                    jnp.where(run, new_state, state),
+                    jnp.where(run, state, state_old),
+                    jax.tree_util.tree_map(lambda a, b: jnp.where(run, a, b), new_bn, bn_state),
+                ), None
+
+            step = jax.checkpoint(step)
+            (k, state, _, bn_final), _ = jax.lax.scan(
+                step, (jnp.zeros((), floatx()), state0, state_old0, bn0), step_rngs,
+                length=gnn.max_iteration,
+            )
+        else:
+            def cond_fn(carry):
+                k, state, state_old, _ = carry
+                return jnp.logical_and(local_unconverged(state, state_old), k < gnn.max_iteration)
+
+            def body_fn(carry):
+                k, state, state_old, bn_state = carry
+                idx = jnp.minimum(k.astype(jnp.int32), gnn.max_iteration - 1)
+                new_state, new_bn = transition(state, bn_state, step_rngs[idx])
+                return (k + 1.0, new_state, state, new_bn)
+
+            k, state, _, bn_final = jax.lax.while_loop(
+                cond_fn, body_fn, (jnp.zeros((), floatx()), state0, state_old0, bn0)
+            )
+
+        # readout
+        row_mask = jnp.logical_and(
+            jnp.logical_and(pg.set_mask, pg.output_mask),
+            pg.arc_mask if pg.focus == "a" else pg.node_mask,
+        )
+        if pg.focus == "a":
+            state_c = (
+                jnp.concatenate([state, pg.nodes], axis=1) if gnn.state_vect_dim else state
+            )
+            full_state_c = jax.lax.all_gather(state_c, axis, tiled=True)
+            dst_global = jax.lax.axis_index(axis) * np_local + pg.arc_dst_local
+            x = jnp.concatenate(
+                [full_state_c[pg.arc_src_global], full_state_c[dst_global], pg.arc_label], axis=1
+            )
+        else:
+            x = jnp.concatenate([state, pg.nodes], axis=1) if gnn.state_vect_dim else state
+        out, bn_out = gnn.net_output.apply(
+            {"params": params["net_output"], "state": mstate["net_output"]},
+            x,
+            training=training,
+            mask=row_mask,
+            rng=step_rngs[-1] if training else None,
+            axis_name=axis,
+        )
+        new_mstate = {"net_state": bn_final, "net_output": bn_out}
+        return k, state, out, pg, new_mstate
+
+    def _local_loss(self, params, mstate, pg, rng, loss_fn, training, strip_axes: int = 1):
+        axis = self.axis
+        k, state, out, pg_l, new_mstate = self._local_forward(params, mstate, pg, rng, training, strip_axes)
+        per_row = loss_fn(pg_l.targets, out)
+        m = pg_l.target_mask.astype(per_row.dtype)
+        loss_sum = jax.lax.psum(jnp.sum(per_row * pg_l.sample_weight * m), axis)
+        count = jax.lax.psum(jnp.sum(m), axis)
+        loss = loss_sum / jnp.maximum(count, 1.0) + self.gnn.regularization_loss(params)
+        return loss, (k, out, new_mstate, count)
+
+    # -- public jitted entry points -------------------------------------------
+    def make_train_step(self):
+        if "train" in self._cache:
+            return self._cache["train"]
+        gnn, axis = self.gnn, self.axis
+        loss_fn = gnn.loss
+        if loss_fn is None:
+            raise RuntimeError("call gnn.compile() before building the partitioned train step")
+
+        def device_step(params, mstate, opt_state, pg, rng):
+            (loss, (k, out, new_mstate, count)), grads = jax.value_and_grad(
+                lambda p: self._local_loss(p, mstate, pg, rng, loss_fn, True), has_aux=True
+            )(params)
+            grads = jax.lax.psum(grads, axis)
+            if gnn.average_st_grads:
+                grads = gnn.scale_state_grads(grads, k)
+            updates, opt_state = gnn.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            logs = {"loss": loss, "k": k}
+            return params, new_mstate, opt_state, logs
+
+        sharded = shard_map(
+            device_step,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(axis), P()),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+        step = jax.jit(sharded, donate_argnums=(0, 1, 2))
+        self._cache["train"] = step
+        return step
+
+    def make_forward(self, training: bool = False):
+        key = f"fwd_{training}"
+        if key in self._cache:
+            return self._cache[key]
+        axis = self.axis
+
+        def device_fwd(params, mstate, pg, rng):
+            k, state, out, _, new_mstate = self._local_forward(params, mstate, pg, rng, training)
+            return k, state[None], out[None], new_mstate
+
+        sharded = shard_map(
+            device_fwd,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(axis), P()),
+            out_specs=(P(), P(axis), P(axis), P()),
+            check_vma=False,
+        )
+        fn = jax.jit(sharded)
+        self._cache[key] = fn
+        return fn
+
+    def forward(self, pg: PartitionedGraph, training: bool = False, rng=None):
+        """(k, state (D,Np,d), out (D,R,T), new_mstate) — rows follow the
+        partition layout; unpad with pg.node_mask / target rows."""
+        self.gnn.build()
+        if rng is None:
+            rng = self.gnn.next_rng()
+        fwd = self.make_forward(training)
+        k, state, out, new_mstate = fwd(
+            self.gnn.variables["params"], self.gnn.variables["state"], pg, rng
+        )
+        return k, state, out, new_mstate
+
+    def fit(self, pg: PartitionedGraph, epochs: int = 1, verbose: int = 1, seed: int = 0):
+        """Full-batch training of the partitioned graph."""
+        import time
+
+        gnn = self.gnn
+        if gnn.optimizer is None:
+            raise RuntimeError("call compile() before fit()")
+        gnn.build(seed=seed)
+        if gnn._opt_state is None:
+            gnn._opt_state = gnn.optimizer.init(gnn.variables["params"])
+        step = self.make_train_step()
+        params, mstate, opt_state = gnn.variables["params"], gnn.variables["state"], gnn._opt_state
+        history = {"loss": []}
+        for epoch in range(epochs):
+            t0 = time.perf_counter()
+            params, mstate, opt_state, logs = step(params, mstate, opt_state, pg, gnn.next_rng())
+            history["loss"].append(float(logs["loss"]))
+            if verbose:
+                print(
+                    f"Epoch {epoch + 1}/{epochs} [{time.perf_counter() - t0:.2f}s] "
+                    f"loss: {float(logs['loss']):.4f} k: {float(logs['k']):.0f}"
+                )
+        gnn.variables = {"params": params, "state": mstate}
+        gnn._opt_state = opt_state
+        return history

@@ -1,0 +1,162 @@
+"""Distributed paths on a virtual 8-device CPU mesh (conftest).
+
+The determinism requirement (SURVEY §5): the edge-partitioned sharded run must
+equal the single-device run; DP training must behave like large-batch
+training.  These are the "distributed tests without a cluster" mandated by
+SURVEY §4.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnnkeras_tpu.graph.batch import from_graph_object
+from gnnkeras_tpu.graph.graph import GraphObject
+from gnnkeras_tpu.models.gnn import GNNarcBased, GNNnodeBased
+from gnnkeras_tpu.models.mlp import MLP, get_inout_dims
+from gnnkeras_tpu.parallel.data_parallel import DataParallelTrainer, stack_batches
+from gnnkeras_tpu.parallel.mesh import make_mesh
+from gnnkeras_tpu.parallel.partition import PartitionedGNN, partition_graph
+
+
+def big_graph(seed=0, n=60, a=300, dn=3, da=2, T=2, focus="n", mode="average"):
+    rng = np.random.default_rng(seed)
+    nodes = rng.normal(size=(n, dn))
+    arcs = np.concatenate([rng.integers(0, n, (a, 2)), rng.normal(size=(a, da))], axis=1)
+    g_tmp = GraphObject(nodes=nodes, arcs=arcs, targets=np.ones((n, T)), focus="n")
+    rows = n if focus == "n" else g_tmp.arcs.shape[0]
+    targets = rng.normal(size=(rows, T))
+    return GraphObject(
+        nodes=nodes, arcs=g_tmp.arcs, targets=targets, focus=focus, aggregation_mode=mode
+    )
+
+
+def build_gnn(cls, focus, dn=3, da=2, T=2, dim_state=0, max_iter=6, bn=True):
+    inp_s, layers_s = get_inout_dims("state", dn, da, T, focus, dim_state)
+    inp_o, layers_o = get_inout_dims("output", dn, da, T, focus, dim_state)
+    net_st = MLP(input_dim=inp_s[0], layers=layers_s, activations="selu",
+                 kernel_initializer="lecun_normal", bias_initializer="lecun_normal",
+                 batch_normalization=bn)
+    net_out = MLP(input_dim=inp_o[0], layers=layers_o, activations="softmax",
+                  kernel_initializer="glorot_normal", bias_initializer="glorot_normal",
+                  batch_normalization=bn)
+    gnn = cls(net_st, net_out, dim_state, max_iter, 0.01)
+    gnn.build(seed=5)
+    return gnn
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "tests need the 8-device CPU mesh from conftest"
+    return make_mesh(("graph",))
+
+
+class TestPartitionedEqualsSingle:
+    @pytest.mark.parametrize("bn", [False, True])
+    @pytest.mark.parametrize("training", [False, True])
+    def test_node_focus_state_parity(self, mesh8, training, bn):
+        g = big_graph(seed=1)
+        gnn = build_gnn(GNNnodeBased, "n", bn=bn)
+
+        batch = from_graph_object(g)
+        k_ref, state_ref, _ = gnn.unfold(gnn.variables, batch, training=training)
+
+        pg = partition_graph(g, 8)
+        pgnn = PartitionedGNN(gnn, mesh8)
+        k, state, out, _ = pgnn.forward(pg, training=training)
+
+        assert float(k) == float(k_ref)
+        # reassemble partitioned rows into original order
+        got = np.asarray(state).reshape(-1, state.shape[-1])
+        mask = np.asarray(pg.node_mask).reshape(-1)
+        np.testing.assert_allclose(
+            got[mask], np.asarray(state_ref)[: g.nodes.shape[0]], rtol=2e-4, atol=1e-5
+        )
+
+    def test_node_focus_output_parity(self, mesh8):
+        g = big_graph(seed=2)
+        gnn = build_gnn(GNNnodeBased, "n")
+        batch = from_graph_object(g)
+        _, _, out_ref, _, _ = gnn.forward(gnn.variables, batch, training=False)
+
+        pg = partition_graph(g, 8)
+        pgnn = PartitionedGNN(gnn, mesh8)
+        _, _, out, _ = pgnn.forward(pg, training=False)
+
+        got = np.asarray(out).reshape(-1, out.shape[-1])
+        mask = np.asarray(pg.node_mask).reshape(-1)
+        np.testing.assert_allclose(
+            got[mask], np.asarray(out_ref)[: g.nodes.shape[0]], rtol=2e-4, atol=1e-5
+        )
+
+    def test_arc_focus_output_parity(self, mesh8):
+        g = big_graph(seed=3, focus="a")
+        gnn = build_gnn(GNNarcBased, "a")
+        batch = from_graph_object(g)
+        _, _, out_ref, _, _ = gnn.forward(gnn.variables, batch, training=False)
+
+        pg = partition_graph(g, 8)
+        pgnn = PartitionedGNN(gnn, mesh8)
+        _, _, out, _ = pgnn.forward(pg, training=False)
+
+        # per-part edge rows map back through the edges-per-part selection
+        dst = g.arcs[:, 1].astype(int)
+        chunk = -(-g.nodes.shape[0] // 8)
+        part_of = np.minimum(dst // chunk, 7)
+        order = np.concatenate([np.flatnonzero(part_of == p) for p in range(8)])
+        got = np.asarray(out).reshape(-1, out.shape[-1])
+        mask = np.asarray(pg.arc_mask).reshape(-1)
+        np.testing.assert_allclose(
+            got[mask], np.asarray(out_ref)[order], rtol=2e-4, atol=1e-5
+        )
+
+    def test_dim_state_random_init_runs(self, mesh8):
+        g = big_graph(seed=4)
+        gnn = build_gnn(GNNnodeBased, "n", dim_state=5)
+        pg = partition_graph(g, 8)
+        pgnn = PartitionedGNN(gnn, mesh8)
+        k, state, out, _ = pgnn.forward(pg, training=True, rng=jax.random.PRNGKey(7))
+        assert np.all(np.isfinite(np.asarray(state)))
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_partitioned_training_reduces_loss(self, mesh8):
+        g = big_graph(seed=5)
+        gnn = build_gnn(GNNnodeBased, "n")
+        gnn.compile(optimizer="adam:0.01", loss="mse")
+        pg = partition_graph(g, 8)
+        pgnn = PartitionedGNN(gnn, mesh8)
+        h = pgnn.fit(pg, epochs=8, verbose=0)
+        assert h["loss"][-1] < h["loss"][0]
+
+
+class TestDataParallel:
+    def test_dp_fit_runs_and_learns(self):
+        from gnnkeras_tpu.data.sequencers import MultiGraphSequencer
+
+        rng = np.random.default_rng(0)
+        graphs = []
+        for i in range(32):
+            n, a = rng.integers(5, 10), rng.integers(8, 16)
+            nodes = rng.normal(size=(n, 3))
+            arcs = np.concatenate([rng.integers(0, n, (a, 2)), rng.normal(size=(a, 2))], axis=1)
+            t = np.zeros((1, 2))
+            t[0, rng.integers(2)] = 1
+            graphs.append(GraphObject(nodes=nodes, arcs=arcs, targets=t, focus="g", aggregation_mode="average"))
+
+        from gnnkeras_tpu.models.gnn import GNNgraphBased
+
+        gnn = build_gnn(GNNgraphBased, "g")
+        gnn.compile(optimizer="adam:0.01", loss="categorical_crossentropy", metrics=["accuracy"])
+        seq = MultiGraphSequencer(graphs, "g", "average", batch_size=4, shuffle=False, pad_multiple=16)
+        mesh = make_mesh(("data",))
+        trainer = DataParallelTrainer(gnn, mesh)
+        h = trainer.fit(seq, epochs=4, verbose=0)
+        assert h["loss"][-1] < h["loss"][0]
+
+    def test_stack_batches_shapes(self):
+        g = big_graph(seed=6, focus="n")
+        b = from_graph_object(g, pad_nodes=64, pad_arcs=512)
+        stacked = stack_batches([b, b])
+        assert stacked.nodes.shape[0] == 2
+        assert stacked.focus == "n"
