@@ -45,7 +45,8 @@ def build_workload():
         targets = np.eye(2, dtype=np.float32)[rng.integers(0, 2, 4337)]
         merged = GraphObject(nodes=nodes, arcs=arcs, targets=targets, focus="g", aggregation_mode="average")
 
-    batch = from_graph_object(merged)
+    # production aggregation precision: bf16 blocks, f32 accumulation
+    batch = from_graph_object(merged, agg_dtype="bfloat16")
     n_arcs = merged.arcs.shape[0]
 
     inp_s, layers_s = get_inout_dims("state", 14, 3, 2, "g", 0)

@@ -1,0 +1,175 @@
+"""Typed configuration mirroring the reference's starter-option surface.
+
+The reference configures runs through hand-edited module-level constants
+("SCRIPT OPTIONS", starter.py:14-47, starter_composite.py:14-46).  This
+dataclass captures exactly that surface, adds validation, JSON round-trip and
+a model/sequencer factory, so a reference user can port a starter script
+one-to-one."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import List, Optional, Sequence, Tuple, Union
+
+
+@dataclasses.dataclass
+class GNNConfig:
+    """All knobs of a (composite/layered) GNN experiment."""
+
+    # graph options (starter.py:16-20)
+    aggregation_mode: str = "average"
+    focus: str = "g"
+
+    # net state parameters (starter.py:23-25)
+    activations_net_state: str = "selu"
+    kernel_init_net_state: str = "lecun_normal"
+    bias_init_net_state: str = "lecun_normal"
+
+    # net output parameters (starter.py:28-30)
+    activations_net_output: str = "softmax"
+    kernel_init_net_output: str = "glorot_normal"
+    bias_init_net_output: str = "glorot_normal"
+
+    # gnn parameters (starter.py:33-35)
+    dim_state: int = 0
+    max_iter: int = 5
+    state_threshold: float = 0.01
+
+    # lgnn parameters (starter.py:38-41)
+    layers: int = 1
+    get_state: bool = True
+    get_output: bool = True
+    training_mode: str = "parallel"
+
+    # learning parameters (starter.py:44-47)
+    epochs: int = 10
+    batch_size: int = 1000
+    loss: str = "categorical_crossentropy"
+    optimizer: str = "adam:0.01"
+    metrics: Tuple[str, ...] = ("accuracy",)
+    average_st_grads: bool = False
+
+    # mlp extras (MLP.py:12-15 surface)
+    hidden_units: Optional[Union[int, List[int]]] = None
+    dropout_rate: Optional[float] = None
+    dropout_pos: Optional[Union[int, List[int]]] = None
+    alphadropout: bool = False
+    batch_normalization: bool = True
+
+    def __post_init__(self):
+        assert self.focus in ("a", "n", "g"), f"bad focus {self.focus}"
+        assert self.training_mode in ("serial", "parallel", "residual")
+        assert self.dim_state >= 0 and self.max_iter >= 0 and self.state_threshold >= 0
+        assert self.layers >= 1
+
+    # -- persistence ---------------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+    @classmethod
+    def from_json(cls, payload: str) -> "GNNConfig":
+        data = json.loads(payload)
+        if "metrics" in data:
+            data["metrics"] = tuple(data["metrics"])
+        return cls(**data)
+
+    # -- factories -----------------------------------------------------------
+    def _mlp_pair(self, dim_node_label, dim_arc_label: int, dim_target: int, layer: int):
+        from gnnkeras_tpu.models.mlp import MLP, get_inout_dims
+
+        inp_s, layers_s = get_inout_dims(
+            "state", dim_node_label, dim_arc_label, dim_target, self.focus, self.dim_state,
+            self.hidden_units, layer=layer, get_state=self.get_state, get_output=self.get_output,
+        )
+        nets_state = [
+            MLP(
+                input_dim=shape,
+                layers=layers_s,
+                activations=self.activations_net_state,
+                kernel_initializer=self.kernel_init_net_state,
+                bias_initializer=self.bias_init_net_state,
+                dropout_rate=self.dropout_rate,
+                dropout_pos=self.dropout_pos,
+                alphadropout=self.alphadropout,
+                batch_normalization=self.batch_normalization,
+                name=f"state_{layer}_{t}",
+            )
+            for t, shape in enumerate(inp_s)
+        ]
+
+        import numpy as np
+
+        if np.ndim(dim_node_label) > 0 and len(np.atleast_1d(dim_node_label)) > 1:
+            # composite: the shared output MLP reads the converged state only
+            # (CompositeGNN.py:237-239); dims follow the model, not the
+            # reference's (broken for this case) output formula.
+            out_in = (self.dim_state,)
+        else:
+            inp_o, _ = get_inout_dims(
+                "output", dim_node_label, dim_arc_label, dim_target, self.focus, self.dim_state,
+                layer=layer, get_state=self.get_state, get_output=self.get_output,
+            )
+            out_in = inp_o[0]
+        net_output = MLP(
+            input_dim=out_in,
+            layers=[dim_target],
+            activations=self.activations_net_output,
+            kernel_initializer=self.kernel_init_net_output,
+            bias_initializer=self.bias_init_net_output,
+            batch_normalization=self.batch_normalization,
+            name=f"out_{layer}",
+        )
+        return nets_state, net_output
+
+    def build_model(self, dim_node_label, dim_arc_label: int, dim_target: int):
+        """Construct (and compile) the model this config describes."""
+        import numpy as np
+
+        from gnnkeras_tpu.models.composite import (
+            CompositeGNNarcBased,
+            CompositeGNNgraphBased,
+            CompositeGNNnodeBased,
+        )
+        from gnnkeras_tpu.models.gnn import GNNarcBased, GNNgraphBased, GNNnodeBased
+        from gnnkeras_tpu.models.lgnn import LGNN, CompositeLGNN
+
+        composite = np.ndim(dim_node_label) > 0 and len(np.atleast_1d(dim_node_label)) > 1
+        homo_cls = {"n": GNNnodeBased, "a": GNNarcBased, "g": GNNgraphBased}[self.focus]
+        comp_cls = {"n": CompositeGNNnodeBased, "a": CompositeGNNarcBased, "g": CompositeGNNgraphBased}[self.focus]
+
+        gnns = []
+        for layer in range(self.layers):
+            nets_state, net_output = self._mlp_pair(dim_node_label, dim_arc_label, dim_target, layer)
+            if composite:
+                gnns.append(comp_cls(nets_state, net_output, self.dim_state, self.max_iter, self.state_threshold))
+            else:
+                gnns.append(homo_cls(nets_state[0], net_output, self.dim_state, self.max_iter, self.state_threshold))
+
+        if self.layers == 1:
+            model = gnns[0]
+            model.compile(
+                optimizer=self.optimizer, loss=self.loss, metrics=list(self.metrics),
+                average_st_grads=self.average_st_grads,
+            )
+        else:
+            model = (CompositeLGNN if composite else LGNN)(gnns, self.get_state, self.get_output)
+            model.compile(
+                optimizer=self.optimizer, loss=self.loss, metrics=list(self.metrics),
+                average_st_grads=self.average_st_grads, training_mode=self.training_mode,
+            )
+        return model
+
+    def build_sequencer(self, graphs, shuffle: bool = True):
+        from gnnkeras_tpu.data.sequencers import (
+            CompositeMultiGraphSequencer,
+            MultiGraphSequencer,
+        )
+        from gnnkeras_tpu.graph.graph import CompositeGraphObject
+
+        cls = (
+            CompositeMultiGraphSequencer
+            if isinstance(graphs[0], CompositeGraphObject)
+            else MultiGraphSequencer
+        )
+        return cls(graphs, self.focus, self.aggregation_mode, self.batch_size, shuffle)

@@ -44,6 +44,7 @@ class MultiGraphSequencer:
         shuffle: bool = True,
         *,
         pad_multiple: int = 128,
+        agg_dtype: str = None,
     ):
         self.data: List[GraphObject] = list(graphs) if isinstance(graphs, (list, tuple)) else [graphs]
         self.focus = focus
@@ -51,6 +52,7 @@ class MultiGraphSequencer:
         self.batch_size = int(batch_size)
         self.shuffle = bool(shuffle)
         self.pad_multiple = int(pad_multiple)
+        self.agg_dtype = agg_dtype
         self._pad_nodes = 0
         self._pad_arcs = 0
         self._pad_graphs = 0
@@ -75,7 +77,8 @@ class MultiGraphSequencer:
         )
         self._pad_graphs = max(self._pad_graphs, _round_up(max(g.num_graphs for g in merged), 8))
         self.batches: List[GraphBatch] = [
-            from_graph_object(g, self._pad_nodes, self._pad_arcs, self._pad_graphs) for g in merged
+            from_graph_object(g, self._pad_nodes, self._pad_arcs, self._pad_graphs, agg_dtype=self.agg_dtype)
+            for g in merged
         ]
 
     def __len__(self) -> int:
@@ -141,6 +144,7 @@ class SingleGraphSequencer(MultiGraphSequencer):
         shuffle: bool = True,
         *,
         pad_multiple: int = 128,
+        agg_dtype: str = None,
     ):
         self.graph = graph
         self.focus = focus
@@ -148,6 +152,7 @@ class SingleGraphSequencer(MultiGraphSequencer):
         self.batch_size = int(batch_size)
         self.shuffle = bool(shuffle)
         self.pad_multiple = int(pad_multiple)
+        self.agg_dtype = agg_dtype
         self.set_mask_idx = np.flatnonzero(graph.set_mask)
         self._pad_nodes = _round_up(graph.nodes.shape[0], pad_multiple)
         self._pad_arcs = _round_up(graph.arcs.shape[0], pad_multiple)
@@ -164,7 +169,8 @@ class SingleGraphSequencer(MultiGraphSequencer):
             self.batch_masks[i, self.set_mask_idx[i * self.batch_size : (i + 1) * self.batch_size]] = True
         self.batches = [
             from_graph_object(
-                self.graph, self._pad_nodes, self._pad_arcs, set_mask_override=self.batch_masks[i]
+                self.graph, self._pad_nodes, self._pad_arcs,
+                set_mask_override=self.batch_masks[i], agg_dtype=self.agg_dtype,
             )
             for i in range(n_batches)
         ]

@@ -54,6 +54,8 @@ def _round_up(x: int, m: int) -> int:
         "target_mask",
         "sample_weight",
         "type_mask",
+        "bcsr",
+        "nodegraph_bcsr",
     ],
     meta_fields=["focus", "dim_node_label"],
 )
@@ -86,6 +88,8 @@ class GraphBatch:
     target_mask: jax.Array
     sample_weight: jax.Array
     type_mask: Optional[jax.Array]
+    bcsr: Optional[object]  # BcsrMatrix when block-sparse aggregation applies
+    nodegraph_bcsr: Optional[object]  # BcsrMatrix (N x G) for graph readout
     focus: str
     dim_node_label: Tuple[int, ...]
 
@@ -123,6 +127,29 @@ class GraphBatch:
 
     def replace(self, **kwargs) -> "GraphBatch":
         return dataclasses.replace(self, **kwargs)
+
+    def aggregate(self, state: jax.Array) -> jax.Array:
+        """``Adjacencyᵀ·state`` (incoming-message aggregation) — the hot op of
+        the convergence loop.  Uses the MXU block-sparse path when the batch
+        carries a BCSR operator, the edge-list segment-sum otherwise."""
+        if self.bcsr is not None:
+            from gnnkeras_tpu.ops.bcsr import bcsr_aggregate
+
+            return bcsr_aggregate(state, self.bcsr)
+        from gnnkeras_tpu.ops.segment import aggregate_neighbors
+
+        return aggregate_neighbors(state, self.arc_src, self.arc_dst, self.arcnode_weight, self.num_nodes)
+
+    def readout(self, node_out: jax.Array) -> jax.Array:
+        """``NodeGraphᵀ·out`` per-graph readout (reference GNN.py:345), via
+        the rectangular BCSR operator when available."""
+        if self.nodegraph_bcsr is not None:
+            from gnnkeras_tpu.ops.bcsr import bcsr_aggregate
+
+            return bcsr_aggregate(node_out, self.nodegraph_bcsr)[: self.num_graphs]
+        from gnnkeras_tpu.ops.segment import graph_readout
+
+        return graph_readout(node_out, self.graph_of_node, self.nodegraph_weight, self.num_graphs)
 
 
 def _scatter_targets(
@@ -169,6 +196,8 @@ def from_graph_object(
     pad_arcs: Optional[int] = None,
     pad_graphs: Optional[int] = None,
     set_mask_override: Optional[np.ndarray] = None,
+    dense_blocks: bool = True,
+    agg_dtype: Optional[str] = None,
 ) -> GraphBatch:
     """Convert a (possibly merged) host graph into a padded device batch.
 
@@ -177,9 +206,11 @@ def from_graph_object(
     (reference GraphSequencers.py:162-166,194-196)."""
     n, a = g.nodes.shape[0], g.arcs.shape[0]
     n_graphs = max(g.num_graphs, 1)
-    N = pad_nodes if pad_nodes is not None else _round_up(max(n, 1), 8)
+    # 128-aligned node padding enables the BCSR/MXU aggregation path.
+    N = pad_nodes if pad_nodes is not None else _round_up(max(n, 1), 128 if dense_blocks else 8)
     A = pad_arcs if pad_arcs is not None else _round_up(max(a, 1), 8)
     G = pad_graphs if pad_graphs is not None else _round_up(n_graphs, 8)
+    G_blocks = _round_up(G, 128)  # padded column space for the readout BCSR
     if N < n or A < a or G < n_graphs:
         raise ValueError(f"padding ({N},{A},{G}) smaller than graph ({n},{a},{n_graphs})")
 
@@ -228,6 +259,23 @@ def from_graph_object(
         type_mask = np.zeros((N, g.num_types), dtype=bool)
         type_mask[:n] = g.type_mask
 
+    bcsr = None
+    nodegraph_bcsr = None
+    if dense_blocks:
+        from gnnkeras_tpu.ops.bcsr import TILE, build_bcsr
+
+        if N % TILE == 0:
+            bcsr = build_bcsr(src[:a], dst[:a], w[:a], N)
+            if g.focus == "g" and n > 0:
+                nodegraph_bcsr = build_bcsr(
+                    np.arange(n), g.graph_of_node, g.nodegraph_weight, N, G_blocks
+                )
+            if agg_dtype is not None:
+                from gnnkeras_tpu.ops.bcsr import cast_bcsr
+
+                bcsr = cast_bcsr(bcsr, jnp.dtype(agg_dtype))
+                nodegraph_bcsr = cast_bcsr(nodegraph_bcsr, jnp.dtype(agg_dtype))
+
     return GraphBatch(
         nodes=jnp.asarray(nodes),
         arc_src=jnp.asarray(src),
@@ -245,6 +293,8 @@ def from_graph_object(
         target_mask=jnp.asarray(target_mask),
         sample_weight=jnp.asarray(sample_weight),
         type_mask=None if type_mask is None else jnp.asarray(type_mask),
+        bcsr=bcsr,
+        nodegraph_bcsr=nodegraph_bcsr,
         focus=g.focus,
         dim_node_label=dims,
     )

@@ -114,9 +114,10 @@ class CompositeGNNnodeBased(GNNnodeBased):
         state_width = self.state_vect_dim or batch.nodes.shape[1]
 
         def transition(state, bn_states, rngs_t):
-            aggregated_states = segment_sum(
-                state[batch.arc_src] * batch.arcnode_weight[:, None], batch.arc_dst, n
-            )
+            # aggregated_states uses the plain (un-gated) adjacency weights,
+            # exactly as the reference does (CompositeGNN.py:219) — the BCSR
+            # MXU path applies here too.
+            aggregated_states = batch.aggregate(state)
             new_state = jnp.zeros((n, state_width), dtype=floatx())
             new_bns = []
             for t, (net, d_t) in enumerate(zip(self.net_state, batch.dim_node_label)):
@@ -254,5 +255,5 @@ class CompositeGNNgraphBased(CompositeGNNnodeBased):
 
     def apply_output(self, variables, state, batch, *, training, rng):
         out_nodes, _, new_bn = self.node_level_output(variables, state, batch, training=training, rng=rng)
-        out_graph = graph_readout(out_nodes, batch.graph_of_node, batch.nodegraph_weight, batch.num_graphs)
+        out_graph = batch.readout(out_nodes)
         return out_graph, batch.graph_mask, new_bn

@@ -107,9 +107,7 @@ class GNNnodeBased(GraphModel):
             if rng is None:
                 raise ValueError("state_vect_dim > 0 requires an rng for the random state init")
             state = STATE_INIT_STDDEV * jax.random.normal(rng, (n, self.state_vect_dim), dtype=floatx())
-            aggregated_nodes = aggregate_neighbors(
-                batch.nodes, batch.arc_src, batch.arc_dst, batch.arcnode_weight, n
-            )
+            aggregated_nodes = batch.aggregate(batch.nodes)
         else:
             state = batch.nodes
             aggregated_nodes = jnp.zeros((n, 0), dtype=floatx())
@@ -159,9 +157,7 @@ class GNNnodeBased(GraphModel):
             step_rngs = jnp.zeros((n_steps,) + jax.random.PRNGKey(0).shape, dtype=jax.random.PRNGKey(0).dtype)
 
         def transition(state, bn_state, step_rng):
-            aggregated_states = aggregate_neighbors(
-                state, batch.arc_src, batch.arc_dst, batch.arcnode_weight, n
-            )
+            aggregated_states = batch.aggregate(state)
             inp = self._transition_input(state, batch, aggregated_states, aggregated_nodes, aggregated_arcs)
             new_state, new_bn = self.net_state.apply(
                 {"params": net_state_params, "state": bn_state},
@@ -366,5 +362,5 @@ class GNNgraphBased(GNNnodeBased):
 
     def apply_output(self, variables, state, batch, *, training, rng):
         out_nodes, _, new_bn = self.node_level_output(variables, state, batch, training=training, rng=rng)
-        out_graph = graph_readout(out_nodes, batch.graph_of_node, batch.nodegraph_weight, batch.num_graphs)
+        out_graph = batch.readout(out_nodes)
         return out_graph, batch.graph_mask, new_bn

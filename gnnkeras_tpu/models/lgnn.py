@@ -166,9 +166,7 @@ class LGNN(GraphModel):
                 )
                 st_new = {"net_state": bn_state, "net_output": bn_out}
                 if self._is_graph:
-                    outs.append(
-                        graph_readout(out, cur.graph_of_node, cur.nodegraph_weight, cur.num_graphs)
-                    )
+                    outs.append(cur.readout(out))
                 else:
                     outs.append(out)
                 cur = self.update_graph(batch0, state, out, row_mask)

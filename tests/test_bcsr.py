@@ -1,0 +1,99 @@
+"""Block-sparse aggregation must equal the edge-list segment-sum path."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnnkeras_tpu.graph.batch import from_graph_object
+from gnnkeras_tpu.graph.graph import GraphObject
+from gnnkeras_tpu.ops.bcsr import BcsrMatrix, bcsr_aggregate, build_bcsr, transpose_bcsr
+from gnnkeras_tpu.ops.segment import aggregate_neighbors
+
+
+def merged_batchlike(seed=0, n_graphs=20, mode="average"):
+    rng = np.random.default_rng(seed)
+    graphs = []
+    for _ in range(n_graphs):
+        n = int(rng.integers(5, 40))
+        a = int(rng.integers(10, 80))
+        nodes = rng.normal(size=(n, 6))
+        arcs = np.concatenate([rng.integers(0, n, (a, 2)), rng.normal(size=(a, 2))], axis=1)
+        graphs.append(GraphObject(nodes=nodes, arcs=arcs, targets=np.ones((n, 2)), focus="n", aggregation_mode=mode))
+    return GraphObject.merge(graphs, focus="n", aggregation_mode=mode)
+
+
+class TestBcsr:
+    @pytest.mark.parametrize("mode", ["sum", "average", "normalized"])
+    def test_matches_edge_path(self, mode):
+        g = merged_batchlike(seed=1, mode=mode)
+        n_pad = ((g.nodes.shape[0] + 127) // 128) * 128
+        a_pad = ((g.arcs.shape[0] + 127) // 128) * 128
+        batch = from_graph_object(g, pad_nodes=n_pad, pad_arcs=a_pad)
+        assert batch.bcsr is not None, "merged batch should be block-thin"
+
+        rng = np.random.default_rng(0)
+        state = jnp.asarray(rng.normal(size=(n_pad, 6)).astype(np.float32))
+        ours = batch.aggregate(state)
+        ref = aggregate_neighbors(state, batch.arc_src, batch.arc_dst, batch.arcnode_weight, n_pad)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    def test_multi_edges_accumulate(self):
+        # two arcs with same (src, dst) but different labels must both count
+        nodes = np.ones((4, 2))
+        arcs = np.array([[0, 1, 1.0], [0, 1, 2.0], [2, 1, 0.5]])
+        g = GraphObject(nodes=nodes, arcs=arcs, targets=np.ones((4, 1)), focus="n", aggregation_mode="sum")
+        m = build_bcsr(g.arcs[:, 0].astype(int), g.arcs[:, 1].astype(int), g.arcnode_weight, 128)
+        state = jnp.asarray(np.eye(128, 3, dtype=np.float32))
+        agg = bcsr_aggregate(state, m)
+        # node 1 receives 2 units from node 0 and 1 from node 2
+        np.testing.assert_allclose(np.asarray(agg)[1], [2.0, 0.0, 1.0])
+
+    def test_band_factor_rejects_dense(self):
+        # a random dense graph over many tiles should be rejected
+        rng = np.random.default_rng(2)
+        n = 128 * 40
+        a = 200_000
+        src = rng.integers(0, n, a)
+        dst = rng.integers(0, n, a)
+        w = np.ones(a, dtype=np.float32)
+        assert build_bcsr(src, dst, w, n) is None
+
+    def test_transpose_roundtrip(self):
+        g = merged_batchlike(seed=3)
+        n_pad = ((g.nodes.shape[0] + 127) // 128) * 128
+        m = build_bcsr(g.arcs[:, 0].astype(int), g.arcs[:, 1].astype(int), g.arcnode_weight, n_pad)
+        mt = transpose_bcsr(m)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(n_pad, 4)).astype(np.float32))
+        # (A^T)^T x == A^T x via double transpose
+        mtt = transpose_bcsr(mt)
+        np.testing.assert_allclose(
+            np.asarray(bcsr_aggregate(x, m)), np.asarray(bcsr_aggregate(x, mtt)), rtol=1e-5
+        )
+
+    def test_gnn_forward_same_with_and_without_blocks(self):
+        from gnnkeras_tpu.models.gnn import GNNnodeBased
+        from gnnkeras_tpu.models.mlp import MLP, get_inout_dims
+
+        g = merged_batchlike(seed=4)
+        n_pad = ((g.nodes.shape[0] + 127) // 128) * 128
+        a_pad = ((g.arcs.shape[0] + 127) // 128) * 128
+        b_blocks = from_graph_object(g, n_pad, a_pad, dense_blocks=True)
+        b_edges = from_graph_object(g, n_pad, a_pad, dense_blocks=False)
+        assert b_blocks.bcsr is not None and b_edges.bcsr is None
+
+        inp_s, layers_s = get_inout_dims("state", 6, 2, 2, "n", 0)
+        inp_o, layers_o = get_inout_dims("output", 6, 2, 2, "n", 0)
+        gnn = GNNnodeBased(
+            MLP(input_dim=inp_s[0], layers=layers_s, activations="selu",
+                kernel_initializer="lecun_normal", bias_initializer="lecun_normal"),
+            MLP(input_dim=inp_o[0], layers=layers_o, activations="softmax",
+                kernel_initializer="glorot_normal", bias_initializer="glorot_normal"),
+            0, 6, 0.01,
+        )
+        gnn.build(seed=0)
+        k1, s1, o1, _, _ = gnn.forward(gnn.variables, b_blocks, training=True)
+        k2, s2, o2, _, _ = gnn.forward(gnn.variables, b_edges, training=True)
+        assert float(k1) == float(k2)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-4, atol=1e-5)

@@ -1,0 +1,147 @@
+"""Training runtime: masked Keras-style losses, metrics, callbacks,
+checkpoint/resume, and the typed config factory."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnnkeras_tpu.config import GNNConfig
+from gnnkeras_tpu.data.sequencers import MultiGraphSequencer
+from gnnkeras_tpu.graph.graph import GraphObject
+from gnnkeras_tpu.models.gnn import GNNgraphBased
+from gnnkeras_tpu.models.mlp import MLP, get_inout_dims
+from gnnkeras_tpu.training import losses
+from gnnkeras_tpu.training.callbacks import EarlyStopping
+from gnnkeras_tpu.training.checkpoint import CheckpointCallback, CheckpointManager
+
+
+def toy_graphs(n_graphs=12, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n_graphs):
+        n, a = int(rng.integers(5, 10)), int(rng.integers(8, 16))
+        nodes = rng.normal(size=(n, 3))
+        arcs = np.concatenate([rng.integers(0, n, (a, 2)), rng.normal(size=(a, 2))], axis=1)
+        t = np.zeros((1, 2))
+        t[0, rng.integers(2)] = 1
+        out.append(GraphObject(nodes=nodes, arcs=arcs, targets=t, focus="g", aggregation_mode="average"))
+    return out
+
+
+def toy_model(max_iter=3):
+    inp_s, layers_s = get_inout_dims("state", 3, 2, 2, "g", 0)
+    inp_o, layers_o = get_inout_dims("output", 3, 2, 2, "g", 0)
+    gnn = GNNgraphBased(
+        MLP(input_dim=inp_s[0], layers=layers_s, activations="selu",
+            kernel_initializer="lecun_normal", bias_initializer="lecun_normal"),
+        MLP(input_dim=inp_o[0], layers=layers_o, activations="softmax",
+            kernel_initializer="glorot_normal", bias_initializer="glorot_normal"),
+        0, max_iter, 0.01,
+    )
+    gnn.compile(optimizer="adam:0.01", loss="categorical_crossentropy", metrics=["accuracy"])
+    return gnn
+
+
+class TestLosses:
+    def test_categorical_crossentropy_matches_keras_formula(self):
+        y = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+        p = jnp.asarray([[0.7, 0.3], [0.2, 0.8]])
+        got = losses.categorical_crossentropy(y, p)
+        np.testing.assert_allclose(np.asarray(got), [-np.log(0.7), -np.log(0.8)], rtol=1e-6)
+
+    def test_masked_mean_ignores_padding(self):
+        per_row = jnp.asarray([1.0, 2.0, 99.0])
+        mask = jnp.asarray([True, True, False])
+        sw = jnp.ones(3)
+        got = losses.masked_mean(per_row, mask, sw)
+        assert float(got) == pytest.approx(1.5)
+
+    def test_sample_weight_scales(self):
+        per_row = jnp.asarray([1.0, 2.0])
+        mask = jnp.asarray([True, True])
+        sw = jnp.asarray([2.0, 0.0])
+        got = losses.masked_mean(per_row, mask, sw)
+        assert float(got) == pytest.approx(1.0)  # (1*2 + 2*0) / 2 rows
+
+
+class TestCallbacks:
+    def test_early_stopping_stops(self):
+        gnn = toy_model()
+        seq = MultiGraphSequencer(toy_graphs(), "g", "average", batch_size=6, shuffle=False, pad_multiple=16)
+        es = EarlyStopping(monitor="loss", patience=0, min_delta=10.0)  # impossible improvement
+        h = gnn.fit(seq, epochs=10, callbacks=[es], verbose=0)
+        assert len(h.history["loss"]) < 10
+
+    def test_restore_best_weights(self):
+        gnn = toy_model()
+        seq = MultiGraphSequencer(toy_graphs(), "g", "average", batch_size=6, shuffle=False, pad_multiple=16)
+        es = EarlyStopping(monitor="loss", patience=1, min_delta=10.0, restore_best_weights=True)
+        gnn.fit(seq, epochs=5, callbacks=[es], verbose=0)
+        assert es._best_vars is not None
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        gnn = toy_model()
+        seq = MultiGraphSequencer(toy_graphs(), "g", "average", batch_size=6, shuffle=False, pad_multiple=16)
+        gnn.fit(seq, epochs=2, verbose=0)
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(1, gnn, extra={"epoch": 1})
+
+        gnn2 = toy_model()
+        gnn2.build()
+        extra = mgr.restore(gnn2)
+        assert extra["epoch"] == 1
+        for a, b in zip(
+            jax.tree_util.tree_leaves(gnn.variables), jax.tree_util.tree_leaves(gnn2.variables)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        # optimizer state restored too → next steps identical
+        e1 = gnn.evaluate(seq)
+        e2 = gnn2.evaluate(seq)
+        assert e1["loss"] == pytest.approx(e2["loss"], rel=1e-6)
+        mgr.close()
+
+    def test_checkpoint_callback(self, tmp_path):
+        gnn = toy_model()
+        seq = MultiGraphSequencer(toy_graphs(), "g", "average", batch_size=6, shuffle=False, pad_multiple=16)
+        cb = CheckpointCallback(str(tmp_path / "ckpt"), every_epochs=1)
+        gnn.fit(seq, epochs=2, callbacks=[cb], verbose=0)
+        assert cb.manager.latest_step() == 1
+        cb.manager.close()
+
+
+class TestConfig:
+    def test_json_roundtrip(self):
+        cfg = GNNConfig(layers=3, training_mode="serial", dim_state=4)
+        cfg2 = GNNConfig.from_json(cfg.to_json())
+        assert cfg2 == cfg
+
+    def test_builds_single_gnn(self):
+        cfg = GNNConfig(layers=1, focus="g", epochs=1, batch_size=6)
+        model = cfg.build_model(3, 2, 2)
+        assert isinstance(model, GNNgraphBased)
+        seq = cfg.build_sequencer(toy_graphs())
+        h = model.fit(seq, epochs=1, verbose=0)
+        assert "loss" in h.history
+
+    def test_builds_lgnn(self):
+        from gnnkeras_tpu.models.lgnn import LGNN
+
+        cfg = GNNConfig(layers=2, focus="g", training_mode="residual")
+        model = cfg.build_model(3, 2, 2)
+        assert isinstance(model, LGNN)
+        assert model.LAYERS == 2
+
+    def test_builds_composite(self):
+        from gnnkeras_tpu.models.composite import CompositeGNNgraphBased
+
+        cfg = GNNConfig(layers=1, focus="g", dim_state=5)
+        model = cfg.build_model((3, 4), 2, 2)
+        assert isinstance(model, CompositeGNNgraphBased)
+        assert len(model.net_state) == 2
+
+    def test_rejects_bad_focus(self):
+        with pytest.raises(AssertionError):
+            GNNConfig(focus="x")
