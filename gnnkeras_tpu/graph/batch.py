@@ -130,11 +130,16 @@ class GraphBatch:
 
     def aggregate(self, state: jax.Array) -> jax.Array:
         """``Adjacencyᵀ·state`` (incoming-message aggregation) — the hot op of
-        the convergence loop.  Uses the MXU block-sparse path when the batch
-        carries a BCSR operator, the edge-list segment-sum otherwise."""
+        the convergence loop.  Uses the fused Pallas kernel or the MXU
+        block-sparse einsum when the batch carries a BCSR operator, the
+        edge-list segment-sum otherwise."""
         if self.bcsr is not None:
-            from gnnkeras_tpu.ops.bcsr import bcsr_aggregate
+            from gnnkeras_tpu.ops.bcsr import BcsrMatrix, bcsr_aggregate
 
+            if not isinstance(self.bcsr, BcsrMatrix):  # PallasBcsr
+                from gnnkeras_tpu.ops.spmm import pallas_bcsr_aggregate
+
+                return pallas_bcsr_aggregate(state, self.bcsr)
             return bcsr_aggregate(state, self.bcsr)
         from gnnkeras_tpu.ops.segment import aggregate_neighbors
 
@@ -198,6 +203,7 @@ def from_graph_object(
     set_mask_override: Optional[np.ndarray] = None,
     dense_blocks: bool = True,
     agg_dtype: Optional[str] = None,
+    pallas: bool = False,
 ) -> GraphBatch:
     """Convert a (possibly merged) host graph into a padded device batch.
 
@@ -275,6 +281,10 @@ def from_graph_object(
 
                 bcsr = cast_bcsr(bcsr, jnp.dtype(agg_dtype))
                 nodegraph_bcsr = cast_bcsr(nodegraph_bcsr, jnp.dtype(agg_dtype))
+            if pallas and bcsr is not None:
+                from gnnkeras_tpu.ops.spmm import prepare_pallas_bcsr
+
+                bcsr = prepare_pallas_bcsr(bcsr)
 
     return GraphBatch(
         nodes=jnp.asarray(nodes),
