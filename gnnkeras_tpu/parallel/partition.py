@@ -54,6 +54,9 @@ def _round_up(x: int, m: int) -> int:
         "targets",
         "target_mask",
         "sample_weight",
+        "publish_local",
+        "publish_mask",
+        "arc_src_halo",
     ],
     meta_fields=["focus", "dim_node_label", "n_parts", "nodes_per_part"],
 )
@@ -78,15 +81,26 @@ class PartitionedGraph:
     targets: jax.Array  # (D, R, T)
     target_mask: jax.Array  # (D, R)
     sample_weight: jax.Array  # (D, R)
+    # halo exchange (None → full all_gather transport):
+    publish_local: Optional[jax.Array]  # (D, H) local rows each device publishes
+    publish_mask: Optional[jax.Array]  # (D, H)
+    arc_src_halo: Optional[jax.Array]  # (D, Ap) index into [local | gathered published]
     focus: str
     dim_node_label: Tuple[int, ...]
     n_parts: int
     nodes_per_part: int
 
 
-def partition_graph(g: GraphObject, n_parts: int, pad_multiple: int = 8) -> PartitionedGraph:
+def partition_graph(
+    g: GraphObject, n_parts: int, pad_multiple: int = 8, halo: bool = True
+) -> PartitionedGraph:
     """Contiguous node-range partition; edges assigned to the destination's
-    part (incoming aggregation is local)."""
+    part (incoming aggregation is local).
+
+    With ``halo=True`` each device publishes only the node rows some other
+    device actually reads (its halo/boundary set); the per-iteration exchange
+    then moves H·d instead of N·d values.  Falls back to the full all_gather
+    when the halo would not be smaller."""
     if g.focus == "g":
         raise NotImplementedError("partitioned training supports node/arc focus (one large graph)")
     n = g.nodes.shape[0]
@@ -151,6 +165,38 @@ def partition_graph(g: GraphObject, n_parts: int, pad_multiple: int = 8) -> Part
             sample_weight[p, : len(e)] = full_sw[e]
             target_mask[p, : len(e)] = np.logical_and(g.set_mask[e], g.output_mask[e])
 
+    publish_local = publish_mask = arc_src_halo = None
+    if halo:
+        # per-owner q: the union of q-owned src rows read by OTHER parts.
+        needed_by_owner = [set() for _ in range(n_parts)]
+        for p in range(n_parts):
+            e = edges_per_part[p]
+            remote = e[src_part[e] != p]
+            for s_orig in np.unique(src[remote]):
+                needed_by_owner[int(np.minimum(s_orig // chunk, n_parts - 1))].add(int(s_orig))
+        h = max((len(x) for x in needed_by_owner), default=0)
+        h_pad = _round_up(max(h, 1), pad_multiple)
+        if h_pad < np_pad:  # otherwise the full all_gather is cheaper
+            publish_local = np.zeros((n_parts, h_pad), np.int32)
+            publish_mask = np.zeros((n_parts, h_pad), bool)
+            global_to_slot = {}
+            for q in range(n_parts):
+                rows = sorted(needed_by_owner[q])
+                for j, s_orig in enumerate(rows):
+                    publish_local[q, j] = s_orig - q * chunk
+                    publish_mask[q, j] = True
+                    global_to_slot[s_orig] = q * h_pad + j
+            arc_src_halo = np.zeros((n_parts, ap_pad), np.int32)
+            for p in range(n_parts):
+                e = edges_per_part[p]
+                local = src_part[e] == p
+                idx = np.zeros(len(e), np.int64)
+                idx[local] = src[e][local] - p * chunk
+                idx[~local] = np_pad + np.array(
+                    [global_to_slot[int(x)] for x in src[e][~local]], dtype=np.int64
+                )
+                arc_src_halo[p, : len(e)] = idx
+
     return PartitionedGraph(
         nodes=jnp.asarray(nodes),
         node_mask=jnp.asarray(node_mask),
@@ -164,6 +210,9 @@ def partition_graph(g: GraphObject, n_parts: int, pad_multiple: int = 8) -> Part
         targets=jnp.asarray(targets),
         target_mask=jnp.asarray(target_mask),
         sample_weight=jnp.asarray(sample_weight),
+        publish_local=None if publish_local is None else jnp.asarray(publish_local),
+        publish_mask=None if publish_mask is None else jnp.asarray(publish_mask),
+        arc_src_halo=None if arc_src_halo is None else jnp.asarray(arc_src_halo),
         focus=g.focus,
         dim_node_label=tuple(int(d) for d in g.DIM_NODE_LABEL),
         n_parts=n_parts,
@@ -193,6 +242,23 @@ class PartitionedGNN:
         for _ in range(strip_axes):
             pg = jax.tree_util.tree_map(lambda x: x[0], pg)
         np_local = pg.nodes.shape[0]
+        use_halo = pg.publish_local is not None
+
+        def exchange(x):
+            """Extend local rows with the remote rows this device's edges
+            read: halo-published boundary rows when available (H·d per device
+            over ICI), the full state otherwise (N·d)."""
+            if use_halo:
+                published = x[pg.publish_local] * pg.publish_mask[:, None].astype(x.dtype)
+                gathered = jax.lax.all_gather(published, axis, tiled=True)
+                return jnp.concatenate([x, gathered], axis=0)
+            return jax.lax.all_gather(x, axis, tiled=True)
+
+        src_ext = pg.arc_src_halo if use_halo else pg.arc_src_global
+        if use_halo:
+            # in halo mode local rows index the local block directly; in
+            # all_gather mode they index the tiled global buffer.
+            pass
 
         agg_arcs = segment_sum(pg.arc_label * pg.arc_weight[:, None], pg.arc_dst_local, np_local)
 
@@ -201,9 +267,9 @@ class PartitionedGNN:
             state0 = 0.1 * jax.random.normal(
                 jax.random.fold_in(rng, my), (np_local, gnn.state_vect_dim), dtype=floatx()
             )
-            full_nodes = jax.lax.all_gather(pg.nodes, axis, tiled=True)
+            ext_nodes = exchange(pg.nodes)
             agg_nodes = segment_sum(
-                full_nodes[pg.arc_src_global] * pg.arc_weight[:, None], pg.arc_dst_local, np_local
+                ext_nodes[src_ext] * pg.arc_weight[:, None], pg.arc_dst_local, np_local
             )
         else:
             state0 = pg.nodes
@@ -221,9 +287,9 @@ class PartitionedGNN:
             return jax.lax.pmax(local_any.astype(jnp.int32), axis) > 0
 
         def transition(state, bn_state, step_rng):
-            full_state = jax.lax.all_gather(state, axis, tiled=True)
+            ext_state = exchange(state)
             agg_states = segment_sum(
-                full_state[pg.arc_src_global] * pg.arc_weight[:, None], pg.arc_dst_local, np_local
+                ext_state[src_ext] * pg.arc_weight[:, None], pg.arc_dst_local, np_local
             )
             components = [state]
             if gnn.state_vect_dim > 0:
@@ -279,10 +345,9 @@ class PartitionedGNN:
             state_c = (
                 jnp.concatenate([state, pg.nodes], axis=1) if gnn.state_vect_dim else state
             )
-            full_state_c = jax.lax.all_gather(state_c, axis, tiled=True)
-            dst_global = jax.lax.axis_index(axis) * np_local + pg.arc_dst_local
+            ext_state_c = exchange(state_c)
             x = jnp.concatenate(
-                [full_state_c[pg.arc_src_global], full_state_c[dst_global], pg.arc_label], axis=1
+                [ext_state_c[src_ext], state_c[pg.arc_dst_local], pg.arc_label], axis=1
             )
         else:
             x = jnp.concatenate([state, pg.nodes], axis=1) if gnn.state_vect_dim else state

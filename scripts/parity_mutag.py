@@ -126,9 +126,6 @@ def main():
     set_ref_weights(ref_out, net_out, {"params": init_vars["params"]["net_output"], "state": init_vars["state"]["net_output"]})
 
     ref_gnn = RefGNN(ref_st, ref_out, 0, 5, 0.01)
-    ref_gnn.compile(optimizer=tf.optimizers.Adam(learning_rate=0.01),
-                    loss=tf.keras.losses.categorical_crossentropy,
-                    average_st_grads=False, metrics=["accuracy"], run_eagerly=True)
 
     def to_ref(g):
         return RefGO(nodes=g.nodes.copy(), arcs=g.arcs.copy(), targets=g.targets.copy(),
@@ -137,11 +134,47 @@ def main():
     ref_tr = RefSeq([to_ref(g) for g in gTr], "g", "average", 1000, shuffle=False)
     ref_te = RefSeq([to_ref(g) for g in gTe], "g", "average", 1000, shuffle=False)
 
+    # Keras 3 cannot drive the reference's Sequence protocol (nested tuple
+    # signatures) nor its train_step (compiled_loss was removed), so this
+    # reproduces the reference's own train_step body verbatim
+    # (GNN/Models/GNN.py:277-298): eager tape over Loop, mean CCE, Adam.
+    optimizer = tf.optimizers.Adam(learning_rate=0.01)
+    cce = tf.keras.losses.categorical_crossentropy
+
+    def ref_train_epoch():
+        losses, hits, count = [], 0, 0
+        for i in range(len(ref_tr)):
+            x, y, sw = ref_tr[i]
+            inputs = ref_gnn.process_inputs(x)
+            with tf.GradientTape() as tape:
+                k, state, y_pred = ref_gnn.Loop(*inputs, training=True)
+                loss = tf.reduce_mean(cce(y, y_pred))
+            wS, wO = ref_gnn.net_state.trainable_variables, ref_gnn.net_output.trainable_variables
+            dwbS, dwbO = tape.gradient(loss, [wS, wO])
+            optimizer.apply_gradients(zip(dwbS + dwbO, wS + wO))
+            losses.append(float(loss))
+            hits += int(np.sum(np.argmax(y, -1) == np.argmax(y_pred.numpy(), -1)))
+            count += y.shape[0]
+        return float(np.mean(losses)), hits / count
+
+    def ref_eval_seq(seq):
+        losses, hits, count = [], 0, 0
+        for i in range(len(seq)):
+            x, y, sw = seq[i]
+            inputs = ref_gnn.process_inputs(x)
+            y_pred = ref_gnn.Loop(*inputs, training=False)[2]
+            losses.append(float(tf.reduce_mean(cce(y, y_pred))))
+            hits += int(np.sum(np.argmax(y, -1) == np.argmax(y_pred.numpy(), -1)))
+            count += y.shape[0]
+        return float(np.mean(losses)), hits / count
+
     t0 = time.time()
-    ref_gnn.fit(ref_tr, epochs=args.epochs, verbose=1)
+    for epoch in range(args.epochs):
+        tr_loss, tr_acc = ref_train_epoch()
+        print(f"[ref] Epoch {epoch + 1}/{args.epochs} loss: {tr_loss:.4f} - accuracy: {tr_acc:.4f}")
     ref_time = time.time() - t0
-    ref_eval = ref_gnn.evaluate(ref_te, verbose=0, return_dict=True)
-    print(f"REFERENCE: test acc {ref_eval['accuracy']:.4f}  loss {ref_eval['loss']:.4f}  ({ref_time:.1f}s)")
+    ref_loss, ref_acc = ref_eval_seq(ref_te)
+    print(f"REFERENCE: test acc {ref_acc:.4f}  loss {ref_loss:.4f}  ({ref_time:.1f}s)")
     print(f"\nspeedup (wall-clock fit): {ref_time / ours_time:.1f}x")
 
 

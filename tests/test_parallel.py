@@ -160,3 +160,71 @@ class TestDataParallel:
         stacked = stack_batches([b, b])
         assert stacked.nodes.shape[0] == 2
         assert stacked.focus == "n"
+
+
+class TestHaloExchange:
+    def banded_graph(self, seed=0, n=512, per_node=4, band=6, focus="n"):
+        """Edges stay within a narrow band of the node ordering, so each
+        partition's halo is a small boundary set and the halo transport
+        engages (publish buffers < full partition size)."""
+        rng = np.random.default_rng(seed)
+        src = np.repeat(np.arange(n), per_node)
+        dst = (src + rng.integers(-band, band + 1, len(src))) % n
+        arcs = np.concatenate(
+            [np.stack([src, dst], 1), rng.normal(size=(len(src), 2))], axis=1
+        )
+        nodes = rng.normal(size=(n, 3))
+        g_tmp = GraphObject(nodes=nodes, arcs=arcs, targets=np.ones((n, 2)), focus="n")
+        rows = n if focus == "n" else g_tmp.arcs.shape[0]
+        return GraphObject(nodes=nodes, arcs=g_tmp.arcs, targets=rng.normal(size=(rows, 2)),
+                           focus=focus, aggregation_mode="average")
+
+    def test_halo_engages_and_matches_single_device(self, mesh8):
+        g = self.banded_graph()
+        pg = partition_graph(g, 8)
+        assert pg.publish_local is not None, "banded graph should produce a small halo"
+        assert pg.publish_local.shape[1] < pg.nodes_per_part
+
+        gnn = build_gnn(GNNnodeBased, "n")
+        batch = from_graph_object(g)
+        k_ref, state_ref, _ = gnn.unfold(gnn.variables, batch, training=True)
+
+        pgnn = PartitionedGNN(gnn, mesh8)
+        k, state, out, _ = pgnn.forward(pg, training=True)
+        assert float(k) == float(k_ref)
+        got = np.asarray(state).reshape(-1, state.shape[-1])
+        mask = np.asarray(pg.node_mask).reshape(-1)
+        np.testing.assert_allclose(
+            got[mask], np.asarray(state_ref)[: g.nodes.shape[0]], rtol=2e-4, atol=1e-5
+        )
+
+    def test_halo_matches_allgather_mode(self, mesh8):
+        g = self.banded_graph(seed=3)
+        gnn = build_gnn(GNNnodeBased, "n", bn=True)
+        pg_halo = partition_graph(g, 8, halo=True)
+        pg_full = partition_graph(g, 8, halo=False)
+        assert pg_halo.publish_local is not None and pg_full.publish_local is None
+        pgnn = PartitionedGNN(gnn, mesh8)
+        _, s1, o1, _ = pgnn.forward(pg_halo, training=False)
+        _, s2, o2, _ = pgnn.forward(pg_full, training=False)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-5, atol=1e-6)
+
+    def test_halo_arc_focus(self, mesh8):
+        g = self.banded_graph(seed=5, focus="a")
+        gnn = build_gnn(GNNarcBased, "a")
+        batch = from_graph_object(g)
+        _, _, out_ref, _, _ = gnn.forward(gnn.variables, batch, training=False)
+
+        pg = partition_graph(g, 8)
+        assert pg.publish_local is not None
+        pgnn = PartitionedGNN(gnn, mesh8)
+        _, _, out, _ = pgnn.forward(pg, training=False)
+
+        dst = g.arcs[:, 1].astype(int)
+        chunk = -(-g.nodes.shape[0] // 8)
+        part_of = np.minimum(dst // chunk, 7)
+        order = np.concatenate([np.flatnonzero(part_of == p) for p in range(8)])
+        got = np.asarray(out).reshape(-1, out.shape[-1])
+        mask = np.asarray(pg.arc_mask).reshape(-1)
+        np.testing.assert_allclose(got[mask], np.asarray(out_ref)[order], rtol=2e-4, atol=1e-5)
