@@ -1,0 +1,179 @@
+"""Model persistence roundtrips for every family + transductive sequencers +
+LGNN evaluate/predict."""
+
+import jax
+import numpy as np
+import pytest
+
+from gnnkeras_tpu.data.sequencers import CompositeMultiGraphSequencer, MultiGraphSequencer
+from gnnkeras_tpu.data.transductive import (
+    TransductiveMultiGraphSequencer,
+    TransductiveSingleGraphSequencer,
+    get_transduction,
+)
+from gnnkeras_tpu.graph.graph import CompositeGraphObject, GraphObject
+from gnnkeras_tpu.models.composite import CompositeGNNgraphBased
+from gnnkeras_tpu.models.gnn import GNNgraphBased, GNNnodeBased
+from gnnkeras_tpu.models.lgnn import LGNN, CompositeLGNN
+from gnnkeras_tpu.models.mlp import MLP, get_inout_dims
+
+
+def toy_graphs(n_graphs=10, seed=0, focus="g"):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n_graphs):
+        n, a = int(rng.integers(5, 10)), int(rng.integers(8, 16))
+        nodes = rng.normal(size=(n, 3))
+        arcs = np.concatenate([rng.integers(0, n, (a, 2)), rng.normal(size=(a, 2))], axis=1)
+        if focus == "g":
+            t = np.zeros((1, 2))
+            t[0, rng.integers(2)] = 1
+        else:
+            t = rng.normal(size=(n, 2))
+        out.append(GraphObject(nodes=nodes, arcs=arcs, targets=t, focus=focus, aggregation_mode="average"))
+    return out
+
+
+def homo_pair(focus="g", layer=0, dim_state=0):
+    inp_s, layers_s = get_inout_dims("state", 3, 2, 2, focus, dim_state, layer=layer, get_state=True, get_output=True)
+    inp_o, layers_o = get_inout_dims("output", 3, 2, 2, focus, dim_state, layer=layer, get_state=True, get_output=True)
+    st = MLP(input_dim=inp_s[0], layers=layers_s, activations="selu",
+             kernel_initializer="lecun_normal", bias_initializer="lecun_normal")
+    ot = MLP(input_dim=inp_o[0], layers=layers_o, activations="softmax",
+             kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+    return st, ot
+
+
+class TestModelPersistence:
+    def test_gnn_roundtrip(self, tmp_path):
+        st, ot = homo_pair()
+        gnn = GNNgraphBased(st, ot, 0, 3, 0.01)
+        gnn.compile(optimizer="adam:0.01", loss="categorical_crossentropy")
+        seq = MultiGraphSequencer(toy_graphs(), "g", "average", 5, shuffle=False, pad_multiple=16)
+        gnn.fit(seq, epochs=1, verbose=0)
+        gnn.save(str(tmp_path / "m"))
+
+        g2 = GNNgraphBased.load(str(tmp_path / "m"))
+        g2.compile(optimizer="adam:0.01", loss="categorical_crossentropy")
+        assert g2.max_iteration == 3
+        e1, e2 = gnn.evaluate(seq), g2.evaluate(seq)
+        assert e1["loss"] == pytest.approx(e2["loss"], rel=1e-6)
+
+    def test_lgnn_roundtrip(self, tmp_path):
+        gnns = [GNNgraphBased(*homo_pair(layer=i), 0, 2, 0.01) for i in range(2)]
+        lgnn = LGNN(gnns, True, True)
+        lgnn.compile(optimizer="adam:0.01", loss="categorical_crossentropy", training_mode="parallel")
+        seq = MultiGraphSequencer(toy_graphs(), "g", "average", 5, shuffle=False, pad_multiple=16)
+        lgnn.fit(seq, epochs=1, verbose=0)
+        lgnn.save(str(tmp_path / "l"))
+
+        l2 = LGNN.load(str(tmp_path / "l"))
+        l2.compile(optimizer="adam:0.01", loss="categorical_crossentropy", training_mode="parallel")
+        assert l2.LAYERS == 2 and l2.GNN_CLASS is GNNgraphBased
+        e1, e2 = lgnn.evaluate(seq), l2.evaluate(seq)
+        assert e1["loss"] == pytest.approx(e2["loss"], rel=1e-6)
+
+    def test_composite_roundtrip(self, tmp_path):
+        ds = 4
+        (inp_s,), layers_s = get_inout_dims("state", (3,), 2, 2, "g", ds)[0], get_inout_dims("state", (3,), 2, 2, "g", ds)[1]
+        st = [MLP(input_dim=inp_s, layers=layers_s, activations="selu",
+                  kernel_initializer="lecun_normal", bias_initializer="lecun_normal")]
+        ot = MLP(input_dim=(ds,), layers=[2], activations="softmax",
+                 kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+        cgnn = CompositeGNNgraphBased(st, ot, ds, 2, 0.01)
+        cgnn.build(seed=0)
+        cgnn.save(str(tmp_path / "c"))
+        c2 = CompositeGNNgraphBased.load(str(tmp_path / "c"))
+        assert len(c2.net_state) == 1 and c2.state_vect_dim == ds
+        for a, b in zip(jax.tree_util.tree_leaves(cgnn.variables), jax.tree_util.tree_leaves(c2.variables)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_copy_semantics(self):
+        st, ot = homo_pair()
+        gnn = GNNgraphBased(st, ot, 0, 3, 0.01)
+        gnn.build(seed=1)
+        clone = gnn.copy(copy_weights=True)
+        for a, b in zip(jax.tree_util.tree_leaves(gnn.variables), jax.tree_util.tree_leaves(clone.variables)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        fresh = gnn.copy(copy_weights=False)
+        assert fresh.variables is None
+
+
+class TestTransductive:
+    def test_get_transduction_masks(self):
+        g = toy_graphs(1, seed=3, focus="n")[0]
+        np.random.seed(0)
+        tg = get_transduction(g, transductive_rate=0.5, focus="n")
+        assert isinstance(tg, CompositeGraphObject)
+        # transductive nodes: type 1, supervision removed, target in features
+        trans = tg.type_mask[:, 1]
+        assert trans.sum() > 0
+        assert not np.any(tg.output_mask[trans])
+        assert tg.nodes.shape[1] == g.nodes.shape[1] + g.DIM_TARGET
+        # non-transductive nodes keep zero appended features
+        non_trans_rows = tg.nodes[~trans, g.nodes.shape[1]:]
+        np.testing.assert_allclose(non_trans_rows, 0.0)
+        # target count shrinks by the number of transductive nodes
+        assert tg.targets.shape[0] == g.targets.shape[0] - int(trans.sum())
+
+    def test_multi_sequencer_resamples(self):
+        graphs = toy_graphs(6, seed=4, focus="n")
+        seq = TransductiveMultiGraphSequencer(graphs, "n", "average", 0.5, batch_size=3,
+                                              shuffle=False, pad_multiple=16)
+        b0 = seq[0]
+        masks_before = np.asarray(seq.data[0].type_mask[:, 1]).copy()
+        np.random.seed(99)
+        seq.on_epoch_end()
+        masks_after = np.asarray(seq.data[0].type_mask[:, 1])
+        assert b0.type_mask is not None
+        assert masks_before.shape == masks_after.shape  # re-transduced, same graph
+
+    def test_single_sequencer(self):
+        g = toy_graphs(1, seed=5, focus="n")[0]
+        seq = TransductiveSingleGraphSequencer(g, "n", 0.3, batch_size=4, shuffle=False, pad_multiple=16)
+        assert len(seq) >= 1
+        batch = seq[0]
+        assert batch.type_mask.shape[1] == 2
+        seq.on_epoch_end()
+        assert len(seq) >= 1
+
+    def test_training_on_transductive(self):
+        graphs = toy_graphs(6, seed=6, focus="n")
+        seq = TransductiveMultiGraphSequencer(graphs, "n", "average", 0.5, batch_size=3,
+                                              shuffle=False, pad_multiple=16)
+        from gnnkeras_tpu.models.composite import CompositeGNNnodeBased
+
+        ds = 4
+        inp_s, layers_s = get_inout_dims("state", (3, 5), 2, 2, "n", ds)
+        nets = [MLP(input_dim=shape, layers=layers_s, activations="selu",
+                    kernel_initializer="lecun_normal", bias_initializer="lecun_normal")
+                for shape in inp_s]
+        ot = MLP(input_dim=(ds,), layers=[2], activations="softmax",
+                 kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+        cgnn = CompositeGNNnodeBased(nets, ot, ds, 2, 0.01)
+        cgnn.compile(optimizer="adam:0.01", loss="mse")
+        h = cgnn.fit(seq, epochs=2, verbose=0)
+        assert len(h.history["loss"]) == 2
+
+
+class TestLGNNEvalPredict:
+    def test_lgnn_predict_shape(self):
+        gnns = [GNNgraphBased(*homo_pair(layer=i), 0, 2, 0.01) for i in range(2)]
+        lgnn = LGNN(gnns, True, True)
+        lgnn.compile(optimizer="adam:0.01", loss="categorical_crossentropy", metrics=["accuracy"])
+        graphs = toy_graphs(8)
+        seq = MultiGraphSequencer(graphs, "g", "average", 4, shuffle=False, pad_multiple=16)
+        lgnn.fit(seq, epochs=1, verbose=0)
+        preds = lgnn.predict(seq)
+        assert preds.shape == (8, 2)
+
+    def test_serial_then_evaluate(self):
+        gnns = [GNNgraphBased(*homo_pair(layer=i), 0, 2, 0.01) for i in range(2)]
+        lgnn = LGNN(gnns, True, True)
+        lgnn.compile(optimizer="adam:0.01", loss="categorical_crossentropy", metrics=["accuracy"],
+                     training_mode="serial")
+        graphs = toy_graphs(8)
+        seq = MultiGraphSequencer(graphs, "g", "average", 4, shuffle=False, pad_multiple=16)
+        lgnn.fit(seq, epochs=1, verbose=0)
+        logs = lgnn.evaluate(seq)
+        assert "loss" in logs and np.isfinite(logs["loss"])
