@@ -16,6 +16,7 @@ the padded batch carries the extra type information transparently.
 
 from __future__ import annotations
 
+import threading
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -45,7 +46,13 @@ class MultiGraphSequencer:
         *,
         pad_multiple: int = 128,
         agg_dtype: str = None,
+        shuffle_mode: str = "graphs",
     ):
+        """``shuffle_mode='graphs'`` re-shuffles graphs into new merged batches
+        each epoch (the reference's behavior, GraphSequencers.py:123-127, at
+        the cost of re-merging + re-uploading); ``'batches'`` shuffles the
+        order of the prebuilt batches only — no host rebuild, no re-upload."""
+        assert shuffle_mode in ("graphs", "batches")
         self.data: List[GraphObject] = list(graphs) if isinstance(graphs, (list, tuple)) else [graphs]
         self.focus = focus
         self.aggregation_mode = aggregation_mode
@@ -53,6 +60,7 @@ class MultiGraphSequencer:
         self.shuffle = bool(shuffle)
         self.pad_multiple = int(pad_multiple)
         self.agg_dtype = agg_dtype
+        self.shuffle_mode = shuffle_mode
         self._pad_nodes = 0
         self._pad_arcs = 0
         self._pad_graphs = 0
@@ -84,13 +92,30 @@ class MultiGraphSequencer:
     def __len__(self) -> int:
         return int(np.ceil(len(self.data) / self.batch_size))
 
+    def _join_pending(self) -> None:
+        pending = getattr(self, "_pending_build", None)
+        if pending is not None:
+            pending.join()
+            self._pending_build = None
+
     def __getitem__(self, index: int) -> GraphBatch:
+        self._join_pending()
         return self.batches[index]
 
     def on_epoch_end(self) -> None:
-        if self.shuffle:
-            np.random.shuffle(self.data)
-            self.build_batches()
+        """Shuffle then rebuild the merged/padded batches in a background
+        thread, overlapping the host-side work with validation/compute (the
+        reference rebuilds synchronously, GraphSequencers.py:123-127)."""
+        if not self.shuffle:
+            return
+        if self.shuffle_mode == "batches":
+            self._join_pending()
+            order = np.random.permutation(len(self.batches))
+            self.batches = [self.batches[i] for i in order]
+            return
+        np.random.shuffle(self.data)
+        self._pending_build = threading.Thread(target=self.build_batches, daemon=True)
+        self._pending_build.start()
 
     # -- config / copy ---------------------------------------------------------
     def set_batch_size(self, new_batch_size: int) -> None:
@@ -181,7 +206,8 @@ class SingleGraphSequencer(MultiGraphSequencer):
     def on_epoch_end(self) -> None:
         if self.shuffle:
             np.random.shuffle(self.set_mask_idx)
-            self.build_batches()
+            self._pending_build = threading.Thread(target=self.build_batches, daemon=True)
+            self._pending_build.start()
 
     def get_config(self) -> dict:
         return {

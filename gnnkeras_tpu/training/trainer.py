@@ -131,13 +131,34 @@ def fit(
     callbacks: Optional[list] = None,
     verbose: int = 1,
     seed: int = 0,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
 ):
-    """Keras-like fit loop over a graph sequencer.  Returns a History."""
+    """Keras-like fit loop over a graph sequencer.  Returns a History.
+
+    With ``checkpoint_dir`` every ``checkpoint_every`` epochs a full resumable
+    checkpoint (params + BN state + optimizer state + PRNG) is written;
+    ``resume=True`` restores the latest one and continues from the following
+    epoch — interrupted runs pick up where they stopped."""
     if model.optimizer is None:
         raise RuntimeError("call compile() before fit()")
     model.build(seed=seed)
     if model._opt_state is None:
         model._opt_state = model.optimizer.init(model.variables["params"])
+
+    start_epoch = 0
+    ckpt_cb = None
+    if checkpoint_dir is not None:
+        from gnnkeras_tpu.training.checkpoint import CheckpointCallback
+
+        ckpt_cb = CheckpointCallback(checkpoint_dir, every_epochs=checkpoint_every)
+        if resume and ckpt_cb.manager.latest_step() is not None:
+            extra = ckpt_cb.manager.restore(model)
+            start_epoch = int(extra.get("epoch", -1)) + 1
+            if verbose:
+                print(f"resumed from {checkpoint_dir} at epoch {start_epoch}")
+        callbacks = list(callbacks or []) + [ckpt_cb]
 
     train_step = _get_train_step(model)
     history = History()
@@ -147,7 +168,7 @@ def fit(
         cb.on_train_begin()
 
     params, mstate, opt_state = model.variables["params"], model.variables["state"], model._opt_state
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()
         accum = []
         for i in range(len(sequencer)):

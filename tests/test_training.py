@@ -145,3 +145,21 @@ class TestConfig:
     def test_rejects_bad_focus(self):
         with pytest.raises(AssertionError):
             GNNConfig(focus="x")
+
+
+class TestFitResume:
+    def test_fit_checkpoints_and_resumes(self, tmp_path):
+        d = str(tmp_path / "ck")
+        gnn = toy_model()
+        seq = MultiGraphSequencer(toy_graphs(), "g", "average", batch_size=6, shuffle=False, pad_multiple=16)
+        gnn.fit(seq, epochs=3, checkpoint_dir=d, verbose=0)
+
+        # interrupted run: fresh model resumes from epoch 3 and only runs 2 more
+        gnn2 = toy_model()
+        h = gnn2.fit(seq, epochs=5, checkpoint_dir=d, resume=True, verbose=0)
+        assert len(h.history["loss"]) == 2
+
+        # already-finished run resumes into a no-op
+        gnn3 = toy_model()
+        h3 = gnn3.fit(seq, epochs=5, checkpoint_dir=d, resume=True, verbose=0)
+        assert len(h3.history.get("loss", [])) == 0
