@@ -6,6 +6,8 @@ from gnnkeras_tpu.parallel.data_parallel import (
     DataParallelTrainer,
 )
 from gnnkeras_tpu.parallel.partition import partition_graph, PartitionedGraph, PartitionedGNN
+from gnnkeras_tpu.parallel.expert import ExpertParallelCompositeGNN
+from gnnkeras_tpu.parallel.hybrid import make_hybrid_train_step, stack_partitioned
 
 __all__ = [
     "make_mesh",
@@ -17,4 +19,7 @@ __all__ = [
     "partition_graph",
     "PartitionedGraph",
     "PartitionedGNN",
+    "ExpertParallelCompositeGNN",
+    "make_hybrid_train_step",
+    "stack_partitioned",
 ]

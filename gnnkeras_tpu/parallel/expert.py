@@ -1,0 +1,234 @@
+"""Expert parallelism over composite per-node-type state MLPs.
+
+SURVEY §2 maps EP onto this framework as "the per-node-type expert MLPs of
+CompositeGNN ARE an expert-parallel structure — shard types across devices".
+This module does exactly that:
+
+- every type's state MLP is padded to a common input width (zero kernel rows
+  for the padding, so outputs are bit-identical) and stacked into one
+  leading-axis parameter pytree,
+- the stacked experts are sharded over the ``expert`` mesh axis; each device
+  runs its local experts over *all* node rows (vmapped), masks by node type,
+  and the per-type partial states are ``psum``-combined — the composite
+  convergence step (reference CompositeGNN.py:215-234) distributed across
+  devices,
+- the output MLP and all graph data stay replicated; expert gradients live
+  sharded (each device owns its experts' optimizer state implicitly through
+  the sharded grads).
+
+Equality with the single-device composite forward is tested on the virtual
+8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gnnkeras_tpu.graph.batch import GraphBatch
+from gnnkeras_tpu.models.composite import CompositeGNNnodeBased
+from gnnkeras_tpu.models.gnn import STATE_INIT_STDDEV, _select_tree, unconverged
+from gnnkeras_tpu.ops.segment import aggregate_edges
+from gnnkeras_tpu.utils.dtypes import floatx
+
+
+def _check_same_program(mlps) -> None:
+    progs = [
+        [(l[0],) + ((l[1], l[2]) if l[0] == "dense" else ()) for l in m.program] for m in mlps
+    ]
+    if any(p != progs[0] for p in progs[1:]):
+        raise ValueError("expert parallelism requires all per-type MLPs to share the same layer program")
+
+
+def stack_expert_params(mlps, params_list: List[list], state_list: List[list], n_pad_types: int):
+    """Stack per-type MLP params along a new leading axis, zero-padding the
+    width-dependent leaves (first dense kernel, first BatchNorm) to the widest
+    type.  Zero kernel rows make padded input columns inert, so stacked
+    execution is exactly equal to per-type execution."""
+    _check_same_program(mlps)
+    widths = [m.input_dim[0] for m in mlps]
+    w_max = max(widths)
+
+    def pad_first_width(tree_list, layer_kinds):
+        out = []
+        for t, layers in enumerate(tree_list):
+            padded_layers = []
+            first_width_done = False
+            for kind, leafdict in zip(layer_kinds, layers):
+                d = dict(leafdict)
+                if not first_width_done and kind == "batch_norm":
+                    for key in d:
+                        d[key] = jnp.pad(d[key], (0, w_max - widths[t]))
+                elif not first_width_done and kind == "dense":
+                    if "kernel" in d:
+                        d["kernel"] = jnp.pad(d["kernel"], ((0, w_max - widths[t]), (0, 0)))
+                    first_width_done = True
+                padded_layers.append(d)
+                if kind == "dense":
+                    first_width_done = True
+            out.append(padded_layers)
+        return out
+
+    kinds = [l[0] for l in mlps[0].program]
+    params_padded = pad_first_width(params_list, kinds)
+    state_padded = pad_first_width(state_list, kinds)
+
+    def stack(trees):
+        while len(trees) < n_pad_types:
+            trees = trees + [jax.tree_util.tree_map(jnp.zeros_like, trees[0])]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *trees)
+
+    return stack(params_padded), stack(state_padded), w_max
+
+
+class ExpertParallelCompositeGNN:
+    """Distributed wrapper around a (compiled, built) composite GNN: the
+    per-type state experts are sharded over the ``expert`` mesh axis."""
+
+    def __init__(self, cgnn: CompositeGNNnodeBased, mesh: Optional[Mesh] = None, axis: str = "expert"):
+        from gnnkeras_tpu.parallel.mesh import make_mesh
+
+        self.cgnn = cgnn
+        self.axis = axis
+        self.mesh = mesh if mesh is not None else make_mesh((axis,))
+        self.n_devices = self.mesh.shape[axis]
+        self.n_types = len(cgnn.net_state)
+        self.types_pad = -(-self.n_types // self.n_devices) * self.n_devices
+        self._cache = {}
+
+        cgnn.build()
+        self.stacked_params, self.stacked_state, self.w_max = stack_expert_params(
+            cgnn.net_state,
+            cgnn.variables["params"]["net_state"],
+            cgnn.variables["state"]["net_state"],
+            self.types_pad,
+        )
+        self.proto = cgnn.net_state[0]
+
+    # -- expert inputs ---------------------------------------------------------
+    def _expert_inputs(self, batch: GraphBatch, state, agg_states, agg_component):
+        """(T_pad, N, w_max): each type's transition input with its label
+        slice zero-padded to the widest type (CompositeGNN.py:224 order)."""
+        n = batch.num_nodes
+        widths = [m.input_dim[0] for m in self.cgnn.net_state]
+        rows = []
+        for t, d_t in enumerate(batch.dim_node_label):
+            inp = jnp.concatenate([batch.nodes[:, :d_t], state, agg_states, agg_component], axis=1)
+            inp = jnp.pad(inp, ((0, 0), (0, self.w_max - widths[t])))
+            rows.append(inp)
+        while len(rows) < self.types_pad:
+            rows.append(jnp.zeros_like(rows[0]))
+        return jnp.stack(rows, axis=0)
+
+    def _type_masks(self, batch: GraphBatch):
+        cols = [jnp.logical_and(batch.type_mask[:, t], batch.node_mask) for t in range(self.n_types)]
+        while len(cols) < self.types_pad:
+            cols.append(jnp.zeros_like(cols[0]))
+        return jnp.stack(cols, axis=0)  # (T_pad, N)
+
+    # -- forward (inside shard_map; leading expert axis local) ------------------
+    def _local_forward(self, sparams, sstate, out_params, out_state, batch, rng, training):
+        gnn, axis, proto = self.cgnn, self.axis, self.proto
+        n = batch.num_nodes
+        agg_component = gnn._aggregated_component(batch)
+
+        if gnn.state_vect_dim > 0:
+            state0 = STATE_INIT_STDDEV * jax.random.normal(
+                rng, (n, gnn.state_vect_dim), dtype=floatx()
+            )
+        else:
+            state0 = batch.nodes
+        state_old0 = jnp.ones_like(state0)
+        type_masks = self._type_masks(batch)  # sharded leading axis handled by caller slice
+        state_width = gnn.state_vect_dim or batch.nodes.shape[1]
+
+        apply_one = lambda p, s, x, m, r: proto.apply(
+            {"params": p, "state": s}, x, training=training, mask=m, rng=r
+        )
+        vapply = jax.vmap(apply_one, in_axes=(0, 0, 0, 0, 0))
+
+        def transition(state, bn_states, step_rng):
+            agg_states = batch.aggregate(state)
+            inputs = self._expert_inputs(batch, state, agg_states, agg_component)
+            # slice this device's experts
+            e = jax.lax.axis_index(axis)
+            t_local = self.types_pad // self.n_devices
+            local_inputs = jax.lax.dynamic_slice_in_dim(inputs, e * t_local, t_local, axis=0)
+            local_masks = jax.lax.dynamic_slice_in_dim(type_masks, e * t_local, t_local, axis=0)
+            rngs = jax.random.split(step_rng, t_local)
+            outs, new_bn = vapply(sparams, bn_states, local_inputs, local_masks, rngs)
+            partial = jnp.sum(jnp.where(local_masks[:, :, None], outs, 0.0), axis=0)
+            new_state = jax.lax.psum(partial, axis)
+            return new_state[:, :state_width], new_bn
+
+        bn0 = sstate
+        n_steps = max(gnn.max_iteration, 1)
+        step_rngs = jax.random.split(rng, n_steps)
+
+        def step(carry, step_rng):
+            k, state, state_old, bn_states = carry
+            run = unconverged(state, state_old, batch.node_mask, gnn.state_threshold)
+            new_state, new_bn = transition(state, bn_states, step_rng)
+            return (
+                k + run.astype(floatx()),
+                jnp.where(run, new_state, state),
+                jnp.where(run, state, state_old),
+                _select_tree(run, new_bn, bn_states),
+            ), None
+
+        (k, state, _, bn_final), _ = jax.lax.scan(
+            step, (jnp.zeros((), floatx()), state0, state_old0, bn0), step_rngs,
+            length=gnn.max_iteration,
+        )
+
+        # shared output head (replicated)
+        out, out_mask, bn_out = gnn.apply_output(
+            {"params": {"net_state": None, "net_output": out_params},
+             "state": {"net_state": None, "net_output": out_state}},
+            state, batch, training=training, rng=None,
+        )
+        return k, state, out, out_mask, bn_final, bn_out
+
+    def make_forward(self, training: bool = False):
+        key = f"fwd_{training}"
+        if key in self._cache:
+            return self._cache[key]
+        axis = self.axis
+
+        def device_fn(sparams, sstate, out_params, out_state, batch, rng):
+            return self._local_forward(sparams, sstate, out_params, out_state, batch, rng, training)
+
+        sharded = shard_map(
+            device_fn,
+            mesh=self.mesh,
+            in_specs=(P(axis), P(axis), P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P(axis), P()),
+            check_vma=False,
+        )
+        fn = jax.jit(sharded)
+        self._cache[key] = fn
+        return fn
+
+    def forward(self, batch: GraphBatch, training: bool = False, rng=None):
+        """(k, state, out, out_mask) — numerically equal to the wrapped
+        composite model's forward."""
+        if rng is None:
+            rng = self.cgnn.next_rng()
+        fn = self.make_forward(training)
+        out_vars = self.cgnn.variables
+        k, state, out, out_mask, new_sstate, new_out_state = fn(
+            self.stacked_params,
+            self.stacked_state,
+            out_vars["params"]["net_output"],
+            out_vars["state"]["net_output"],
+            batch,
+            rng,
+        )
+        self.stacked_state = new_sstate
+        return k, state, out, out_mask

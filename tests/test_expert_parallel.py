@@ -1,0 +1,117 @@
+"""Expert-parallel composite GNN == single-device composite GNN."""
+
+import jax
+import numpy as np
+import pytest
+
+from gnnkeras_tpu.graph.batch import from_graph_object
+from gnnkeras_tpu.graph.graph import CompositeGraphObject
+from gnnkeras_tpu.models.composite import CompositeGNNnodeBased
+from gnnkeras_tpu.models.mlp import MLP, get_inout_dims
+from gnnkeras_tpu.parallel.expert import ExpertParallelCompositeGNN, stack_expert_params
+from gnnkeras_tpu.parallel.mesh import make_mesh
+
+
+def composite_graph(seed=0, n=40, a=150, n_types=4):
+    rng = np.random.default_rng(seed)
+    dims = tuple(int(d) for d in rng.integers(2, 6, n_types))
+    width = max(dims)
+    nodes = rng.normal(size=(n, width))
+    arcs = np.concatenate([rng.integers(0, n, (a, 2)), rng.normal(size=(a, 2))], axis=1)
+    tm = np.zeros((n, n_types), dtype=bool)
+    tm[np.arange(n), rng.integers(0, n_types, n)] = True
+    return CompositeGraphObject(
+        nodes=nodes, arcs=arcs, targets=rng.normal(size=(n, 2)), type_mask=tm,
+        dim_node_label=dims, focus="n", aggregation_mode="composite_average",
+    )
+
+
+def build_composite(g, dim_state=6, max_iter=4):
+    inp_s, layers_s = get_inout_dims(
+        "state", tuple(g.DIM_NODE_LABEL), g.DIM_ARC_LABEL, g.DIM_TARGET, "n", dim_state
+    )
+    nets = [MLP(input_dim=shape, layers=layers_s, activations="selu",
+                kernel_initializer="lecun_normal", bias_initializer="lecun_normal")
+            for shape in inp_s]
+    ot = MLP(input_dim=(dim_state,), layers=[2], activations="softmax",
+             kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+    cgnn = CompositeGNNnodeBased(nets, ot, dim_state, max_iter, 0.01)
+    cgnn.build(seed=11)
+    return cgnn
+
+
+@pytest.fixture(scope="module")
+def mesh4():
+    return make_mesh(("expert",), devices=jax.devices()[:4])
+
+
+class TestExpertParallel:
+    def test_stacking_preserves_outputs(self):
+        g = composite_graph()
+        cgnn = build_composite(g)
+        sp, ss, w_max = stack_expert_params(
+            cgnn.net_state,
+            cgnn.variables["params"]["net_state"],
+            cgnn.variables["state"]["net_state"],
+            4,
+        )
+        # padded stacked expert t applied to padded input == original MLP
+        rng = np.random.default_rng(0)
+        import jax.numpy as jnp
+
+        for t, net in enumerate(cgnn.net_state):
+            w_t = net.input_dim[0]
+            x = jnp.asarray(rng.normal(size=(10, w_t)).astype(np.float32))
+            x_pad = jnp.pad(x, ((0, 0), (0, w_max - w_t)))
+            ref, _ = net.apply(
+                {"params": cgnn.variables["params"]["net_state"][t],
+                 "state": cgnn.variables["state"]["net_state"][t]}, x, training=False)
+            p_t = jax.tree_util.tree_map(lambda v: v[t], sp)
+            s_t = jax.tree_util.tree_map(lambda v: v[t], ss)
+            got, _ = net.apply({"params": p_t, "state": s_t}, x_pad, training=False)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    def test_forward_matches_single_device(self, mesh4):
+        g = composite_graph(seed=2)
+        cgnn = build_composite(g)
+        batch = from_graph_object(g)
+
+        rng = jax.random.PRNGKey(3)
+        k_ref, state_ref, out_ref, _, _ = cgnn.forward(cgnn.variables, batch, training=True, rng=rng)
+
+        ep = ExpertParallelCompositeGNN(cgnn, mesh4)
+        k, state, out, _ = ep.forward(batch, training=True, rng=rng)
+        # dim_state>0 uses rng-dependent state init whose split paths differ
+        # between the two engines; this test exercises the path for shape/
+        # finiteness, the ds0 test below checks exact numerical equality.
+        assert np.all(np.isfinite(np.asarray(state)))
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_forward_matches_single_device_ds0(self, mesh4):
+        g = composite_graph(seed=4)
+        # dim_state=0 → deterministic state init (the full node matrix), so
+        # the expert and single-device paths are exactly comparable.  NB the
+        # reference's get_inout_dims formula does not match its own composite
+        # model for dim_state==0 (the model concats the full-width state and
+        # aggregated state, CompositeGNN.py:224); build with the model's true
+        # input widths.
+        width = g.nodes.shape[1]
+        comp_w = int(np.sum(g.DIM_NODE_LABEL)) + g.DIM_ARC_LABEL
+        nets = [MLP(input_dim=(int(d_t) + width + width + comp_w,), layers=[width],
+                    activations="selu", kernel_initializer="lecun_normal",
+                    bias_initializer="lecun_normal")
+                for d_t in g.DIM_NODE_LABEL]
+        ot = MLP(input_dim=(width,), layers=[2], activations="softmax",
+                 kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+        cgnn = CompositeGNNnodeBased(nets, ot, 0, 4, 0.01)
+        cgnn.build(seed=5)
+        batch = from_graph_object(g)
+
+        k_ref, state_ref, out_ref, _, _ = cgnn.forward(cgnn.variables, batch, training=True)
+
+        ep = ExpertParallelCompositeGNN(cgnn, mesh4)
+        k, state, out, _ = ep.forward(batch, training=True, rng=jax.random.PRNGKey(0))
+
+        assert float(k) == float(k_ref)
+        np.testing.assert_allclose(np.asarray(state), np.asarray(state_ref), rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), rtol=2e-4, atol=1e-5)
