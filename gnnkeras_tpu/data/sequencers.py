@@ -17,7 +17,7 @@ the padded batch carries the extra type information transparently.
 from __future__ import annotations
 
 import threading
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from gnnkeras_tpu.graph.batch import GraphBatch
 from gnnkeras_tpu.models.gnn import GNNnodeBased, STATE_INIT_STDDEV, _select_tree, unconverged
 from gnnkeras_tpu.models.mlp import MLP
-from gnnkeras_tpu.ops.segment import aggregate_edges, graph_readout, segment_sum
+from gnnkeras_tpu.ops.segment import aggregate_edges, segment_sum
 from gnnkeras_tpu.utils.dtypes import floatx
 
 

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from gnnkeras_tpu.graph.batch import GraphBatch
 from gnnkeras_tpu.models.base import GraphModel
 from gnnkeras_tpu.models.mlp import MLP
-from gnnkeras_tpu.ops.segment import aggregate_edges, aggregate_neighbors, graph_readout
+from gnnkeras_tpu.ops.segment import aggregate_edges
 from gnnkeras_tpu.utils.dtypes import floatx
 
 STATE_INIT_STDDEV = 0.1  # reference: tf.random.normal(..., stddev=0.1), GNN.py:257

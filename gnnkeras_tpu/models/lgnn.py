@@ -42,7 +42,6 @@ from gnnkeras_tpu.models.composite import (
     CompositeGNNnodeBased,
 )
 from gnnkeras_tpu.models.gnn import GNNarcBased, GNNgraphBased, GNNnodeBased
-from gnnkeras_tpu.ops.segment import graph_readout
 
 
 class LGNN(GraphModel):

@@ -22,7 +22,6 @@ where ``w`` is the per-edge weight determined by the aggregation mode
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def segment_sum(data: jax.Array, segment_ids: jax.Array, num_segments: int) -> jax.Array:

@@ -9,7 +9,6 @@ reference is strictly single-device (SURVEY §2, "Parallelism statement").
 
 from __future__ import annotations
 
-from functools import partial
 from typing import List, Optional, Sequence
 
 import jax

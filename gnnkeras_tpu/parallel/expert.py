@@ -22,19 +22,17 @@ Equality with the single-device composite forward is tested on the virtual
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from gnnkeras_tpu.graph.batch import GraphBatch
 from gnnkeras_tpu.models.composite import CompositeGNNnodeBased
 from gnnkeras_tpu.models.gnn import STATE_INIT_STDDEV, _select_tree, unconverged
-from gnnkeras_tpu.ops.segment import aggregate_edges
 from gnnkeras_tpu.utils.dtypes import floatx
 
 

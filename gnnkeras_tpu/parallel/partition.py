@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from gnnkeras_tpu.graph.graph import GraphObject
 from gnnkeras_tpu.models.gnn import GNNnodeBased
