@@ -45,9 +45,9 @@ def build_workload():
         targets = np.eye(2, dtype=np.float32)[rng.integers(0, 2, 4337)]
         merged = GraphObject(nodes=nodes, arcs=arcs, targets=targets, focus="g", aggregation_mode="average")
 
-    # f32 blocks: measured at the HBM roofline on v5e (same speed as bf16,
-    # exact activation parity)
-    batch = from_graph_object(merged)
+    # f32 blocks (measured at the HBM roofline on v5e, exact activation
+    # parity) + tile packing (whole graphs per 128-node tile: fewer blocks)
+    batch = from_graph_object(merged, tile_pack=True)
     n_arcs = merged.arcs.shape[0]
 
     inp_s, layers_s = get_inout_dims("state", 14, 3, 2, "g", 0)

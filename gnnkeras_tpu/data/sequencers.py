@@ -17,7 +17,7 @@ the padded batch carries the extra type information transparently.
 from __future__ import annotations
 
 import threading
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -47,12 +47,17 @@ class MultiGraphSequencer:
         pad_multiple: int = 128,
         agg_dtype: str = None,
         shuffle_mode: str = "graphs",
+        tile_pack: Optional[bool] = None,
     ):
         """``shuffle_mode='graphs'`` re-shuffles graphs into new merged batches
         each epoch (the reference's behavior, GraphSequencers.py:123-127, at
         the cost of re-merging + re-uploading); ``'batches'`` shuffles the
         order of the prebuilt batches only — no host rebuild, no re-upload."""
         assert shuffle_mode in ("graphs", "batches")
+        # tile packing permutes node rows (loss/metric-invariant; per-node
+        # output order changes) — default on for graph-focused batches where
+        # outputs are graph-indexed and unaffected.
+        self.tile_pack = (focus == "g") if tile_pack is None else bool(tile_pack)
         self.data: List[GraphObject] = list(graphs) if isinstance(graphs, (list, tuple)) else [graphs]
         self.focus = focus
         self.aggregation_mode = aggregation_mode
@@ -77,15 +82,22 @@ class MultiGraphSequencer:
             for i in range(len(self))
         ]
         # monotonic sequencer-wide pads: one compiled step for all epochs.
-        self._pad_nodes = max(
-            self._pad_nodes, _round_up(max(g.nodes.shape[0] for g in merged), self.pad_multiple)
-        )
+        if self.tile_pack:
+            from gnnkeras_tpu.graph.packing import packed_node_positions
+
+            needed = max(packed_node_positions(g.graph_of_node)[1] for g in merged)
+        else:
+            needed = max(g.nodes.shape[0] for g in merged)
+        self._pad_nodes = max(self._pad_nodes, _round_up(needed, self.pad_multiple))
         self._pad_arcs = max(
             self._pad_arcs, _round_up(max(g.arcs.shape[0] for g in merged), self.pad_multiple)
         )
         self._pad_graphs = max(self._pad_graphs, _round_up(max(g.num_graphs for g in merged), 8))
         self.batches: List[GraphBatch] = [
-            from_graph_object(g, self._pad_nodes, self._pad_arcs, self._pad_graphs, agg_dtype=self.agg_dtype)
+            from_graph_object(
+                g, self._pad_nodes, self._pad_arcs, self._pad_graphs,
+                agg_dtype=self.agg_dtype, tile_pack=self.tile_pack,
+            )
             for g in merged
         ]
 

@@ -158,7 +158,7 @@ class GraphBatch:
 
 
 def _scatter_targets(
-    g: GraphObject, focus: str, n_rows: int, n_graphs_pad: int
+    g: GraphObject, focus: str, n_rows: int, n_graphs_pad: int, pos: Optional[np.ndarray] = None
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Row-align targets/sample_weight with their focus entity.
 
@@ -180,7 +180,8 @@ def _scatter_targets(
         return targets, mask, sw
 
     # node/arc focus: reference targets rows correspond, in order, to
-    # output_mask-true entities; scatter them back to entity rows.
+    # output_mask-true entities; scatter them back to entity rows (through the
+    # node-position map when the batch is tile-packed).
     targets = np.zeros((n_rows, t_dim), dtype=dtype)
     sw = np.zeros(n_rows, dtype=dtype)
     out_idx = np.flatnonzero(g.output_mask)
@@ -188,10 +189,11 @@ def _scatter_targets(
         raise ValueError(
             f"targets rows ({g.targets.shape[0]}) must match output_mask-true entities ({len(out_idx)})"
         )
-    targets[out_idx] = g.targets
-    sw[out_idx] = g.sample_weight
+    rows = out_idx if (focus == "a" or pos is None) else pos[out_idx]
+    targets[rows] = g.targets
+    sw[rows] = g.sample_weight
     mask = np.zeros(n_rows, dtype=bool)
-    mask[out_idx] = g.set_mask[out_idx]
+    mask[rows] = g.set_mask[out_idx]
     return targets, mask, sw
 
 
@@ -204,66 +206,91 @@ def from_graph_object(
     dense_blocks: bool = True,
     agg_dtype: Optional[str] = None,
     pallas: bool = False,
+    tile_pack: bool = False,
 ) -> GraphBatch:
     """Convert a (possibly merged) host graph into a padded device batch.
 
     ``set_mask_override`` supports single-graph mini-batching, where each batch
     is a boolean mask over the one graph's supervised nodes
-    (reference GraphSequencers.py:162-166,194-196)."""
+    (reference GraphSequencers.py:162-166,194-196).
+
+    ``tile_pack`` re-positions whole graphs into 128-node tiles (no graph
+    straddles a tile boundary), shrinking the BCSR block count — node rows are
+    then permuted with gaps; all consumers are mask-driven so semantics are
+    unchanged, but per-node output row ORDER differs from the reference's."""
     n, a = g.nodes.shape[0], g.arcs.shape[0]
     n_graphs = max(g.num_graphs, 1)
+
+    # node position map: identity, or the tile-packed permutation-with-gaps
+    if tile_pack and dense_blocks and n_graphs > 1 and n > 0:
+        from gnnkeras_tpu.graph.packing import packed_node_positions
+
+        pos, n_rows_needed = packed_node_positions(g.graph_of_node)
+    else:
+        pos = np.arange(n, dtype=np.int64)
+        n_rows_needed = n
+
     # 128-aligned node padding enables the BCSR/MXU aggregation path.
-    N = pad_nodes if pad_nodes is not None else _round_up(max(n, 1), 128 if dense_blocks else 8)
+    N = pad_nodes if pad_nodes is not None else _round_up(max(n_rows_needed, 1), 128 if dense_blocks else 8)
     A = pad_arcs if pad_arcs is not None else _round_up(max(a, 1), 8)
     G = pad_graphs if pad_graphs is not None else _round_up(n_graphs, 8)
     G_blocks = _round_up(G, 128)  # padded column space for the readout BCSR
-    if N < n or A < a or G < n_graphs:
-        raise ValueError(f"padding ({N},{A},{G}) smaller than graph ({n},{a},{n_graphs})")
+    if N < n_rows_needed or A < a or G < n_graphs:
+        raise ValueError(f"padding ({N},{A},{G}) smaller than graph ({n_rows_needed},{a},{n_graphs})")
 
     dtype = floatx()
     nodes = np.zeros((N, g.nodes.shape[1]), dtype=dtype)
-    nodes[:n] = g.nodes
+    nodes[pos] = g.nodes
     src = np.zeros(A, dtype=np.int32)
     dst = np.zeros(A, dtype=np.int32)
-    src[:a] = g.arcs[:, 0].astype(np.int32)
-    dst[:a] = g.arcs[:, 1].astype(np.int32)
+    src[:a] = pos[g.arcs[:, 0].astype(np.int64)].astype(np.int32)
+    dst[:a] = pos[g.arcs[:, 1].astype(np.int64)].astype(np.int32)
     arc_label = np.zeros((A, g.DIM_ARC_LABEL), dtype=dtype)
     arc_label[:a] = g.arcs[:, 2:]
     w = np.zeros(A, dtype=dtype)
     w[:a] = g.arcnode_weight
 
     node_mask = np.zeros(N, dtype=bool)
-    node_mask[:n] = True
+    node_mask[pos] = True
     arc_mask = np.zeros(A, dtype=bool)
     arc_mask[:a] = True
 
-    m_rows = A if g.focus == "a" else N
-    set_mask = np.zeros(m_rows, dtype=bool)
-    output_mask = np.zeros(m_rows, dtype=bool)
     sm = g.set_mask if set_mask_override is None else np.asarray(set_mask_override, dtype=bool)
-    set_mask[: len(sm)] = sm
-    output_mask[: len(g.output_mask)] = g.output_mask
+    if g.focus == "a":
+        set_mask = np.zeros(A, dtype=bool)
+        output_mask = np.zeros(A, dtype=bool)
+        set_mask[: len(sm)] = sm
+        output_mask[: len(g.output_mask)] = g.output_mask
+    else:
+        set_mask = np.zeros(N, dtype=bool)
+        output_mask = np.zeros(N, dtype=bool)
+        set_mask[pos] = sm
+        output_mask[pos] = g.output_mask
+    m_rows = A if g.focus == "a" else N
 
     graph_of_node = np.zeros(N, dtype=np.int32)
-    graph_of_node[:n] = g.graph_of_node.astype(np.int32)
+    graph_of_node[pos] = g.graph_of_node.astype(np.int32)
     ngw = np.zeros(N, dtype=dtype)
-    ngw[:n] = g.nodegraph_weight
+    ngw[pos] = g.nodegraph_weight
     graph_mask = np.zeros(G, dtype=bool)
     graph_mask[:n_graphs] = True
 
     r_rows = G if g.focus == "g" else m_rows
-    targets, target_mask, sample_weight = _scatter_targets(g, g.focus, r_rows, G)
+    targets, target_mask, sample_weight = _scatter_targets(g, g.focus, r_rows, G, pos)
     if g.focus != "g" and set_mask_override is not None:
         full = np.zeros(r_rows, dtype=bool)
         idx = np.flatnonzero(g.output_mask)
-        full[idx] = sm[idx]
+        if g.focus == "a":
+            full[idx] = sm[idx]
+        else:
+            full[pos[idx]] = sm[idx]
         target_mask = full
 
     type_mask = None
     dims: Tuple[int, ...] = tuple(int(d) for d in g.DIM_NODE_LABEL)
     if isinstance(g, CompositeGraphObject):
         type_mask = np.zeros((N, g.num_types), dtype=bool)
-        type_mask[:n] = g.type_mask
+        type_mask[pos] = g.type_mask
 
     bcsr = None
     nodegraph_bcsr = None
@@ -274,7 +301,7 @@ def from_graph_object(
             bcsr = build_bcsr(src[:a], dst[:a], w[:a], N)
             if g.focus == "g" and n > 0:
                 nodegraph_bcsr = build_bcsr(
-                    np.arange(n), g.graph_of_node, g.nodegraph_weight, N, G_blocks
+                    pos, g.graph_of_node, g.nodegraph_weight, N, G_blocks
                 )
             if agg_dtype is not None:
                 from gnnkeras_tpu.ops.bcsr import cast_bcsr

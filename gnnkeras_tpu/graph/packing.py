@@ -1,0 +1,80 @@
+"""Tile-aligned graph packing.
+
+The BCSR aggregation's cost is the number of nonzero 128x128 blocks.  A plain
+disjoint-union merge lets graphs straddle tile boundaries: every straddling
+graph turns 1 diagonal block into up to 4.  Packing whole graphs into
+128-node bins (first-fit decreasing; graphs larger than a tile get an aligned
+run of tiles) eliminates straddling entirely, cutting block count — and hence
+HBM traffic per transition iteration — roughly in half to two-thirds on
+molecule-scale datasets.
+
+The packed layout is just a node permutation with gaps: semantics are
+untouched because every consumer (aggregation, BatchNorm, losses, readout)
+is mask-driven.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def pack_tiles(graph_sizes: np.ndarray, tile: int = 128) -> Tuple[np.ndarray, int]:
+    """First-fit-decreasing packing of per-graph node counts into
+    ``tile``-node bins.
+
+    Returns (start_offset_per_graph, total_padded_nodes).  Graphs larger than
+    one tile start at a fresh tile boundary and occupy an aligned run; their
+    final partial tile is reusable by later (smaller) graphs."""
+    n_graphs = len(graph_sizes)
+    order = np.argsort(-np.asarray(graph_sizes), kind="stable")
+    starts = np.zeros(n_graphs, dtype=np.int64)
+    bins = []  # (capacity_left, next_offset)
+    n_tiles = 0
+    for g in order:
+        size = int(graph_sizes[g])
+        if size >= tile:
+            full_tiles = size // tile
+            rem = size % tile
+            starts[g] = n_tiles * tile
+            n_tiles += full_tiles + (1 if rem else 0)
+            if rem:
+                bins.append([tile - rem, n_tiles * tile - (tile - rem)])
+            continue
+        placed = False
+        for b in bins:
+            if b[0] >= size:
+                starts[g] = b[1]
+                b[1] += size
+                b[0] -= size
+                placed = True
+                break
+        if not placed:
+            starts[g] = n_tiles * tile
+            bins.append([tile - size, n_tiles * tile + size])
+            n_tiles += 1
+    return starts, n_tiles * tile
+
+
+def packed_node_positions(graph_of_node: np.ndarray, tile: int = 128) -> Tuple[np.ndarray, int]:
+    """New node positions under tile packing: node i of graph g lands at
+    ``start[g] + rank_of_i_within_g`` (original relative order preserved)."""
+    graph_of_node = np.asarray(graph_of_node, dtype=np.int64)
+    n_graphs = int(graph_of_node.max()) + 1 if len(graph_of_node) else 0
+    sizes = np.bincount(graph_of_node, minlength=n_graphs)
+    starts, n_padded = pack_tiles(sizes, tile)
+    # rank within graph (original relative order).  Merge keeps each graph's
+    # nodes contiguous and sorted by graph id, so rank = position - first
+    # occurrence; fall back to a stable grouped cumcount otherwise.
+    if np.all(np.diff(graph_of_node) >= 0):
+        first = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        ranks = np.arange(len(graph_of_node)) - first[graph_of_node]
+    else:
+        order = np.argsort(graph_of_node, kind="stable")
+        grouped_ranks = np.arange(len(order)) - np.concatenate([[0], np.cumsum(sizes)[:-1]])[
+            graph_of_node[order]
+        ]
+        ranks = np.empty(len(order), dtype=np.int64)
+        ranks[order] = grouped_ranks
+    return starts[graph_of_node] + ranks, n_padded

@@ -97,3 +97,58 @@ class TestBcsr:
         assert float(k1) == float(k2)
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-4, atol=1e-5)
+
+
+class TestTilePacking:
+    def test_packing_shrinks_blocks_and_preserves_results(self):
+        from gnnkeras_tpu.graph.packing import packed_node_positions
+        from gnnkeras_tpu.models.gnn import GNNgraphBased
+        from gnnkeras_tpu.models.mlp import MLP, get_inout_dims
+
+        rng = np.random.default_rng(7)
+        graphs = []
+        for _ in range(60):
+            n = int(rng.integers(10, 50))
+            a = int(rng.integers(20, 100))
+            nodes = rng.normal(size=(n, 4))
+            arcs = np.concatenate([rng.integers(0, n, (a, 2)), rng.normal(size=(a, 1))], axis=1)
+            t = np.zeros((1, 2)); t[0, rng.integers(2)] = 1
+            graphs.append(GraphObject(nodes=nodes, arcs=arcs, targets=t, focus="g", aggregation_mode="average"))
+        merged = GraphObject.merge(graphs, focus="g", aggregation_mode="average")
+
+        b_plain = from_graph_object(merged, tile_pack=False)
+        b_packed = from_graph_object(merged, tile_pack=True)
+        assert b_packed.bcsr.blocks.shape[0] < b_plain.bcsr.blocks.shape[0]
+
+        inp_s, layers_s = get_inout_dims("state", 4, 1, 2, "g", 0)
+        inp_o, layers_o = get_inout_dims("output", 4, 1, 2, "g", 0)
+        gnn = GNNgraphBased(
+            MLP(input_dim=inp_s[0], layers=layers_s, activations="selu",
+                kernel_initializer="lecun_normal", bias_initializer="lecun_normal"),
+            MLP(input_dim=inp_o[0], layers=layers_o, activations="softmax",
+                kernel_initializer="glorot_normal", bias_initializer="glorot_normal"),
+            0, 5, 0.01,
+        )
+        gnn.build(seed=0)
+        k1, s1, o1, _, _ = gnn.forward(gnn.variables, b_plain, training=True)
+        k2, s2, o2, _, _ = gnn.forward(gnn.variables, b_packed, training=True)
+        assert float(k1) == float(k2)
+        # graph-level outputs are graph-indexed: identical row-for-row
+        np.testing.assert_allclose(np.asarray(o2)[:60], np.asarray(o1)[:60], rtol=2e-4, atol=1e-5)
+        # node states equal up to the packing permutation
+        pos, _ = packed_node_positions(merged.graph_of_node)
+        np.testing.assert_allclose(
+            np.asarray(s2)[pos], np.asarray(s1)[: merged.nodes.shape[0]], rtol=2e-4, atol=1e-5
+        )
+
+    def test_pack_tiles_no_straddle(self):
+        from gnnkeras_tpu.graph.packing import pack_tiles
+
+        sizes = np.array([100, 50, 30, 200, 128, 7, 7, 7])
+        starts, total = pack_tiles(sizes)
+        assert total % 128 == 0
+        for s, size in zip(starts, sizes):
+            if size <= 128:
+                assert s // 128 == (s + size - 1) // 128, "small graph must not straddle tiles"
+            else:
+                assert s % 128 == 0, "large graph must start tile-aligned"
