@@ -1,0 +1,93 @@
+"""Single-large-graph throughput: the context-parallel-analog workload.
+
+One banded graph (locality like road networks / meshes / sequence graphs),
+node-focused convergence loop on one chip.  The same graph is what the
+edge-partitioned multi-chip path shards (gnnkeras_tpu/parallel/partition.py);
+this records the single-chip baseline of the BASELINE.md scaling metric.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnnkeras_tpu.graph.batch import from_graph_object
+from gnnkeras_tpu.graph.graph import GraphObject
+from gnnkeras_tpu.models.gnn import GNNnodeBased
+from gnnkeras_tpu.models.mlp import MLP, get_inout_dims
+
+N_NODES = 500_000
+PER_NODE = 8  # ~4M directed edges
+BAND = 64
+ITERS = 5
+REPEATS = 20
+
+
+def build():
+    rng = np.random.default_rng(0)
+    src = np.repeat(np.arange(N_NODES), PER_NODE)
+    dst = (src + rng.integers(-BAND, BAND + 1, len(src))) % N_NODES
+    arcs = np.concatenate(
+        [np.stack([src, dst], 1).astype(np.float32), rng.normal(size=(len(src), 2)).astype(np.float32)],
+        axis=1,
+    )
+    nodes = rng.normal(size=(N_NODES, 8)).astype(np.float32)
+    g_tmp = GraphObject(nodes=nodes, arcs=arcs, targets=np.ones((N_NODES, 2), np.float32), focus="n")
+    g = GraphObject(nodes=nodes, arcs=g_tmp.arcs, targets=rng.normal(size=(N_NODES, 2)).astype(np.float32),
+                    focus="n", aggregation_mode="average")
+    n_arcs = g.arcs.shape[0]
+
+    batch = from_graph_object(g)
+    inp_s, layers_s = get_inout_dims("state", 8, 2, 2, "n", 0)
+    inp_o, layers_o = get_inout_dims("output", 8, 2, 2, "n", 0)
+    gnn = GNNnodeBased(
+        MLP(input_dim=inp_s[0], layers=layers_s, activations="selu",
+            kernel_initializer="lecun_normal", bias_initializer="lecun_normal"),
+        MLP(input_dim=inp_o[0], layers=layers_o, activations="softmax",
+            kernel_initializer="glorot_normal", bias_initializer="glorot_normal"),
+        0, ITERS, 0.0,
+    )
+    gnn.build(seed=0)
+    return gnn, batch, n_arcs
+
+
+def main():
+    gnn, batch, n_arcs = build()
+    print(f"graph: {N_NODES} nodes, {n_arcs} arcs, bcsr={'on' if batch.bcsr is not None else 'off'}"
+          + (f" B={batch.bcsr.blocks.shape[0]}" if batch.bcsr is not None else ""), flush=True)
+
+    @jax.jit
+    def forward_k(variables, batch):
+        def body(i, carry):
+            acc, _ = carry
+            b = batch.replace(nodes=batch.nodes + acc * 1e-30)
+            k, state, bn = gnn.unfold(variables, b, training=True)
+            return (acc + jnp.sum(state), k)
+
+        return jax.lax.fori_loop(0, REPEATS, body, (jnp.zeros(()), jnp.zeros(())))
+
+    acc, k = forward_k(gnn.variables, batch)
+    _ = float(acc)
+    sync = jax.jit(lambda x: jnp.sum(x))
+    _ = float(sync(batch.node_mask))
+    t0 = time.perf_counter()
+    _ = float(sync(batch.node_mask))
+    floor = time.perf_counter() - t0
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc, k = forward_k(gnn.variables, batch)
+        _ = float(acc)
+        times.append(time.perf_counter() - t0)
+    dt = (float(np.median(times)) - floor) / REPEATS
+    print(f"unfold ({ITERS} iters): {dt * 1e3:.2f} ms -> {ITERS * n_arcs / dt / 1e6:.0f}M edges/s/chip")
+
+
+if __name__ == "__main__":
+    main()
