@@ -225,13 +225,24 @@ class PartitionedGNN:
     ``GNNarcBased`` model.  State rows live sharded; each iteration
     all-gathers the state over ICI and aggregates locally."""
 
-    def __init__(self, gnn: GNNnodeBased, mesh: Optional[Mesh] = None, axis: str = "graph"):
+    def __init__(
+        self,
+        gnn: GNNnodeBased,
+        mesh: Optional[Mesh] = None,
+        axis: str = "graph",
+        transport: str = "collective",
+    ):
+        """``transport``: 'collective' uses XLA all_gather; 'pallas_ring' moves
+        halo buffers around the ICI ring with the Pallas RDMA kernel
+        (gnnkeras_tpu/ops/ring.py) — requires the halo publish sets."""
         from gnnkeras_tpu.parallel.mesh import make_mesh
 
         if gnn.name == "graph":
             raise NotImplementedError("partitioned training supports node/arc focus")
+        assert transport in ("collective", "pallas_ring")
         self.gnn = gnn
         self.axis = axis
+        self.transport = transport
         self.mesh = mesh if mesh is not None else make_mesh((axis,))
         self.n_devices = self.mesh.shape[axis]
         self._cache = {}
@@ -247,10 +258,16 @@ class PartitionedGNN:
         def exchange(x):
             """Extend local rows with the remote rows this device's edges
             read: halo-published boundary rows when available (H·d per device
-            over ICI), the full state otherwise (N·d)."""
+            over ICI), the full state otherwise (N·d).  The halo buffers move
+            either through XLA's all_gather or the Pallas RDMA ring kernel."""
             if use_halo:
                 published = x[pg.publish_local] * pg.publish_mask[:, None].astype(x.dtype)
-                gathered = jax.lax.all_gather(published, axis, tiled=True)
+                if self.transport == "pallas_ring":
+                    from gnnkeras_tpu.ops.ring import ring_all_gather
+
+                    gathered = ring_all_gather(published, axis, self.n_devices)
+                else:
+                    gathered = jax.lax.all_gather(published, axis, tiled=True)
                 return jnp.concatenate([x, gathered], axis=0)
             return jax.lax.all_gather(x, axis, tiled=True)
 

@@ -228,3 +228,18 @@ class TestHaloExchange:
         got = np.asarray(out).reshape(-1, out.shape[-1])
         mask = np.asarray(pg.arc_mask).reshape(-1)
         np.testing.assert_allclose(got[mask], np.asarray(out_ref)[order], rtol=2e-4, atol=1e-5)
+
+    def test_pallas_ring_transport_matches_collective(self, mesh8):
+        """The Pallas RDMA ring halo transport (interpret mode on CPU) must
+        equal the XLA collective transport."""
+        g = self.banded_graph(seed=7)
+        gnn = build_gnn(GNNnodeBased, "n")
+        pg = partition_graph(g, 8)
+        assert pg.publish_local is not None
+
+        p_coll = PartitionedGNN(gnn, mesh8, transport="collective")
+        p_ring = PartitionedGNN(gnn, mesh8, transport="pallas_ring")
+        _, s1, o1, _ = p_coll.forward(pg, training=False)
+        _, s2, o2, _ = p_ring.forward(pg, training=False)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), rtol=1e-5, atol=1e-6)
