@@ -78,3 +78,40 @@ class TestPallasSpmm:
         ref = bcsr_aggregate(state, m16)
         got = pallas_bcsr_aggregate(state, pm16)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=1e-2)
+
+
+class TestPallasInModel:
+    def test_training_forward_and_grads_with_pallas_backend(self):
+        """Full model forward + backprop through the checkpointed scan with
+        the fused Pallas aggregation (custom VJP) — must match the XLA BCSR
+        backend."""
+        import jax
+        from gnnkeras_tpu.graph.batch import from_graph_object
+        from gnnkeras_tpu.models.gnn import GNNnodeBased
+        from gnnkeras_tpu.models.mlp import MLP, get_inout_dims
+
+        g = merged_graph(seed=9)
+        b_xla = from_graph_object(g, pallas=False)
+        b_pal = from_graph_object(g, pallas=True)
+
+        inp_s, layers_s = get_inout_dims("state", 4, 1, 2, "n", 0)
+        inp_o, layers_o = get_inout_dims("output", 4, 1, 2, "n", 0)
+        gnn = GNNnodeBased(
+            MLP(input_dim=inp_s[0], layers=layers_s, activations="selu",
+                kernel_initializer="lecun_normal", bias_initializer="lecun_normal"),
+            MLP(input_dim=inp_o[0], layers=layers_o, activations="softmax",
+                kernel_initializer="glorot_normal", bias_initializer="glorot_normal"),
+            0, 4, 0.01,
+        )
+        gnn.build(seed=3)
+
+        def loss_of(p, batch):
+            variables = {"params": p, "state": gnn.variables["state"]}
+            _, _, out, mask, _ = gnn.forward(variables, batch, training=True)
+            return jnp.sum(jnp.where(mask[:, None], (out - batch.targets) ** 2, 0.0))
+
+        l1, g1 = jax.value_and_grad(loss_of)(gnn.variables["params"], b_xla)
+        l2, g2 = jax.value_and_grad(loss_of)(gnn.variables["params"], b_pal)
+        assert float(l1) == pytest.approx(float(l2), rel=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5)
