@@ -177,3 +177,27 @@ class TestLGNNEvalPredict:
         lgnn.fit(seq, epochs=1, verbose=0)
         logs = lgnn.evaluate(seq)
         assert "loss" in logs and np.isfinite(logs["loss"])
+
+
+class TestCompositeLGNNRoundtrip:
+    def test_composite_lgnn_roundtrip(self, tmp_path):
+        ds = 4
+        def make_layer(i):
+            inp_s, layers_s = get_inout_dims("state", (3,), 2, 2, "g", ds,
+                                             layer=i, get_state=True, get_output=True)
+            st = [MLP(input_dim=shape, layers=layers_s, activations="selu",
+                      kernel_initializer="lecun_normal", bias_initializer="lecun_normal")
+                  for shape in inp_s]
+            ot = MLP(input_dim=(ds,), layers=[2], activations="softmax",
+                     kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+            return CompositeGNNgraphBased(st, ot, ds, 2, 0.01)
+
+        clgnn = CompositeLGNN([make_layer(i) for i in range(2)], True, True)
+        clgnn.build(seed=2)
+        clgnn.save(str(tmp_path / "cl"))
+        l2 = CompositeLGNN.load(str(tmp_path / "cl"))
+        assert l2.LAYERS == 2
+        assert l2.GNN_CLASS is CompositeGNNgraphBased
+        assert len(l2.gnns[0].net_state) == 1
+        for a, b in zip(jax.tree_util.tree_leaves(clgnn.variables), jax.tree_util.tree_leaves(l2.variables)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
