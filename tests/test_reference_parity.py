@@ -202,3 +202,71 @@ def test_training_mode_bn_parity():
     n = nodes.shape[0]
     np.testing.assert_allclose(np.asarray(state)[:n], state_ref, rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(out)[:n], out_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_forward_parity_dim_state():
+    """dim_state>0: random state init + aggregated neighbor labels + [state |
+    label] readout concat.  The reference draws its init from tf.random
+    (GNN.py:257); inject our jax-drawn init so both unfoldings start from the
+    same state."""
+    import jax
+
+    ds = 7
+    nodes, arcs, targets = rand_graph_arrays(seed=31, focus="n")
+    n = nodes.shape[0]
+    g_ref = make_ref_graph(nodes, arcs, targets, "n", "average")
+    from gnnkeras_tpu.graph.graph import GraphObject as OurGO
+
+    g_our = OurGO(nodes=nodes.copy(), arcs=arcs.copy(), targets=targets.copy(), focus="n",
+                  aggregation_mode="average")
+
+    from GNN.Models.MLP import get_inout_dims as rgid
+
+    inp_s, layers_s = rgid("state", 3, 2, 2, "n", ds)
+    inp_o, layers_o = rgid("output", 3, 2, 2, "n", ds)
+    ref_st = RefMLP(input_dim=inp_s[0], layers=[int(u) for u in np.ravel(layers_s)], activations="selu",
+                    kernel_initializer="lecun_normal", bias_initializer="lecun_normal")
+    ref_out = RefMLP(input_dim=inp_o[0], layers=[int(u) for u in np.ravel(layers_o)], activations="softmax",
+                     kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+    ref_gnn = RefGNNnode(ref_st, ref_out, ds, 8, 0.01)
+
+    from gnnkeras_tpu.models.gnn import GNNnodeBased as OurGNN
+    from gnnkeras_tpu.models.mlp import MLP as OurMLP
+
+    our_st = OurMLP(input_dim=inp_s[0], layers=layers_s, activations="selu",
+                    kernel_initializer="lecun_normal", bias_initializer="lecun_normal")
+    our_out = OurMLP(input_dim=inp_o[0], layers=layers_o, activations="softmax",
+                     kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+    our_gnn = OurGNN(our_st, our_out, ds, 8, 0.01)
+    our_gnn.build(seed=0)
+    our_gnn.variables = {
+        "params": {
+            "net_state": transplant_keras_to_ours(ref_st, our_st, {"params": our_gnn.variables["params"]["net_state"], "state": our_gnn.variables["state"]["net_state"]})["params"],
+            "net_output": transplant_keras_to_ours(ref_out, our_out, {"params": our_gnn.variables["params"]["net_output"], "state": our_gnn.variables["state"]["net_output"]})["params"],
+        },
+        "state": our_gnn.variables["state"],
+    }
+
+    # the exact state init our unfold will draw with this key: forward splits
+    # the key, and the padded batch draws (pad_nodes, ds) — the reference gets
+    # the first n rows of that same draw.
+    key = jax.random.PRNGKey(5)
+    rng_loop, rng_out = jax.random.split(key)
+    state0_padded = np.asarray(0.1 * jax.random.normal(rng_loop, (16, ds), dtype=np.float32))
+    state0 = state0_padded[:n]
+
+    original_normal = tf.random.normal
+    tf.random.normal = lambda shape, stddev=0.1, dtype=None, **kw: tf.constant(state0)
+    try:
+        k_ref, state_ref, out_ref = run_reference(ref_gnn, g_ref)
+    finally:
+        tf.random.normal = original_normal
+
+    from gnnkeras_tpu.graph.batch import from_graph_object as fgo
+
+    batch = fgo(g_our, pad_nodes=16, pad_arcs=32)
+    k, state, out, mask, _ = our_gnn.forward(our_gnn.variables, batch, training=False, rng=key)
+
+    assert float(k) == k_ref
+    np.testing.assert_allclose(np.asarray(state)[:n], state_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out)[:n], out_ref, rtol=1e-4, atol=1e-5)
