@@ -141,6 +141,10 @@ class MultiGraphSequencer:
             "aggregation_mode": self.aggregation_mode,
             "batch_size": self.batch_size,
             "shuffle": self.shuffle,
+            "pad_multiple": self.pad_multiple,
+            "agg_dtype": self.agg_dtype,
+            "shuffle_mode": self.shuffle_mode,
+            "tile_pack": self.tile_pack,
         }
 
     @classmethod
@@ -227,6 +231,8 @@ class SingleGraphSequencer(MultiGraphSequencer):
             "focus": self.focus,
             "batch_size": self.batch_size,
             "shuffle": self.shuffle,
+            "pad_multiple": self.pad_multiple,
+            "agg_dtype": self.agg_dtype,
         }
 
     def copy(self):
