@@ -160,13 +160,37 @@ class GNNConfig:
             )
         return model
 
-    def build_sequencer(self, graphs, shuffle: bool = True):
+    def build_sequencer(self, graphs, shuffle: bool = True, transductive_rate: Optional[float] = None):
+        """Sequencer factory: multi-graph by default, single-graph when one
+        GraphObject is passed, transductive when a rate is given."""
         from gnnkeras_tpu.data.sequencers import (
             CompositeMultiGraphSequencer,
+            CompositeSingleGraphSequencer,
             MultiGraphSequencer,
+            SingleGraphSequencer,
         )
-        from gnnkeras_tpu.graph.graph import CompositeGraphObject
+        from gnnkeras_tpu.data.transductive import (
+            TransductiveMultiGraphSequencer,
+            TransductiveSingleGraphSequencer,
+        )
+        from gnnkeras_tpu.graph.graph import CompositeGraphObject, GraphObject
 
+        single = isinstance(graphs, GraphObject)
+        if transductive_rate is not None:
+            if single:
+                return TransductiveSingleGraphSequencer(
+                    graphs, self.focus, transductive_rate, self.batch_size, shuffle
+                )
+            return TransductiveMultiGraphSequencer(
+                graphs, self.focus, self.aggregation_mode, transductive_rate, self.batch_size, shuffle
+            )
+        if single:
+            cls = (
+                CompositeSingleGraphSequencer
+                if isinstance(graphs, CompositeGraphObject)
+                else SingleGraphSequencer
+            )
+            return cls(graphs, self.focus, self.batch_size, shuffle)
         cls = (
             CompositeMultiGraphSequencer
             if isinstance(graphs[0], CompositeGraphObject)
