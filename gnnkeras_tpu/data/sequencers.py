@@ -204,17 +204,32 @@ class SingleGraphSequencer(MultiGraphSequencer):
         return self.graph
 
     def build_batches(self) -> None:
+        import jax.numpy as jnp
+
         n_batches = len(self)
         self.batch_masks = np.zeros((n_batches, len(self.graph.set_mask)), dtype=bool)
         for i in range(n_batches):
             self.batch_masks[i, self.set_mask_idx[i * self.batch_size : (i + 1) * self.batch_size]] = True
-        self.batches = [
-            from_graph_object(
-                self.graph, self._pad_nodes, self._pad_arcs,
-                set_mask_override=self.batch_masks[i], agg_dtype=self.agg_dtype,
+
+        # the topology (and its BCSR operators) is shared by every batch —
+        # build it once and vary only the set/target masks per batch.
+        base = from_graph_object(
+            self.graph, self._pad_nodes, self._pad_arcs,
+            set_mask_override=self.batch_masks[0] if n_batches else None,
+            agg_dtype=self.agg_dtype,
+        )
+        self.batches = [base]
+        m_rows = base.set_mask.shape[0]
+        out_idx = np.flatnonzero(self.graph.output_mask)
+        for i in range(1, n_batches):
+            bm = self.batch_masks[i]
+            sm = np.zeros(m_rows, dtype=bool)
+            sm[: len(bm)] = bm
+            tm = np.zeros(base.target_mask.shape[0], dtype=bool)
+            tm[out_idx] = bm[out_idx]
+            self.batches.append(
+                base.replace(set_mask=jnp.asarray(sm), target_mask=jnp.asarray(tm))
             )
-            for i in range(n_batches)
-        ]
 
     def __len__(self) -> int:
         return int(np.ceil(np.sum(self.graph.set_mask) / self.batch_size))

@@ -57,6 +57,8 @@ def _round_up(x: int, m: int) -> int:
         "publish_local",
         "publish_mask",
         "arc_src_halo",
+        "type_mask",
+        "arc_src_type",
     ],
     meta_fields=["focus", "dim_node_label", "n_parts", "nodes_per_part"],
 )
@@ -85,6 +87,9 @@ class PartitionedGraph:
     publish_local: Optional[jax.Array]  # (D, H) local rows each device publishes
     publish_mask: Optional[jax.Array]  # (D, H)
     arc_src_halo: Optional[jax.Array]  # (D, Ap) index into [local | gathered published]
+    # composite graphs:
+    type_mask: Optional[jax.Array]  # (D, Np, T) local node types
+    arc_src_type: Optional[jax.Array]  # (D, Ap, T) type one-hot of each edge's SOURCE
     focus: str
     dim_node_label: Tuple[int, ...]
     n_parts: int
@@ -119,6 +124,13 @@ def partition_graph(
     dtype = floatx()
     dn, da, t_dim = g.nodes.shape[1], g.DIM_ARC_LABEL, g.DIM_TARGET
 
+    from gnnkeras_tpu.graph.graph import CompositeGraphObject
+
+    composite = isinstance(g, CompositeGraphObject)
+    n_types = g.num_types if composite else 0
+    type_mask = np.zeros((n_parts, np_pad, n_types), bool) if composite else None
+    arc_src_type = np.zeros((n_parts, ap_pad, n_types), bool) if composite else None
+
     nodes = np.zeros((n_parts, np_pad, dn), dtype)
     node_mask = np.zeros((n_parts, np_pad), bool)
     a_srcg = np.zeros((n_parts, ap_pad), np.int32)
@@ -147,6 +159,9 @@ def partition_graph(
         nodes[p, :size] = g.nodes[lo:hi]
         node_mask[p, :size] = True
         e = edges_per_part[p]
+        if composite:
+            type_mask[p, :size] = g.type_mask[lo:hi]
+            arc_src_type[p, : len(e)] = g.type_mask[src[e]]
         a_srcg[p, : len(e)] = src_global_new[e]
         a_dstl[p, : len(e)] = dst[e] - lo
         a_w[p, : len(e)] = g.arcnode_weight[e]
@@ -213,6 +228,8 @@ def partition_graph(
         publish_local=None if publish_local is None else jnp.asarray(publish_local),
         publish_mask=None if publish_mask is None else jnp.asarray(publish_mask),
         arc_src_halo=None if arc_src_halo is None else jnp.asarray(arc_src_halo),
+        type_mask=None if type_mask is None else jnp.asarray(type_mask),
+        arc_src_type=None if arc_src_type is None else jnp.asarray(arc_src_type),
         focus=g.focus,
         dim_node_label=tuple(int(d) for d in g.DIM_NODE_LABEL),
         n_parts=n_parts,
@@ -239,6 +256,9 @@ class PartitionedGNN:
 
         if gnn.name == "graph":
             raise NotImplementedError("partitioned training supports node/arc focus")
+        from gnnkeras_tpu.models.composite import CompositeGNNnodeBased
+
+        self.composite = isinstance(gnn, CompositeGNNnodeBased)
         assert transport in ("collective", "pallas_ring")
         self.gnn = gnn
         self.axis = axis
@@ -279,18 +299,36 @@ class PartitionedGNN:
 
         agg_arcs = segment_sum(pg.arc_label * pg.arc_weight[:, None], pg.arc_dst_local, np_local)
 
+        agg_component = None
+        if self.composite:
+            # per-type neighbor-label aggregation (CompositeGNN.py:251-253):
+            # the source node's type gates the shared edge weights; source
+            # features may be remote → exchanged once.
+            ext_nodes = exchange(pg.nodes)
+            parts = []
+            for t, d_t in enumerate(pg.dim_node_label):
+                w_t = pg.arc_weight * pg.arc_src_type[:, t].astype(floatx())
+                parts.append(
+                    segment_sum(ext_nodes[src_ext][:, :d_t] * w_t[:, None], pg.arc_dst_local, np_local)
+                )
+            parts.append(agg_arcs)
+            agg_component = jnp.concatenate(parts, axis=1)
+
         if gnn.state_vect_dim > 0:
             my = jax.lax.axis_index(axis)
             state0 = 0.1 * jax.random.normal(
                 jax.random.fold_in(rng, my), (np_local, gnn.state_vect_dim), dtype=floatx()
             )
-            ext_nodes = exchange(pg.nodes)
-            agg_nodes = segment_sum(
-                ext_nodes[src_ext] * pg.arc_weight[:, None], pg.arc_dst_local, np_local
-            )
+            if not self.composite:
+                ext_nodes = exchange(pg.nodes)
+                agg_nodes = segment_sum(
+                    ext_nodes[src_ext] * pg.arc_weight[:, None], pg.arc_dst_local, np_local
+                )
+            else:
+                agg_nodes = None
         else:
             state0 = pg.nodes
-            agg_nodes = jnp.zeros((np_local, 0), dtype=floatx())
+            agg_nodes = None if self.composite else jnp.zeros((np_local, 0), dtype=floatx())
 
         state_old0 = jnp.ones_like(state0)
         bn0 = mstate["net_state"]
@@ -308,6 +346,30 @@ class PartitionedGNN:
             agg_states = segment_sum(
                 ext_state[src_ext] * pg.arc_weight[:, None], pg.arc_dst_local, np_local
             )
+            if self.composite:
+                # per-type expert MLPs on local rows (CompositeGNN.py:215-234)
+                state_width = gnn.state_vect_dim or pg.nodes.shape[1]
+                new_state = jnp.zeros((np_local, state_width), dtype=floatx())
+                new_bns = []
+                rngs_t = (
+                    jax.random.split(step_rng, len(gnn.net_state)) if training else [None] * len(gnn.net_state)
+                )
+                for t, (net, d_t) in enumerate(zip(gnn.net_state, pg.dim_node_label)):
+                    inp = jnp.concatenate(
+                        [pg.nodes[:, :d_t], state, agg_states, agg_component], axis=1
+                    )
+                    mask_t = jnp.logical_and(pg.type_mask[:, t], pg.node_mask)
+                    out_t, bn_t = net.apply(
+                        {"params": params["net_state"][t], "state": bn_state[t]},
+                        inp,
+                        training=training,
+                        mask=mask_t,
+                        rng=rngs_t[t],
+                        axis_name=axis,
+                    )
+                    new_state = new_state + jnp.where(mask_t[:, None], out_t, 0.0)
+                    new_bns.append(bn_t)
+                return new_state, new_bns
             components = [state]
             if gnn.state_vect_dim > 0:
                 components.append(pg.nodes)
@@ -359,15 +421,23 @@ class PartitionedGNN:
             pg.arc_mask if pg.focus == "a" else pg.node_mask,
         )
         if pg.focus == "a":
+            # composite arc readout takes the state only (CompositeGNN.py:315-327)
             state_c = (
-                jnp.concatenate([state, pg.nodes], axis=1) if gnn.state_vect_dim else state
+                jnp.concatenate([state, pg.nodes], axis=1)
+                if (gnn.state_vect_dim and not self.composite)
+                else state
             )
             ext_state_c = exchange(state_c)
             x = jnp.concatenate(
                 [ext_state_c[src_ext], state_c[pg.arc_dst_local], pg.arc_label], axis=1
             )
         else:
-            x = jnp.concatenate([state, pg.nodes], axis=1) if gnn.state_vect_dim else state
+            # composite node readout = converged state only (CompositeGNN.py:237-239)
+            x = (
+                jnp.concatenate([state, pg.nodes], axis=1)
+                if (gnn.state_vect_dim and not self.composite)
+                else state
+            )
         out, bn_out = gnn.net_output.apply(
             {"params": params["net_output"], "state": mstate["net_output"]},
             x,

@@ -201,3 +201,42 @@ class TestCompositeLGNNRoundtrip:
         assert len(l2.gnns[0].net_state) == 1
         for a, b in zip(jax.tree_util.tree_leaves(clgnn.variables), jax.tree_util.tree_leaves(l2.variables)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+class TestSingleGraphSequencer:
+    def test_batches_share_topology_and_mask_correctly(self):
+        rng = np.random.default_rng(11)
+        n, a = 60, 200
+        nodes = rng.normal(size=(n, 3))
+        arcs = np.concatenate([rng.integers(0, n, (a, 2)), rng.normal(size=(a, 2))], axis=1)
+        g = GraphObject(nodes=nodes, arcs=arcs, targets=rng.normal(size=(n, 2)), focus="n",
+                        aggregation_mode="average")
+        from gnnkeras_tpu.data.sequencers import SingleGraphSequencer
+
+        seq = SingleGraphSequencer(g, "n", batch_size=16, shuffle=False, pad_multiple=16)
+        assert len(seq) == int(np.ceil(n / 16))
+        # batches cover the supervised set exactly once
+        covered = np.zeros(n, dtype=int)
+        for i in range(len(seq)):
+            sm = np.asarray(seq[i].set_mask)[:n]
+            covered += sm.astype(int)
+        np.testing.assert_array_equal(covered, np.ones(n, dtype=int))
+        # topology arrays are the same object across batches (built once)
+        assert seq[0].arc_src is seq[1].arc_src
+        assert seq[0].nodes is seq[1].nodes
+
+    def test_training_on_single_graph(self):
+        rng = np.random.default_rng(12)
+        n, a = 50, 150
+        nodes = rng.normal(size=(n, 3))
+        arcs = np.concatenate([rng.integers(0, n, (a, 2)), rng.normal(size=(a, 2))], axis=1)
+        g = GraphObject(nodes=nodes, arcs=arcs, targets=rng.normal(size=(n, 2)), focus="n",
+                        aggregation_mode="average")
+        from gnnkeras_tpu.data.sequencers import SingleGraphSequencer
+
+        st, ot = homo_pair(focus="n")
+        gnn = GNNnodeBased(st, ot, 0, 3, 0.01)
+        gnn.compile(optimizer="adam:0.01", loss="mse")
+        seq = SingleGraphSequencer(g, "n", batch_size=16, shuffle=True, pad_multiple=16)
+        h = gnn.fit(seq, epochs=3, verbose=0)
+        assert h.history["loss"][-1] < h.history["loss"][0]

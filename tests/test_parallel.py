@@ -243,3 +243,47 @@ class TestHaloExchange:
         _, s2, o2, _ = p_ring.forward(pg, training=False)
         np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), rtol=1e-5, atol=1e-6)
+
+
+class TestPartitionedComposite:
+    def test_composite_partitioned_matches_single(self, mesh8):
+        from gnnkeras_tpu.graph.graph import CompositeGraphObject
+        from gnnkeras_tpu.models.composite import CompositeGNNnodeBased
+
+        rng = np.random.default_rng(21)
+        n, a, n_types = 160, 700, 3
+        dims = (2, 3, 4)
+        width = max(dims)
+        nodes = rng.normal(size=(n, width))
+        arcs = np.concatenate([rng.integers(0, n, (a, 2)), rng.normal(size=(a, 2))], axis=1)
+        tm = np.zeros((n, n_types), dtype=bool)
+        tm[np.arange(n), rng.integers(0, n_types, n)] = True
+        g = CompositeGraphObject(nodes=nodes, arcs=arcs, targets=rng.normal(size=(n, 2)),
+                                 type_mask=tm, dim_node_label=dims, focus="n",
+                                 aggregation_mode="composite_average")
+
+        # dim_state=0 → deterministic init; experts sized to the model's
+        # actual input widths (see test_expert_parallel for the formula note)
+        comp_w = int(np.sum(dims)) + 2
+        nets = [MLP(input_dim=(int(d_t) + width + width + comp_w,), layers=[width],
+                    activations="selu", kernel_initializer="lecun_normal",
+                    bias_initializer="lecun_normal") for d_t in dims]
+        ot = MLP(input_dim=(width,), layers=[2], activations="softmax",
+                 kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+        cgnn = CompositeGNNnodeBased(nets, ot, 0, 4, 0.01)
+        cgnn.build(seed=9)
+
+        batch = from_graph_object(g)
+        k_ref, state_ref, out_ref, _, _ = cgnn.forward(cgnn.variables, batch, training=True)
+
+        pg = partition_graph(g, 8)
+        assert pg.type_mask is not None
+        pgnn = PartitionedGNN(cgnn, mesh8)
+        k, state, out, _ = pgnn.forward(pg, training=True)
+
+        assert float(k) == float(k_ref)
+        got_s = np.asarray(state).reshape(-1, state.shape[-1])
+        got_o = np.asarray(out).reshape(-1, out.shape[-1])
+        mask = np.asarray(pg.node_mask).reshape(-1)
+        np.testing.assert_allclose(got_s[mask], np.asarray(state_ref)[:n], rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(got_o[mask], np.asarray(out_ref)[:n], rtol=2e-4, atol=1e-5)
