@@ -270,3 +270,95 @@ def test_forward_parity_dim_state():
     assert float(k) == k_ref
     np.testing.assert_allclose(np.asarray(state)[:n], state_ref, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out)[:n], out_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_composite_forward_parity():
+    """Composite (heterogeneous) activation parity: per-type transition MLPs,
+    type-gated neighbor-label aggregation, shared output MLP — same
+    transplanted weights and injected random init as the reference
+    CompositeGNNnodeBased."""
+    import jax
+
+    from GNN.Models.CompositeGNN import CompositeGNNnodeBased as RefCGNN
+    from GNN.composite_graph_class import (
+        CompositeGraphObject as RefCGO,
+        CompositeGraphTensor as RefCGT,
+    )
+
+    from gnnkeras_tpu.graph.batch import from_graph_object as fgo
+    from gnnkeras_tpu.graph.graph import CompositeGraphObject as OurCGO
+    from gnnkeras_tpu.models.composite import CompositeGNNnodeBased as OurCGNN
+    from gnnkeras_tpu.models.mlp import MLP as OurMLP
+
+    rng = np.random.default_rng(77)
+    n, a, n_types, ds = 9, 20, 2, 5
+    dims = (3, 4)
+    width = max(dims)
+    nodes = rng.normal(size=(n, width)).astype(np.float32)
+    arcs = np.unique(
+        np.concatenate([rng.integers(0, n, (a, 2)).astype(np.float32),
+                        rng.normal(size=(a, 2)).astype(np.float32)], axis=1), axis=0)
+    tm = np.zeros((n, n_types), dtype=bool)
+    tm[np.arange(n), rng.integers(0, n_types, n)] = True
+    targets = rng.normal(size=(n, 2)).astype(np.float32)
+
+    from scipy.sparse import coo_matrix
+
+    g_ref = RefCGO(nodes=nodes.copy(), arcs=arcs.copy(), targets=targets.copy(), type_mask=tm.copy(),
+                   dim_node_label=dims, focus="n", aggregation_mode="composite_average",
+                   NodeGraph=coo_matrix((n, 1), dtype=np.float32))
+    g_our = OurCGO(nodes=nodes.copy(), arcs=arcs.copy(), targets=targets.copy(), type_mask=tm.copy(),
+                   dim_node_label=dims, focus="n", aggregation_mode="composite_average")
+    np.testing.assert_allclose(g_our.arcnode_weight, g_ref.ArcNode.data, rtol=1e-6)
+
+    # per-type state MLPs with the model's true input widths; shared output
+    comp_w = int(np.sum(dims)) + 2
+    in_widths = [int(d) + 2 * ds + comp_w for d in dims]
+    ref_sts = [RefMLP(input_dim=(w,), layers=[ds], activations="selu",
+                      kernel_initializer="lecun_normal", bias_initializer="lecun_normal")
+               for w in in_widths]
+    ref_out = RefMLP(input_dim=(ds,), layers=[2], activations="softmax",
+                     kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+    ref_cgnn = RefCGNN(ref_sts, ref_out, ds, 6, 0.01)
+
+    our_sts = [OurMLP(input_dim=(w,), layers=[ds], activations="selu",
+                      kernel_initializer="lecun_normal", bias_initializer="lecun_normal")
+               for w in in_widths]
+    our_out = OurMLP(input_dim=(ds,), layers=[2], activations="softmax",
+                     kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+    our_cgnn = OurCGNN(our_sts, our_out, ds, 6, 0.01)
+    our_cgnn.build(seed=1)
+    new_params = {"net_state": [], "net_output": None}
+    for t, (rm, om) in enumerate(zip(ref_sts, our_sts)):
+        v = transplant_keras_to_ours(rm, om, {"params": our_cgnn.variables["params"]["net_state"][t],
+                                              "state": our_cgnn.variables["state"]["net_state"][t]})
+        new_params["net_state"].append(v["params"])
+    v = transplant_keras_to_ours(ref_out, our_out, {"params": our_cgnn.variables["params"]["net_output"],
+                                                    "state": our_cgnn.variables["state"]["net_output"]})
+    new_params["net_output"] = v["params"]
+    our_cgnn.variables = {"params": new_params, "state": our_cgnn.variables["state"]}
+
+    # exact random-init injection (pad 16 rows; reference gets the first n)
+    key = jax.random.PRNGKey(8)
+    rng_loop, rng_out = jax.random.split(key)
+    state0_padded = np.asarray(0.1 * jax.random.normal(rng_loop, (16, ds), dtype=np.float32))
+
+    gt = RefCGT.fromGraphObject(g_ref)
+    original_normal = tf.random.normal
+    tf.random.normal = lambda shape, stddev=0.1, dtype=None, **kw: tf.constant(state0_padded[:n])
+    try:
+        k_ref, state_ref, out_ref = [
+            x.numpy() if hasattr(x, "numpy") else float(x)
+            for x in ref_cgnn.Loop(gt.nodes, gt.arcs, gt.DIM_NODE_LABEL, gt.type_mask,
+                                   gt.set_mask, gt.output_mask, gt.CompositeAdjacencies,
+                                   gt.Adjacency, gt.ArcNode, gt.NodeGraph, training=False)
+        ]
+    finally:
+        tf.random.normal = original_normal
+
+    batch = fgo(g_our, pad_nodes=16, pad_arcs=32)
+    k, state, out, mask, _ = our_cgnn.forward(our_cgnn.variables, batch, training=False, rng=key)
+
+    assert float(k) == float(k_ref)
+    np.testing.assert_allclose(np.asarray(state)[:n], state_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out)[:n], out_ref, rtol=1e-4, atol=1e-5)
