@@ -123,4 +123,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # always emit the one JSON line the driver records
+        print(json.dumps({
+            "metric": "transition_edges_per_s",
+            "value": 0,
+            "unit": "edges/s/chip",
+            "vs_baseline": 0.0,
+            "error": f"{type(exc).__name__}: {exc}"[:300],
+        }))
+        raise
