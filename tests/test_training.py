@@ -163,3 +163,59 @@ class TestFitResume:
         gnn3 = toy_model()
         h3 = gnn3.fit(seq, epochs=5, checkpoint_dir=d, resume=True, verbose=0)
         assert len(h3.history.get("loss", [])) == 0
+
+
+class TestArcFocusTraining:
+    def test_arc_focused_end_to_end(self):
+        rng = np.random.default_rng(31)
+        graphs = []
+        for _ in range(8):
+            n, a = int(rng.integers(6, 12)), int(rng.integers(10, 20))
+            nodes = rng.normal(size=(n, 3))
+            arcs = np.concatenate([rng.integers(0, n, (a, 2)), rng.normal(size=(a, 2))], axis=1)
+            g_tmp = GraphObject(nodes=nodes, arcs=arcs, targets=np.ones((1, 1)), focus="g")
+            targets = rng.normal(size=(g_tmp.arcs.shape[0], 2))
+            graphs.append(GraphObject(nodes=nodes, arcs=g_tmp.arcs, targets=targets, focus="a",
+                                      aggregation_mode="average"))
+        from gnnkeras_tpu.models.gnn import GNNarcBased
+
+        inp_s, layers_s = get_inout_dims("state", 3, 2, 2, "a", 0)
+        inp_o, layers_o = get_inout_dims("output", 3, 2, 2, "a", 0)
+        gnn = GNNarcBased(
+            MLP(input_dim=inp_s[0], layers=layers_s, activations="selu",
+                kernel_initializer="lecun_normal", bias_initializer="lecun_normal"),
+            MLP(input_dim=inp_o[0], layers=layers_o, activations="linear",
+                kernel_initializer="glorot_normal", bias_initializer="zeros"),
+            0, 3, 0.01,
+        )
+        gnn.compile(optimizer="adam:0.01", loss="mse")
+        seq = MultiGraphSequencer(graphs, "a", "average", batch_size=4, shuffle=False, pad_multiple=16)
+        h = gnn.fit(seq, epochs=4, verbose=0)
+        assert h.history["loss"][-1] < h.history["loss"][0]
+        preds = gnn.predict(seq)
+        assert preds.shape == (sum(g.arcs.shape[0] for g in graphs), 2)
+
+
+class TestRegularization:
+    def test_l2_regularizer_contributes_to_loss(self):
+        inp_s, layers_s = get_inout_dims("state", 3, 2, 2, "g", 0)
+        inp_o, layers_o = get_inout_dims("output", 3, 2, 2, "g", 0)
+        def build(reg):
+            gnn = GNNgraphBased(
+                MLP(input_dim=inp_s[0], layers=layers_s, activations="selu",
+                    kernel_initializer="lecun_normal", bias_initializer="lecun_normal",
+                    kernel_regularizer=reg),
+                MLP(input_dim=inp_o[0], layers=layers_o, activations="softmax",
+                    kernel_initializer="glorot_normal", bias_initializer="glorot_normal"),
+                0, 2, 0.01,
+            )
+            gnn.compile(optimizer="adam:0.01", loss="categorical_crossentropy")
+            gnn.build(seed=4)
+            return gnn
+
+        seq = MultiGraphSequencer(toy_graphs(), "g", "average", batch_size=6, shuffle=False, pad_multiple=16)
+        plain, reg = build(None), build("l2")
+        # identical seeds → same params; the regularized loss must be larger
+        e_plain = plain.evaluate(seq)
+        e_reg = reg.evaluate(seq)
+        assert e_reg["loss"] > e_plain["loss"]
