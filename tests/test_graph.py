@@ -212,3 +212,57 @@ class TestSetAggregation:
         assert not np.allclose(w_sum, g.arcnode_weight)
         g.setAggregation("sum")
         np.testing.assert_allclose(g.arcnode_weight, w_sum)
+
+
+class TestDegenerateGraphs:
+    def test_graph_with_no_arcs(self):
+        g = GraphObject(nodes=np.ones((3, 2)), arcs=np.zeros((0, 4)), targets=np.ones((3, 1)),
+                        focus="n", aggregation_mode="sum")
+        assert g.arcs.shape[0] == 0
+        assert g.arcnode_weight.shape == (0,)
+
+        from gnnkeras_tpu.graph.batch import from_graph_object
+
+        b = from_graph_object(g, pad_nodes=128, pad_arcs=8)
+        import jax.numpy as jnp
+
+        agg = b.aggregate(jnp.ones((128, 2)))
+        np.testing.assert_allclose(np.asarray(agg), 0.0)
+
+    def test_single_node_graph(self):
+        g = GraphObject(nodes=np.ones((1, 2)), arcs=np.array([[0, 0, 1.0]]), targets=np.ones((1, 1)),
+                        focus="n", aggregation_mode="average")
+        assert g.arcnode_weight[0] == 1.0
+
+    def test_isolated_nodes_receive_nothing(self):
+        # node 2 has no incoming arcs
+        g = GraphObject(nodes=np.ones((3, 2)), arcs=np.array([[0, 1, 1.0]]), targets=np.ones((3, 1)),
+                        focus="n", aggregation_mode="average")
+        from gnnkeras_tpu.graph.batch import from_graph_object
+        import jax.numpy as jnp
+
+        b = from_graph_object(g, pad_nodes=128, pad_arcs=8)
+        agg = np.asarray(b.aggregate(jnp.ones((128, 2))))
+        np.testing.assert_allclose(agg[2], 0.0)
+        np.testing.assert_allclose(agg[1], 1.0)
+
+    def test_forward_on_arcless_graph(self):
+        from gnnkeras_tpu.graph.batch import from_graph_object
+        from gnnkeras_tpu.models.gnn import GNNnodeBased
+        from gnnkeras_tpu.models.mlp import MLP, get_inout_dims
+
+        g = GraphObject(nodes=np.random.default_rng(0).normal(size=(4, 3)), arcs=np.zeros((0, 4)),
+                        targets=np.ones((4, 2)), focus="n", aggregation_mode="sum")
+        inp_s, layers_s = get_inout_dims("state", 3, 2, 2, "n", 0)
+        inp_o, layers_o = get_inout_dims("output", 3, 2, 2, "n", 0)
+        gnn = GNNnodeBased(
+            MLP(input_dim=inp_s[0], layers=layers_s, activations="selu",
+                kernel_initializer="lecun_normal", bias_initializer="lecun_normal"),
+            MLP(input_dim=inp_o[0], layers=layers_o, activations="softmax",
+                kernel_initializer="glorot_normal", bias_initializer="glorot_normal"),
+            0, 3, 0.01,
+        )
+        gnn.build(seed=0)
+        b = from_graph_object(g, pad_nodes=128, pad_arcs=8)
+        k, state, out, mask, _ = gnn.forward(gnn.variables, b, training=True)
+        assert np.all(np.isfinite(np.asarray(out)))
