@@ -362,3 +362,72 @@ def test_composite_forward_parity():
     assert float(k) == float(k_ref)
     np.testing.assert_allclose(np.asarray(state)[:n], state_ref, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out)[:n], out_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_lgnn_stack_parity():
+    """Layered-stack parity: per-layer ks, states and outputs of a 3-layer
+    node-focused LGNN (get_state & get_output) vs the reference LGNN.Loop —
+    covers update_graph feature propagation (LGNN.py:175-214) end-to-end."""
+    from GNN.Models.LGNN import LGNN as RefLGNN
+
+    from gnnkeras_tpu.graph.batch import from_graph_object as fgo
+    from gnnkeras_tpu.graph.graph import GraphObject as OurGO
+    from gnnkeras_tpu.models.gnn import GNNnodeBased as OurGNN
+    from gnnkeras_tpu.models.lgnn import LGNN as OurLGNN
+    from gnnkeras_tpu.models.mlp import MLP as OurMLP
+
+    nodes, arcs, targets = rand_graph_arrays(seed=51, focus="n")
+    n = nodes.shape[0]
+    g_ref = make_ref_graph(nodes, arcs, targets, "n", "average")
+    g_our = OurGO(nodes=nodes.copy(), arcs=arcs.copy(), targets=targets.copy(), focus="n",
+                  aggregation_mode="average")
+
+    layers = 3
+    ref_gnns, our_gnns = [], []
+    for i in range(layers):
+        inp_s, layers_s = ref_get_inout_dims("state", 3, 2, 2, "n", 0, layer=i,
+                                             get_state=True, get_output=True)
+        inp_o, layers_o = ref_get_inout_dims("output", 3, 2, 2, "n", 0, layer=i,
+                                             get_state=True, get_output=True)
+        r_st = RefMLP(input_dim=inp_s[0], layers=[int(u) for u in np.ravel(layers_s)], activations="selu",
+                      kernel_initializer="lecun_normal", bias_initializer="lecun_normal")
+        r_ot = RefMLP(input_dim=inp_o[0], layers=[int(u) for u in np.ravel(layers_o)], activations="softmax",
+                      kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+        ref_gnns.append(RefGNNnode(r_st, r_ot, 0, 4, 0.01))
+
+        o_st = OurMLP(input_dim=inp_s[0], layers=layers_s, activations="selu",
+                      kernel_initializer="lecun_normal", bias_initializer="lecun_normal")
+        o_ot = OurMLP(input_dim=inp_o[0], layers=layers_o, activations="softmax",
+                      kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+        our_gnns.append(OurGNN(o_st, o_ot, 0, 4, 0.01))
+
+    ref_lgnn = RefLGNN(ref_gnns, get_state=True, get_output=True)
+    our_lgnn = OurLGNN(our_gnns, get_state=True, get_output=True)
+    our_lgnn.build(seed=0)
+
+    params = {"gnns": []}
+    for i in range(layers):
+        sub = our_lgnn.variables["params"]["gnns"][i]
+        sub_state = our_lgnn.variables["state"]["gnns"][i]
+        vs = transplant_keras_to_ours(ref_gnns[i].net_state, our_gnns[i].net_state,
+                                      {"params": sub["net_state"], "state": sub_state["net_state"]})
+        vo = transplant_keras_to_ours(ref_gnns[i].net_output, our_gnns[i].net_output,
+                                      {"params": sub["net_output"], "state": sub_state["net_output"]})
+        params["gnns"].append({"net_state": vs["params"], "net_output": vo["params"]})
+    our_lgnn.variables = {"params": params, "state": our_lgnn.variables["state"]}
+
+    gt = RefGraphTensor.fromGraphObject(g_ref)
+    ks_ref, states_ref, outs_ref = ref_lgnn.Loop(
+        gt.nodes, gt.arcs, gt.DIM_NODE_LABEL, gt.set_mask, gt.output_mask,
+        gt.Adjacency, gt.ArcNode, gt.NodeGraph, training=False,
+    )
+
+    batch = fgo(g_our, pad_nodes=16, pad_arcs=32)
+    ks, states, outs, out_mask, _ = our_lgnn.forward(our_lgnn.variables, batch, training=False)
+
+    for i in range(layers):
+        assert float(ks[i]) == float(ks_ref[i]), f"layer {i} iteration count"
+        np.testing.assert_allclose(np.asarray(states[i])[:n], states_ref[i].numpy(),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"layer {i} state")
+        np.testing.assert_allclose(np.asarray(outs[i])[:n], outs_ref[i].numpy(),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"layer {i} output")
