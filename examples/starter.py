@@ -62,6 +62,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=epochs)
     parser.add_argument("--fit", choices=["gnn", "lgnn", "none"], default="gnn")
+    parser.add_argument("--mode", choices=["serial", "parallel", "residual"], default=training_mode)
     parser.add_argument("--seed", type=int, default=None)
     args = parser.parse_args()
 
@@ -106,7 +107,7 @@ def main():
         get_state, get_output,
     )
     lgnn.compile(optimizer=optimizer, loss=loss_function, average_st_grads=True,
-                 metrics=["accuracy"], training_mode=training_mode)
+                 metrics=["accuracy"], training_mode=args.mode)
 
     ### DATA PROCESSING
     gTr_seq = MultiGraphSequencer(gTr, focus, aggregation_mode, batch_size)
