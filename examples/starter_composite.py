@@ -52,6 +52,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=epochs)
     parser.add_argument("--fit", choices=["gnn", "lgnn", "none"], default="gnn")
+    parser.add_argument("--mode", choices=["serial", "parallel", "residual"], default=training_mode)
     parser.add_argument("--seed", type=int, default=None)
     args = parser.parse_args()
 
@@ -94,7 +95,7 @@ def main():
         get_state, get_output,
     )
     lgnn.compile(optimizer=optimizer, loss=loss_function, average_st_grads=True,
-                 metrics=["accuracy", "mse"], training_mode=training_mode)
+                 metrics=["accuracy", "mse"], training_mode=args.mode)
 
     gTr_seq = CompositeMultiGraphSequencer(gTr, focus, aggregation_mode, batch_size)
     gVa_seq = CompositeMultiGraphSequencer(gVa, focus, aggregation_mode, batch_size, shuffle=False)

@@ -298,3 +298,50 @@ class TestPartitionedComposite:
         mask = np.asarray(pg.node_mask).reshape(-1)
         np.testing.assert_allclose(got_s[mask], np.asarray(state_ref)[:n], rtol=2e-4, atol=1e-5)
         np.testing.assert_allclose(got_o[mask], np.asarray(out_ref)[:n], rtol=2e-4, atol=1e-5)
+
+
+class TestHybridStep:
+    def test_hybrid_dp1_equals_partitioned_step(self, mesh8):
+        """With a single data replica the hybrid (data x graph) step must
+        produce the same loss and updated params as the plain partitioned
+        step."""
+        from gnnkeras_tpu.parallel.hybrid import make_hybrid_train_step, stack_partitioned
+        from gnnkeras_tpu.parallel.mesh import make_mesh
+
+        g = big_graph(seed=8)
+        def fresh_gnn():
+            gnn = build_gnn(GNNnodeBased, "n")
+            gnn.compile(optimizer="adam:0.01", loss="mse")
+            gnn.build(seed=5)
+            gnn._opt_state = gnn.optimizer.init(gnn.variables["params"])
+            return gnn
+
+        pg = partition_graph(g, 8)
+
+        # plain partitioned step
+        gnn1 = fresh_gnn()
+        p1 = PartitionedGNN(gnn1, mesh8)
+        step1 = p1.make_train_step()
+        params1, _, _, logs1 = step1(
+            gnn1.variables["params"], gnn1.variables["state"], gnn1._opt_state, pg, jax.random.PRNGKey(3)
+        )
+
+        # hybrid with dp=1
+        mesh_h = make_mesh(("data", "graph"), shape=(1, 8))
+        gnn2 = fresh_gnn()
+        p2 = PartitionedGNN(gnn2, mesh_h)
+        step2 = make_hybrid_train_step(p2, mesh_h)
+        stacked = stack_partitioned([pg])
+        rng = jax.random.fold_in(jax.random.PRNGKey(3), 0)  # hybrid folds in the data index
+        # reproduce the same rng the plain step saw: plain used PRNGKey(3)
+        # directly, hybrid folds index 0 — feed a key whose fold_in(0) == PRNGKey(3)?
+        # instead just assert the hybrid step runs and is finite & close:
+        params2, _, _, logs2 = step2(
+            gnn2.variables["params"], gnn2.variables["state"], gnn2._opt_state, stacked, jax.random.PRNGKey(3)
+        )
+        assert np.isfinite(float(logs2["loss"]))
+        # deterministic dim_state=0 path: the rng only affects dropout (none),
+        # so losses must match exactly
+        assert float(logs1["loss"]) == pytest.approx(float(logs2["loss"]), rel=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(params1), jax.tree_util.tree_leaves(params2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
