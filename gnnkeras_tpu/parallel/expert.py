@@ -230,3 +230,88 @@ class ExpertParallelCompositeGNN:
         )
         self.stacked_state = new_sstate
         return k, state, out, out_mask
+
+    # -- training ----------------------------------------------------------------
+    def make_train_step(self, opt_e_template, opt_o_template):
+        """Jitted expert-parallel train step.  Expert params/grads/optimizer
+        state stay sharded over the expert axis (each device optimizes only
+        its experts); the shared output head is replicated with pmean'd
+        grads.  Spec trees are derived per-leaf because optimizer states carry
+        unshardable scalar leaves (optax count)."""
+        if "train" in self._cache:
+            return self._cache["train"]
+        gnn, axis = self.cgnn, self.axis
+        loss_fn = gnn.loss
+        if loss_fn is None:
+            raise RuntimeError("compile() the wrapped composite model before training")
+        import optax
+
+        from gnnkeras_tpu.training.losses import masked_mean
+
+        def device_step(sparams, sstate, out_p, out_s, opt_e, opt_o, batch, rng):
+            def objective(sp, op):
+                k, state, out, out_mask, bn_e, bn_o = self._local_forward(
+                    sp, sstate, op, out_s, batch, rng, True
+                )
+                loss = masked_mean(loss_fn(batch.targets, out), batch.target_mask, batch.sample_weight)
+                return loss, (k, bn_e, bn_o)
+
+            (loss, (k, bn_e, bn_o)), (g_sp, g_op) = jax.value_and_grad(
+                objective, argnums=(0, 1), has_aux=True
+            )(sparams, out_p)
+            g_op = jax.lax.pmean(g_op, axis)  # replicated head: identical everywhere
+
+            upd_e, opt_e = gnn.optimizer.update(g_sp, opt_e, sparams)
+            sparams = optax.apply_updates(sparams, upd_e)
+            upd_o, opt_o = gnn.optimizer.update(g_op, opt_o, out_p)
+            out_p = optax.apply_updates(out_p, upd_o)
+            return sparams, bn_e, out_p, bn_o, opt_e, opt_o, {"loss": loss, "k": k}
+
+        def sharded_specs(tree):
+            return jax.tree_util.tree_map(
+                lambda x: P(axis) if getattr(x, "ndim", 0) > 0 else P(), tree
+            )
+
+        opt_e_spec = sharded_specs(opt_e_template)
+        sharded = shard_map(
+            device_step,
+            mesh=self.mesh,
+            in_specs=(P(axis), P(axis), P(), P(), opt_e_spec, P(), P(), P()),
+            out_specs=(P(axis), P(axis), P(), P(), opt_e_spec, P(), P()),
+            check_vma=False,
+        )
+        step = jax.jit(sharded, donate_argnums=(0, 1, 2, 3, 4, 5))
+        self._cache["train"] = step
+        return step
+
+    def fit(self, sequencer, epochs: int = 1, verbose: int = 1, seed: int = 0):
+        """Expert-parallel training over a (composite) sequencer."""
+        import time
+
+        gnn = self.cgnn
+        if gnn.optimizer is None:
+            raise RuntimeError("compile() the wrapped composite model before fit()")
+        opt_e = gnn.optimizer.init(self.stacked_params)
+        out_p = gnn.variables["params"]["net_output"]
+        out_s = gnn.variables["state"]["net_output"]
+        opt_o = gnn.optimizer.init(out_p)
+        step = self.make_train_step(opt_e, opt_o)
+        sparams, sstate = self.stacked_params, self.stacked_state
+
+        history = {"loss": []}
+        for epoch in range(epochs):
+            t0 = time.perf_counter()
+            losses = []
+            for i in range(len(sequencer)):
+                sparams, sstate, out_p, out_s, opt_e, opt_o, logs = step(
+                    sparams, sstate, out_p, out_s, opt_e, opt_o, sequencer[i], gnn.next_rng()
+                )
+                losses.append(float(logs["loss"]))
+            sequencer.on_epoch_end()
+            history["loss"].append(float(np.mean(losses)))
+            if verbose:
+                print(f"Epoch {epoch + 1}/{epochs} [{time.perf_counter() - t0:.1f}s] loss: {history['loss'][-1]:.4f}")
+        self.stacked_params, self.stacked_state = sparams, sstate
+        gnn.variables["params"]["net_output"] = out_p
+        gnn.variables["state"]["net_output"] = out_s
+        return history

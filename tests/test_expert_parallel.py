@@ -115,3 +115,30 @@ class TestExpertParallel:
         assert float(k) == float(k_ref)
         np.testing.assert_allclose(np.asarray(state), np.asarray(state_ref), rtol=2e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), rtol=2e-4, atol=1e-5)
+
+
+class TestExpertParallelTraining:
+    def test_ep_training_reduces_loss(self, mesh4):
+        from gnnkeras_tpu.data.sequencers import CompositeMultiGraphSequencer
+
+        rng = np.random.default_rng(13)
+        graphs = []
+        for _ in range(8):
+            n, a, n_types = int(rng.integers(12, 24)), int(rng.integers(30, 60)), 4
+            dims = (2, 3, 4, 3)
+            width = max(dims)
+            nodes = rng.normal(size=(n, width))
+            arcs = np.concatenate([rng.integers(0, n, (a, 2)), rng.normal(size=(a, 2))], axis=1)
+            tm = np.zeros((n, n_types), dtype=bool)
+            tm[np.arange(n), rng.integers(0, n_types, n)] = True
+            graphs.append(CompositeGraphObject(
+                nodes=nodes, arcs=arcs, targets=rng.normal(size=(n, 2)), type_mask=tm,
+                dim_node_label=dims, focus="n", aggregation_mode="composite_average"))
+
+        cgnn = build_composite(graphs[0], dim_state=5, max_iter=3)
+        cgnn.compile(optimizer="adam:0.01", loss="mse")
+        ep = ExpertParallelCompositeGNN(cgnn, mesh4)
+        seq = CompositeMultiGraphSequencer(graphs, "n", "composite_average", batch_size=4,
+                                           shuffle=False, pad_multiple=16)
+        h = ep.fit(seq, epochs=6, verbose=0)
+        assert h["loss"][-1] < h["loss"][0]
