@@ -36,6 +36,8 @@ from gnnkeras_tpu.data.transductive import (
     TransductiveMultiGraphSequencer,
     TransductiveSingleGraphSequencer,
 )
+from gnnkeras_tpu.config import GNNConfig
+from gnnkeras_tpu.data.mutag import load_mutag
 
 __version__ = "0.1.0"
 
@@ -60,4 +62,6 @@ __all__ = [
     "CompositeSingleGraphSequencer",
     "TransductiveMultiGraphSequencer",
     "TransductiveSingleGraphSequencer",
+    "GNNConfig",
+    "load_mutag",
 ]

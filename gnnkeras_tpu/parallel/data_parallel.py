@@ -143,3 +143,8 @@ class DataParallelTrainer:
         model.variables = {"params": params, "state": mstate}
         model._opt_state = opt_state
         return history
+
+    def evaluate(self, sequencer, **kwargs):
+        """Evaluation is cheap relative to training — delegate to the model's
+        single-device eval step on the synchronized (replicated) weights."""
+        return self.model.evaluate(sequencer, **kwargs)
