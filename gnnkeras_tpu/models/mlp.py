@@ -238,7 +238,9 @@ class MLP:
         if isinstance(input_dim, (int, np.integer)):
             input_dim = (int(input_dim),)
         self.input_dim = tuple(int(i) for i in input_dim)
-        units = [int(u) for u in np.ravel(list(layers))]
+        # flatten per element: get_inout_dims emits mixed int / ndarray entries
+        # (e.g. [hidden, array([out])]), which np.ravel rejects as ragged
+        units = [int(u) for x in list(layers) for u in np.ravel(x)]
         n = len(units)
 
         acts = _broadcast(activations, n, "activations")

@@ -8,8 +8,11 @@ from gnnkeras_tpu.parallel.data_parallel import (
 from gnnkeras_tpu.parallel.partition import partition_graph, PartitionedGraph, PartitionedGNN
 from gnnkeras_tpu.parallel.expert import ExpertParallelCompositeGNN
 from gnnkeras_tpu.parallel.hybrid import make_hybrid_train_step, stack_partitioned
+from gnnkeras_tpu.parallel.tensor_parallel import TensorParallelGNN, TensorParallelMLP
 
 __all__ = [
+    "TensorParallelGNN",
+    "TensorParallelMLP",
     "make_mesh",
     "device_count",
     "stack_batches",

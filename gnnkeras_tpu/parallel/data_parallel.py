@@ -110,10 +110,26 @@ class DataParallelTrainer:
             groups.append(shard_batches(stack_batches(group), self.mesh, self.axis))
         return groups
 
-    def fit(self, sequencer, epochs: int = 1, verbose: int = 1, seed: int = 0):
+    def fit(
+        self,
+        sequencer,
+        epochs: int = 1,
+        validation_data=None,
+        callbacks: Optional[list] = None,
+        verbose: int = 1,
+        seed: int = 0,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 1,
+        resume: bool = False,
+    ):
+        """Data-parallel fit with the full single-device surface: validation
+        data, callbacks (History/EarlyStopping), and resumable checkpointing —
+        scaling up must not cost early stopping or resume (mirrors
+        training/trainer.py fit)."""
         import time
 
-        from gnnkeras_tpu.training.trainer import _reduce_logs
+        from gnnkeras_tpu.training.callbacks import History
+        from gnnkeras_tpu.training.trainer import _reduce_logs, evaluate
 
         model = self.model
         if model.optimizer is None:
@@ -121,12 +137,37 @@ class DataParallelTrainer:
         model.build(seed=seed)
         if model._opt_state is None:
             model._opt_state = model.optimizer.init(model.variables["params"])
+
+        start_epoch = 0
+        if checkpoint_dir is not None:
+            from gnnkeras_tpu.training.checkpoint import CheckpointCallback
+
+            ckpt_cb = CheckpointCallback(checkpoint_dir, every_epochs=checkpoint_every)
+            if resume and ckpt_cb.manager.latest_step() is not None:
+                extra = ckpt_cb.manager.restore(model)
+                start_epoch = int(extra.get("epoch", -1)) + 1
+                if verbose:
+                    print(f"resumed from {checkpoint_dir} at epoch {start_epoch}")
+            callbacks = list(callbacks or []) + [ckpt_cb]
+
         if self._step is None:
             self._step = make_dp_train_step(model, self.mesh, self.axis)
 
+        history = History()
+        cbs = [history] + list(callbacks or [])
+        for cb in cbs:
+            cb.set_model(model)
+            cb.on_train_begin()
+
         params, mstate, opt_state = model.variables["params"], model.variables["state"], model._opt_state
-        history = {}
-        for epoch in range(epochs):
+        # the step needs mesh-replicated trees; callbacks/validation use the
+        # model's single-device view — convert at epoch granularity
+        rep = NamedSharding(self.mesh, P())
+        dev0 = jax.devices()[0]
+        to_rep = lambda t: jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), t)
+        to_dev0 = lambda t: jax.tree_util.tree_map(lambda x: jax.device_put(x, dev0), t)
+        params, mstate, opt_state = to_rep((params, mstate, opt_state))
+        for epoch in range(start_epoch, epochs):
             t0 = time.perf_counter()
             accum = []
             for stacked in self._device_groups(sequencer):
@@ -135,13 +176,28 @@ class DataParallelTrainer:
                 accum.append(logs)
             sequencer.on_epoch_end()
             logs = _reduce_logs(accum)
-            for key, value in logs.items():
-                history.setdefault(key, []).append(value)
+
+            model.variables = {"params": to_dev0(params), "state": to_dev0(mstate)}
+            model._opt_state = to_dev0(opt_state)
+            if validation_data is not None:
+                logs.update(evaluate(model, validation_data, verbose=0, prefix="val_", _return_raw=True))
             if verbose:
                 dt = time.perf_counter() - t0
                 print(f"Epoch {epoch + 1}/{epochs} [{dt:.1f}s] " + " - ".join(f"{k}: {v:.4f}" for k, v in logs.items()))
-        model.variables = {"params": params, "state": mstate}
-        model._opt_state = opt_state
+            stop = False
+            for cb in cbs:
+                cb.on_epoch_end(epoch, logs)
+                stop = stop or cb.stop_training
+            if stop:
+                break
+            # pick callback weight mutations back up (EarlyStopping restore)
+            params, mstate = to_rep((model.variables["params"], model.variables["state"]))
+            opt_state = to_rep(model._opt_state)
+
+        model.variables = {"params": to_dev0(params), "state": to_dev0(mstate)}
+        model._opt_state = to_dev0(opt_state)
+        for cb in cbs:
+            cb.on_train_end()
         return history
 
     def evaluate(self, sequencer, **kwargs):

@@ -38,34 +38,60 @@ from gnnkeras_tpu.utils.dtypes import floatx
 
 def _check_same_program(mlps) -> None:
     progs = [
-        [(l[0],) + ((l[1], l[2]) if l[0] == "dense" else ()) for l in m.program] for m in mlps
+        [
+            (l[0],) + ((l[1], l[2], repr(l[5]), repr(l[6])) if l[0] == "dense" else ())
+            for l in m.program
+        ]
+        for m in mlps
     ]
     if any(p != progs[0] for p in progs[1:]):
-        raise ValueError("expert parallelism requires all per-type MLPs to share the same layer program")
+        raise ValueError(
+            "expert parallelism requires all per-type MLPs to share the same layer "
+            "program (units, activations, regularizers)"
+        )
 
 
-def stack_expert_params(mlps, params_list: List[list], state_list: List[list], n_pad_types: int):
+def stack_expert_params(
+    mlps,
+    params_list: List[list],
+    state_list: List[list],
+    n_pad_types: int,
+    label_widths: Optional[List[int]] = None,
+):
     """Stack per-type MLP params along a new leading axis, zero-padding the
     width-dependent leaves (first dense kernel, first BatchNorm) to the widest
-    type.  Zero kernel rows make padded input columns inert, so stacked
-    execution is exactly equal to per-type execution."""
+    type.  With ``label_widths`` (= per-type ``dim_node_label``) the padding is
+    INSERTED after the label slice (rows d_t..d_max) so every expert consumes
+    the uniform input layout
+    ``[label(zero-padded to d_max) | state | agg_states | agg_component]`` —
+    which lets each device build inputs for its LOCAL experts only; without it
+    the padding is appended at the end (legacy all-types-input layout).  Zero
+    kernel rows make the padded columns inert, so stacked execution is exactly
+    equal to per-type execution."""
     _check_same_program(mlps)
     widths = [m.input_dim[0] for m in mlps]
     w_max = max(widths)
 
+    def insert_rows(v, at: int, n: int):
+        if n == 0:
+            return v
+        pad_shape = (n,) + v.shape[1:]
+        return jnp.concatenate([v[:at], jnp.zeros(pad_shape, v.dtype), v[at:]], axis=0)
+
     def pad_first_width(tree_list, layer_kinds):
         out = []
         for t, layers in enumerate(tree_list):
+            n_pad = w_max - widths[t]
+            at = label_widths[t] if label_widths is not None else widths[t]
             padded_layers = []
             first_width_done = False
             for kind, leafdict in zip(layer_kinds, layers):
                 d = dict(leafdict)
                 if not first_width_done and kind == "batch_norm":
-                    for key in d:
-                        d[key] = jnp.pad(d[key], (0, w_max - widths[t]))
+                    d = {key: insert_rows(v, at, n_pad) for key, v in d.items()}
                 elif not first_width_done and kind == "dense":
                     if "kernel" in d:
-                        d["kernel"] = jnp.pad(d["kernel"], ((0, w_max - widths[t]), (0, 0)))
+                        d["kernel"] = insert_rows(d["kernel"], at, n_pad)
                     first_width_done = True
                 padded_layers.append(d)
                 if kind == "dense":
@@ -99,27 +125,37 @@ class ExpertParallelCompositeGNN:
         self.n_types = len(cgnn.net_state)
         self.types_pad = -(-self.n_types // self.n_devices) * self.n_devices
         self._cache = {}
-
-        cgnn.build()
-        self.stacked_params, self.stacked_state, self.w_max = stack_expert_params(
-            cgnn.net_state,
-            cgnn.variables["params"]["net_state"],
-            cgnn.variables["state"]["net_state"],
-            self.types_pad,
-        )
         self.proto = cgnn.net_state[0]
+        self.stacked_params = None  # built lazily: label widths come from the batch
+        self.stacked_state = None
+        self.w_max = max(m.input_dim[0] for m in cgnn.net_state)
+        self._label_widths = None
+
+    def _ensure_stacked(self, batch: GraphBatch) -> None:
+        if self.stacked_params is not None:
+            return
+        self.cgnn.build()
+        self._label_widths = [int(d) for d in batch.dim_node_label]
+        self.stacked_params, self.stacked_state, self.w_max = stack_expert_params(
+            self.cgnn.net_state,
+            self.cgnn.variables["params"]["net_state"],
+            self.cgnn.variables["state"]["net_state"],
+            self.types_pad,
+            label_widths=self._label_widths,
+        )
 
     # -- expert inputs ---------------------------------------------------------
-    def _expert_inputs(self, batch: GraphBatch, state, agg_states, agg_component):
-        """(T_pad, N, w_max): each type's transition input with its label
-        slice zero-padded to the widest type (CompositeGNN.py:224 order)."""
-        n = batch.num_nodes
-        widths = [m.input_dim[0] for m in self.cgnn.net_state]
+    def _nodes_by_type(self, batch: GraphBatch):
+        """(T_pad, N, d_max): type t's node-label slice zero-padded to the
+        widest label.  Built OUTSIDE shard_map and sharded over the expert
+        axis, so each device only materializes its own experts' label slices;
+        the shared [state|aggs|component] tail is appended device-locally
+        (replaces the old all-types ``_expert_inputs``, which replicated
+        O(T_pad·N·w_max) work and memory on every device)."""
+        d_max = max(self._label_widths)
         rows = []
-        for t, d_t in enumerate(batch.dim_node_label):
-            inp = jnp.concatenate([batch.nodes[:, :d_t], state, agg_states, agg_component], axis=1)
-            inp = jnp.pad(inp, ((0, 0), (0, self.w_max - widths[t])))
-            rows.append(inp)
+        for d_t in self._label_widths:
+            rows.append(jnp.pad(batch.nodes[:, :d_t], ((0, 0), (0, d_max - d_t))))
         while len(rows) < self.types_pad:
             rows.append(jnp.zeros_like(rows[0]))
         return jnp.stack(rows, axis=0)
@@ -131,10 +167,14 @@ class ExpertParallelCompositeGNN:
         return jnp.stack(cols, axis=0)  # (T_pad, N)
 
     # -- forward (inside shard_map; leading expert axis local) ------------------
-    def _local_forward(self, sparams, sstate, out_params, out_state, batch, rng, training):
+    def _local_forward(self, sparams, sstate, out_params, out_state, local_nodes, local_masks, batch, rng, training):
+        """``local_nodes`` (t_local, N, d_max) / ``local_masks`` (t_local, N)
+        are this device's experts' label slices and node-type masks — the only
+        per-type buffers materialized per device."""
         gnn, axis, proto = self.cgnn, self.axis, self.proto
         n = batch.num_nodes
         agg_component = gnn._aggregated_component(batch)
+        t_local = self.types_pad // self.n_devices
 
         if gnn.state_vect_dim > 0:
             state0 = STATE_INIT_STDDEV * jax.random.normal(
@@ -143,7 +183,6 @@ class ExpertParallelCompositeGNN:
         else:
             state0 = batch.nodes
         state_old0 = jnp.ones_like(state0)
-        type_masks = self._type_masks(batch)  # sharded leading axis handled by caller slice
         state_width = gnn.state_vect_dim or batch.nodes.shape[1]
 
         apply_one = lambda p, s, x, m, r: proto.apply(
@@ -153,13 +192,17 @@ class ExpertParallelCompositeGNN:
 
         def transition(state, bn_states, step_rng):
             agg_states = batch.aggregate(state)
-            inputs = self._expert_inputs(batch, state, agg_states, agg_component)
-            # slice this device's experts
+            tail = jnp.concatenate([state, agg_states, agg_component], axis=1)
+            local_inputs = jnp.concatenate(
+                [local_nodes, jnp.broadcast_to(tail[None], (t_local,) + tail.shape)], axis=2
+            )
+            # per-expert rngs: the same split the single-device composite
+            # model draws (composite.py per-type rngs), sliced to this
+            # device's experts — distinct across devices, parity-preserving
             e = jax.lax.axis_index(axis)
-            t_local = self.types_pad // self.n_devices
-            local_inputs = jax.lax.dynamic_slice_in_dim(inputs, e * t_local, t_local, axis=0)
-            local_masks = jax.lax.dynamic_slice_in_dim(type_masks, e * t_local, t_local, axis=0)
-            rngs = jax.random.split(step_rng, t_local)
+            rngs = jax.lax.dynamic_slice_in_dim(
+                jax.random.split(step_rng, self.types_pad), e * t_local, t_local, axis=0
+            )
             outs, new_bn = vapply(sparams, bn_states, local_inputs, local_masks, rngs)
             partial = jnp.sum(jnp.where(local_masks[:, :, None], outs, 0.0), axis=0)
             new_state = jax.lax.psum(partial, axis)
@@ -199,13 +242,15 @@ class ExpertParallelCompositeGNN:
             return self._cache[key]
         axis = self.axis
 
-        def device_fn(sparams, sstate, out_params, out_state, batch, rng):
-            return self._local_forward(sparams, sstate, out_params, out_state, batch, rng, training)
+        def device_fn(sparams, sstate, out_params, out_state, local_nodes, local_masks, batch, rng):
+            return self._local_forward(
+                sparams, sstate, out_params, out_state, local_nodes, local_masks, batch, rng, training
+            )
 
         sharded = shard_map(
             device_fn,
             mesh=self.mesh,
-            in_specs=(P(axis), P(axis), P(), P(), P(), P()),
+            in_specs=(P(axis), P(axis), P(), P(), P(axis), P(axis), P(), P()),
             out_specs=(P(), P(), P(), P(), P(axis), P()),
             check_vma=False,
         )
@@ -216,6 +261,7 @@ class ExpertParallelCompositeGNN:
     def forward(self, batch: GraphBatch, training: bool = False, rng=None):
         """(k, state, out, out_mask) — numerically equal to the wrapped
         composite model's forward."""
+        self._ensure_stacked(batch)
         if rng is None:
             rng = self.cgnn.next_rng()
         fn = self.make_forward(training)
@@ -225,6 +271,8 @@ class ExpertParallelCompositeGNN:
             self.stacked_state,
             out_vars["params"]["net_output"],
             out_vars["state"]["net_output"],
+            self._nodes_by_type(batch),
+            self._type_masks(batch),
             batch,
             rng,
         )
@@ -235,37 +283,62 @@ class ExpertParallelCompositeGNN:
     def make_train_step(self, opt_e_template, opt_o_template):
         """Jitted expert-parallel train step.  Expert params/grads/optimizer
         state stay sharded over the expert axis (each device optimizes only
-        its experts); the shared output head is replicated with pmean'd
-        grads.  Spec trees are derived per-leaf because optimizer states carry
-        unshardable scalar leaves (optax count)."""
+        its experts); the shared output head is replicated.
+
+        Gradient convention: grad-inside-shard_map differentiates the SUM of
+        the D identical per-device losses, so the device objective is
+        ``data_loss/D + reg(local experts) + reg(out)/D`` — under it the
+        sharded expert grads come out exact as-is and the tied output-head
+        grads are completed with one psum (see tensor_parallel.py docstring
+        for the derivation).  Spec trees are derived per-leaf because
+        optimizer states carry unshardable scalar leaves (optax count)."""
         if "train" in self._cache:
             return self._cache["train"]
-        gnn, axis = self.cgnn, self.axis
+        gnn, axis, proto = self.cgnn, self.axis, self.proto
         loss_fn = gnn.loss
         if loss_fn is None:
             raise RuntimeError("compile() the wrapped composite model before training")
         import optax
 
         from gnnkeras_tpu.training.losses import masked_mean
+        from gnnkeras_tpu.training.metrics import get_metric
 
-        def device_step(sparams, sstate, out_p, out_s, opt_e, opt_o, batch, rng):
+        D = self.n_devices
+
+        def local_reg(sp):
+            return jnp.sum(
+                jax.vmap(lambda p: proto.regularization_loss({"params": p, "state": None}))(sp)
+            )
+
+        def out_reg(op):
+            return gnn.net_output.regularization_loss({"params": op, "state": None})
+
+        def device_step(sparams, sstate, out_p, out_s, opt_e, opt_o, local_nodes, local_masks, batch, rng):
             def objective(sp, op):
                 k, state, out, out_mask, bn_e, bn_o = self._local_forward(
-                    sp, sstate, op, out_s, batch, rng, True
+                    sp, sstate, op, out_s, local_nodes, local_masks, batch, rng, True
                 )
-                loss = masked_mean(loss_fn(batch.targets, out), batch.target_mask, batch.sample_weight)
-                return loss, (k, bn_e, bn_o)
+                data_loss = masked_mean(loss_fn(batch.targets, out), batch.target_mask, batch.sample_weight)
+                obj = data_loss / D + local_reg(sp) + out_reg(op) / D
+                return obj, (k, data_loss, out, bn_e, bn_o)
 
-            (loss, (k, bn_e, bn_o)), (g_sp, g_op) = jax.value_and_grad(
+            (_, (k, data_loss, out, bn_e, bn_o)), (g_sp, g_op) = jax.value_and_grad(
                 objective, argnums=(0, 1), has_aux=True
             )(sparams, out_p)
-            g_op = jax.lax.pmean(g_op, axis)  # replicated head: identical everywhere
+            g_op = jax.lax.psum(g_op, axis)  # tied head: assemble the full grad
+            loss = data_loss + jax.lax.psum(local_reg(sparams), axis) + out_reg(out_p)
 
             upd_e, opt_e = gnn.optimizer.update(g_sp, opt_e, sparams)
             sparams = optax.apply_updates(sparams, upd_e)
             upd_o, opt_o = gnn.optimizer.update(g_op, opt_o, out_p)
             out_p = optax.apply_updates(out_p, upd_o)
-            return sparams, bn_e, out_p, bn_o, opt_e, opt_o, {"loss": loss, "k": k}
+            logs = {"loss": loss, "k": k}
+            for spec in gnn.metrics:
+                name, fn = get_metric(spec)
+                s, c = fn(batch.targets, out, batch.target_mask, batch.sample_weight)
+                logs[f"{name}_sum"] = s
+                logs[f"{name}_count"] = c
+            return sparams, bn_e, out_p, bn_o, opt_e, opt_o, logs
 
         def sharded_specs(tree):
             return jax.tree_util.tree_map(
@@ -276,7 +349,7 @@ class ExpertParallelCompositeGNN:
         sharded = shard_map(
             device_step,
             mesh=self.mesh,
-            in_specs=(P(axis), P(axis), P(), P(), opt_e_spec, P(), P(), P()),
+            in_specs=(P(axis), P(axis), P(), P(), opt_e_spec, P(), P(axis), P(axis), P(), P()),
             out_specs=(P(axis), P(axis), P(), P(), opt_e_spec, P(), P()),
             check_vma=False,
         )
@@ -291,6 +364,7 @@ class ExpertParallelCompositeGNN:
         gnn = self.cgnn
         if gnn.optimizer is None:
             raise RuntimeError("compile() the wrapped composite model before fit()")
+        self._ensure_stacked(sequencer[0])
         opt_e = gnn.optimizer.init(self.stacked_params)
         out_p = gnn.variables["params"]["net_output"]
         out_s = gnn.variables["state"]["net_output"]
@@ -298,20 +372,65 @@ class ExpertParallelCompositeGNN:
         step = self.make_train_step(opt_e, opt_o)
         sparams, sstate = self.stacked_params, self.stacked_state
 
+        from gnnkeras_tpu.training.metrics import get_metric
+
+        metric_names = [get_metric(spec)[0] for spec in gnn.metrics]
         history = {"loss": []}
         for epoch in range(epochs):
             t0 = time.perf_counter()
             losses = []
+            sums = {name: [0.0, 0.0] for name in metric_names}
             for i in range(len(sequencer)):
+                batch = sequencer[i]
                 sparams, sstate, out_p, out_s, opt_e, opt_o, logs = step(
-                    sparams, sstate, out_p, out_s, opt_e, opt_o, sequencer[i], gnn.next_rng()
+                    sparams, sstate, out_p, out_s, opt_e, opt_o,
+                    self._nodes_by_type(batch), self._type_masks(batch), batch, gnn.next_rng()
                 )
                 losses.append(float(logs["loss"]))
+                for name in metric_names:
+                    sums[name][0] += float(logs[f"{name}_sum"])
+                    sums[name][1] += float(logs[f"{name}_count"])
             sequencer.on_epoch_end()
             history["loss"].append(float(np.mean(losses)))
+            line = f"loss: {history['loss'][-1]:.4f}"
+            for name in metric_names:
+                value = sums[name][0] / max(sums[name][1], 1.0)
+                history.setdefault(name, []).append(value)
+                line += f" - {name}: {value:.4f}"
             if verbose:
-                print(f"Epoch {epoch + 1}/{epochs} [{time.perf_counter() - t0:.1f}s] loss: {history['loss'][-1]:.4f}")
+                print(f"Epoch {epoch + 1}/{epochs} [{time.perf_counter() - t0:.1f}s] {line}")
         self.stacked_params, self.stacked_state = sparams, sstate
         gnn.variables["params"]["net_output"] = out_p
         gnn.variables["state"]["net_output"] = out_s
         return history
+
+    def evaluate(self, sequencer, verbose: int = 0):
+        """Loss + metrics over a sequencer with the sharded experts
+        (inference mode, moving BN statistics) — mirrors trainer.evaluate."""
+        gnn = self.cgnn
+        if gnn.loss is None:
+            raise RuntimeError("compile() the wrapped composite model before evaluate()")
+        self._ensure_stacked(sequencer[0])
+        from gnnkeras_tpu.training.losses import masked_mean
+        from gnnkeras_tpu.training.metrics import get_metric
+
+        loss_sum = count = 0.0
+        sums = {get_metric(spec)[0]: [0.0, 0.0] for spec in gnn.metrics}
+        for i in range(len(sequencer)):
+            batch = sequencer[i]
+            _, _, out, _ = self.forward(batch, training=False)
+            per = gnn.loss(batch.targets, out)
+            m = np.asarray(batch.target_mask, dtype=float)
+            loss_sum += float(jnp.sum(per * batch.sample_weight * batch.target_mask))
+            count += float(m.sum())
+            for spec in gnn.metrics:
+                name, fn = get_metric(spec)
+                s, c = fn(batch.targets, out, batch.target_mask, batch.sample_weight)
+                sums[name][0] += float(s)
+                sums[name][1] += float(c)
+        logs = {"loss": loss_sum / max(count, 1.0)}
+        for name, (s, c) in sums.items():
+            logs[name] = s / max(c, 1.0)
+        if verbose:
+            print(" - ".join(f"{k}: {v:.4f}" for k, v in logs.items()))
+        return logs

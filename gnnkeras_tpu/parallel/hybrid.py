@@ -49,7 +49,11 @@ def make_hybrid_train_step(
             lambda p: pgnn._local_loss(p, mstate, pg, rng, loss_fn, True, strip_axes=2),
             has_aux=True,
         )(params)
-        grads = jax.lax.psum(grads, graph_axis)
+        # per-device losses within a graph group all equal that group's global
+        # loss and params are tied, so pmean over 'graph' recovers the exact
+        # group gradient (grad-inside-shard_map differentiates the sum of
+        # per-device losses; see partition.py make_train_step)
+        grads = jax.lax.pmean(grads, graph_axis)
         if gnn.average_st_grads:
             grads = gnn.scale_state_grads(grads, k)
         grads = jax.lax.pmean(grads, data_axis)

@@ -59,8 +59,10 @@ def _round_up(x: int, m: int) -> int:
         "arc_src_halo",
         "type_mask",
         "arc_src_type",
+        "graph_of_node",
+        "nodegraph_weight",
     ],
-    meta_fields=["focus", "dim_node_label", "n_parts", "nodes_per_part"],
+    meta_fields=["focus", "dim_node_label", "n_parts", "nodes_per_part", "n_graphs"],
 )
 @dataclasses.dataclass(frozen=True)
 class PartitionedGraph:
@@ -90,10 +92,15 @@ class PartitionedGraph:
     # composite graphs:
     type_mask: Optional[jax.Array]  # (D, Np, T) local node types
     arc_src_type: Optional[jax.Array]  # (D, Ap, T) type one-hot of each edge's SOURCE
+    # graph focus ('g'): per-graph readout over GLOBAL graph ids (reference
+    # NodeGraph, graph_class.py:127-138); targets rows are replicated graphs.
+    graph_of_node: Optional[jax.Array]  # (D, Np) i32 global graph id of each local node
+    nodegraph_weight: Optional[jax.Array]  # (D, Np) NodeGraph readout weight (1/N_g)
     focus: str
     dim_node_label: Tuple[int, ...]
     n_parts: int
     nodes_per_part: int
+    n_graphs: int  # padded graph rows (0 unless focus == 'g')
 
 
 def partition_graph(
@@ -105,9 +112,14 @@ def partition_graph(
     With ``halo=True`` each device publishes only the node rows some other
     device actually reads (its halo/boundary set); the per-iteration exchange
     then moves H·d instead of N·d values.  Falls back to the full all_gather
-    when the halo would not be smaller."""
-    if g.focus == "g":
-        raise NotImplementedError("partitioned training supports node/arc focus (one large graph)")
+    when the halo would not be smaller.
+
+    Graph focus ('g') partitions a *merged batch* (the flagship MUTAG shape):
+    node rows are range-sharded exactly as for 'n' (a graph may straddle
+    devices), each device computes a partial NodeGraph readout over global
+    graph ids, and the psum of partials reproduces the reference's
+    ``NodeGraphᵀ·out`` (GNN/Models/GNN.py:341-346).  Graph-level target rows
+    are replicated on every device."""
     n = g.nodes.shape[0]
     chunk = -(-n // n_parts)
     np_pad = _round_up(chunk, pad_multiple)
@@ -139,19 +151,32 @@ def partition_graph(
     a_lab = np.zeros((n_parts, ap_pad, da), dtype)
     a_mask = np.zeros((n_parts, ap_pad), bool)
 
-    r_rows = np_pad if g.focus == "n" else ap_pad
-    set_mask = np.zeros((n_parts, r_rows), bool)
-    output_mask = np.zeros((n_parts, r_rows), bool)
+    # mask rows follow the focus entity ('a' → arcs, else nodes); target rows
+    # additionally switch to replicated graph rows for 'g'.
+    m_rows = ap_pad if g.focus == "a" else np_pad
+    n_graphs = max(g.num_graphs, 1) if g.focus == "g" else 0
+    g_pad = _round_up(n_graphs, pad_multiple) if g.focus == "g" else 0
+    r_rows = g_pad if g.focus == "g" else m_rows
+    set_mask = np.zeros((n_parts, m_rows), bool)
+    output_mask = np.zeros((n_parts, m_rows), bool)
     targets = np.zeros((n_parts, r_rows, t_dim), dtype)
     target_mask = np.zeros((n_parts, r_rows), bool)
     sample_weight = np.zeros((n_parts, r_rows), dtype)
+    graph_of_node = np.zeros((n_parts, np_pad), np.int32) if g.focus == "g" else None
+    nodegraph_weight = np.zeros((n_parts, np_pad), dtype) if g.focus == "g" else None
 
     # targets row-aligned with output-true entities, reference protocol
-    full_targets = np.zeros((len(g.output_mask), t_dim), dtype)
-    full_sw = np.zeros(len(g.output_mask), dtype)
-    out_idx = np.flatnonzero(g.output_mask)
-    full_targets[out_idx] = g.targets
-    full_sw[out_idx] = g.sample_weight
+    if g.focus == "g":
+        full_targets = full_sw = None
+        targets[:, :n_graphs] = g.targets
+        target_mask[:, :n_graphs] = True
+        sample_weight[:, :n_graphs] = g.sample_weight
+    else:
+        full_targets = np.zeros((len(g.output_mask), t_dim), dtype)
+        full_sw = np.zeros(len(g.output_mask), dtype)
+        out_idx = np.flatnonzero(g.output_mask)
+        full_targets[out_idx] = g.targets
+        full_sw[out_idx] = g.sample_weight
 
     for p in range(n_parts):
         lo, hi = p * chunk, min((p + 1) * chunk, n)
@@ -167,7 +192,12 @@ def partition_graph(
         a_w[p, : len(e)] = g.arcnode_weight[e]
         a_lab[p, : len(e)] = g.arcs[e, 2:]
         a_mask[p, : len(e)] = True
-        if g.focus == "n":
+        if g.focus == "g":
+            set_mask[p, :size] = g.set_mask[lo:hi]
+            output_mask[p, :size] = g.output_mask[lo:hi]
+            graph_of_node[p, :size] = g.graph_of_node[lo:hi]
+            nodegraph_weight[p, :size] = g.nodegraph_weight[lo:hi]
+        elif g.focus == "n":
             set_mask[p, :size] = g.set_mask[lo:hi]
             output_mask[p, :size] = g.output_mask[lo:hi]
             targets[p, :size] = full_targets[lo:hi]
@@ -230,10 +260,13 @@ def partition_graph(
         arc_src_halo=None if arc_src_halo is None else jnp.asarray(arc_src_halo),
         type_mask=None if type_mask is None else jnp.asarray(type_mask),
         arc_src_type=None if arc_src_type is None else jnp.asarray(arc_src_type),
+        graph_of_node=None if graph_of_node is None else jnp.asarray(graph_of_node),
+        nodegraph_weight=None if nodegraph_weight is None else jnp.asarray(nodegraph_weight),
         focus=g.focus,
         dim_node_label=tuple(int(d) for d in g.DIM_NODE_LABEL),
         n_parts=n_parts,
         nodes_per_part=np_pad,
+        n_graphs=g_pad,
     )
 
 
@@ -254,8 +287,6 @@ class PartitionedGNN:
         (gnnkeras_tpu/ops/ring.py) — requires the halo publish sets."""
         from gnnkeras_tpu.parallel.mesh import make_mesh
 
-        if gnn.name == "graph":
-            raise NotImplementedError("partitioned training supports node/arc focus")
         from gnnkeras_tpu.models.composite import CompositeGNNnodeBased
 
         self.composite = isinstance(gnn, CompositeGNNnodeBased)
@@ -419,7 +450,7 @@ class PartitionedGNN:
         row_mask = jnp.logical_and(
             jnp.logical_and(pg.set_mask, pg.output_mask),
             pg.arc_mask if pg.focus == "a" else pg.node_mask,
-        )
+        )  # for 'g' this is the node-level BN mask (reference GNN.py:269-270)
         if pg.focus == "a":
             # composite arc readout takes the state only (CompositeGNN.py:315-327)
             state_c = (
@@ -446,6 +477,13 @@ class PartitionedGNN:
             rng=step_rngs[-1] if training else None,
             axis_name=axis,
         )
+        if pg.focus == "g":
+            # partial NodeGraph readout over GLOBAL graph ids; the psum of
+            # partials equals the single-device NodeGraphᵀ·out (GNN.py:345).
+            partial = segment_sum(
+                out * pg.nodegraph_weight[:, None], pg.graph_of_node, pg.n_graphs
+            )
+            out = jax.lax.psum(partial, axis)
         new_mstate = {"net_state": bn_final, "net_output": bn_out}
         return k, state, out, pg, new_mstate
 
@@ -454,8 +492,15 @@ class PartitionedGNN:
         k, state, out, pg_l, new_mstate = self._local_forward(params, mstate, pg, rng, training, strip_axes)
         per_row = loss_fn(pg_l.targets, out)
         m = pg_l.target_mask.astype(per_row.dtype)
-        loss_sum = jax.lax.psum(jnp.sum(per_row * pg_l.sample_weight * m), axis)
-        count = jax.lax.psum(jnp.sum(m), axis)
+        if pg_l.focus == "g":
+            # the psum'd readout made out/targets replicated: the local masked
+            # mean IS the global loss, and keeping it local keeps the engine's
+            # psum(grads) exact (psum transposes to identity per device).
+            loss_sum = jnp.sum(per_row * pg_l.sample_weight * m)
+            count = jnp.sum(m)
+        else:
+            loss_sum = jax.lax.psum(jnp.sum(per_row * pg_l.sample_weight * m), axis)
+            count = jax.lax.psum(jnp.sum(m), axis)
         loss = loss_sum / jnp.maximum(count, 1.0) + self.gnn.regularization_loss(params)
         return loss, (k, out, new_mstate, count)
 
@@ -472,7 +517,12 @@ class PartitionedGNN:
             (loss, (k, out, new_mstate, count)), grads = jax.value_and_grad(
                 lambda p: self._local_loss(p, mstate, pg, rng, loss_fn, True), has_aux=True
             )(params)
-            grads = jax.lax.psum(grads, axis)
+            # grad-inside-shard_map differentiates the SUM of the per-device
+            # losses (psum transposes to psum).  All per-device losses equal
+            # the global loss L and params are tied, so pmean — not psum —
+            # recovers the exact single-device gradient:
+            # pmean_q Σ_p ∂loss_p/∂θ_q = (1/D)·Σ_p ∂L/∂θ = ∂L/∂θ.
+            grads = jax.lax.pmean(grads, axis)
             if gnn.average_st_grads:
                 grads = gnn.scale_state_grads(grads, k)
             updates, opt_state = gnn.optimizer.update(grads, opt_state, params)

@@ -136,9 +136,78 @@ class TestExpertParallelTraining:
                 dim_node_label=dims, focus="n", aggregation_mode="composite_average"))
 
         cgnn = build_composite(graphs[0], dim_state=5, max_iter=3)
-        cgnn.compile(optimizer="adam:0.01", loss="mse")
+        cgnn.compile(optimizer="adam:0.01", loss="mse", metrics=["mae"])
         ep = ExpertParallelCompositeGNN(cgnn, mesh4)
         seq = CompositeMultiGraphSequencer(graphs, "n", "composite_average", batch_size=4,
                                            shuffle=False, pad_multiple=16)
         h = ep.fit(seq, epochs=6, verbose=0)
         assert h["loss"][-1] < h["loss"][0]
+        assert "mae" in h and len(h["mae"]) == 6
+        logs = ep.evaluate(seq)
+        assert np.isfinite(logs["loss"]) and "mae" in logs
+
+    def _ds0_model(self, g, reg=None):
+        width = g.nodes.shape[1]
+        comp_w = int(np.sum(g.DIM_NODE_LABEL)) + g.DIM_ARC_LABEL
+        nets = [MLP(input_dim=(int(d_t) + width + width + comp_w,), layers=[width],
+                    activations="selu", kernel_initializer="lecun_normal",
+                    bias_initializer="lecun_normal", kernel_regularizer=reg)
+                for d_t in g.DIM_NODE_LABEL]
+        ot = MLP(input_dim=(width,), layers=[2], activations="softmax",
+                 kernel_initializer="glorot_normal", bias_initializer="glorot_normal",
+                 kernel_regularizer=reg)
+        cgnn = CompositeGNNnodeBased(nets, ot, 0, 4, 0.01)
+        cgnn.build(seed=5)
+        return cgnn
+
+    def test_ep_step_matches_single_device_with_regularizers(self, mesh4):
+        """One EP SGD step == one single-device SGD step, loss INCLUDING the
+        L2 regularizers (VERDICT r1: EP silently dropped regularization).
+        SGD makes the comparison sensitive to grad scaling."""
+        from gnnkeras_tpu.training.trainer import _get_train_step
+
+        g = composite_graph(seed=7)
+        batch = from_graph_object(g)
+        rng = jax.random.PRNGKey(21)
+
+        cg1 = self._ds0_model(g, reg="l2")
+        cg1.compile(optimizer="sgd:0.1", loss="mse")
+        cg1._opt_state = cg1.optimizer.init(cg1.variables["params"])
+        bn_state_snapshot = jax.tree_util.tree_map(np.asarray, cg1.variables["state"]["net_state"])
+        step1 = _get_train_step(cg1)
+        params1, _, _, logs1 = step1(
+            cg1.variables["params"], cg1.variables["state"], cg1._opt_state, batch, rng
+        )
+        loss1 = float(logs1["loss_sum"]) / float(logs1["count"])
+
+        cg2 = self._ds0_model(g, reg="l2")
+        cg2.compile(optimizer="sgd:0.1", loss="mse")
+        ep = ExpertParallelCompositeGNN(cg2, mesh4)
+        ep._ensure_stacked(batch)
+        import optax
+
+        opt_e = cg2.optimizer.init(ep.stacked_params)
+        out_p = cg2.variables["params"]["net_output"]
+        out_s = cg2.variables["state"]["net_output"]
+        opt_o = cg2.optimizer.init(out_p)
+        step2 = ep.make_train_step(opt_e, opt_o)
+        sparams, bn_e, out_p2, bn_o, _, _, logs2 = step2(
+            ep.stacked_params, ep.stacked_state, out_p, out_s, opt_e, opt_o,
+            ep._nodes_by_type(batch), ep._type_masks(batch), batch, rng
+        )
+        # trainer logs loss_sum = (data+reg)·count; EP logs the same total loss
+        assert float(logs2["loss"]) == pytest.approx(loss1, rel=1e-5)
+
+        # updated params match: experts (unstack, unpad) + output head
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params1["net_output"]),
+            jax.tree_util.tree_leaves(out_p2),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+        restacked, _, _ = stack_expert_params(
+            cg1.net_state, params1["net_state"],
+            bn_state_snapshot, ep.types_pad,
+            label_widths=[int(d) for d in batch.dim_node_label],
+        )
+        for a, b in zip(jax.tree_util.tree_leaves(restacked), jax.tree_util.tree_leaves(sparams)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
