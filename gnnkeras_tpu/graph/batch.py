@@ -344,11 +344,21 @@ def graphs_to_batch(
     pad_nodes: Optional[int] = None,
     pad_arcs: Optional[int] = None,
     pad_graphs: Optional[int] = None,
+    *,
+    dense_blocks: bool = True,
+    agg_dtype: Optional[str] = None,
+    pallas: bool = False,
+    tile_pack: bool = False,
 ) -> GraphBatch:
-    """Merge a list of host graphs (disjoint union) and pad to a device batch."""
+    """Merge a list of host graphs (disjoint union) and pad to a device batch.
+    The fast-path knobs (``tile_pack``, ``agg_dtype``, ``pallas``) pass
+    through to ``from_graph_object``."""
     cls = CompositeGraphObject if isinstance(graphs[0], CompositeGraphObject) else GraphObject
     merged = cls.merge(list(graphs), focus=focus, aggregation_mode=aggregation_mode)
-    return from_graph_object(merged, pad_nodes, pad_arcs, pad_graphs)
+    return from_graph_object(
+        merged, pad_nodes, pad_arcs, pad_graphs,
+        dense_blocks=dense_blocks, agg_dtype=agg_dtype, pallas=pallas, tile_pack=tile_pack,
+    )
 
 
 def single_graph_batch(

@@ -398,6 +398,29 @@ class CompositeGraphObject(GraphObject):
     def getTypeMask(self):
         return self.type_mask.copy()
 
+    def CompositeAdjacencies_coo(self):
+        """Per-type adjacency matrices: the shared Adjacency restricted to
+        edges whose SOURCE node carries the type (reference
+        composite_graph_class.py:57-70; the per-type composite_average
+        renormalization already lives in ``arcnode_weight``).  Used by the
+        device-form (GraphTensor) archive writer."""
+        from scipy.sparse import coo_matrix
+
+        n = self.nodes.shape[0]
+        src = self.arcs[:, 0].astype(int)
+        dst = self.arcs[:, 1].astype(int)
+        mats = []
+        for t in range(self.num_types):
+            sel = self.type_mask[src, t]
+            mats.append(
+                coo_matrix(
+                    (self.arcnode_weight[sel], (src[sel], dst[sel])),
+                    shape=(n, n),
+                    dtype=self.dtype,
+                )
+            )
+        return mats
+
     def copy(self) -> "CompositeGraphObject":
         return CompositeGraphObject(
             nodes=self.nodes.copy(),

@@ -9,10 +9,12 @@ from gnnkeras_tpu.parallel.partition import partition_graph, PartitionedGraph, P
 from gnnkeras_tpu.parallel.expert import ExpertParallelCompositeGNN
 from gnnkeras_tpu.parallel.hybrid import make_hybrid_train_step, stack_partitioned
 from gnnkeras_tpu.parallel.tensor_parallel import TensorParallelGNN, TensorParallelMLP
+from gnnkeras_tpu.parallel.pipeline import PipelineLGNN
 
 __all__ = [
     "TensorParallelGNN",
     "TensorParallelMLP",
+    "PipelineLGNN",
     "make_mesh",
     "device_count",
     "stack_batches",

@@ -281,10 +281,16 @@ class PartitionedGNN:
         mesh: Optional[Mesh] = None,
         axis: str = "graph",
         transport: str = "collective",
+        tp_shards: int = 1,
+        model_axis: str = "model",
     ):
         """``transport``: 'collective' uses XLA all_gather; 'pallas_ring' moves
         halo buffers around the ICI ring with the Pallas RDMA kernel
-        (gnnkeras_tpu/ops/ring.py) — requires the halo publish sets."""
+        (gnnkeras_tpu/ops/ring.py) — requires the halo publish sets.
+
+        ``tp_shards > 1`` additionally shards the state MLP's features over
+        ``model_axis`` (tensor parallelism composed with graph partitioning —
+        the mesh must carry both axes)."""
         from gnnkeras_tpu.parallel.mesh import make_mesh
 
         from gnnkeras_tpu.models.composite import CompositeGNNnodeBased
@@ -296,6 +302,14 @@ class PartitionedGNN:
         self.transport = transport
         self.mesh = mesh if mesh is not None else make_mesh((axis,))
         self.n_devices = self.mesh.shape[axis]
+        self.tp_state = None
+        self.model_axis = model_axis
+        if tp_shards > 1:
+            if self.composite:
+                raise NotImplementedError("TP composes with homogeneous models (EP covers composite)")
+            from gnnkeras_tpu.parallel.tensor_parallel import TensorParallelMLP
+
+            self.tp_state = TensorParallelMLP(gnn.net_state, tp_shards, model_axis)
         self._cache = {}
 
     # -- device-local compute (runs inside shard_map) -------------------------
@@ -405,6 +419,16 @@ class PartitionedGNN:
             if gnn.state_vect_dim > 0:
                 components.append(pg.nodes)
             inp = jnp.concatenate(components + [agg_states, agg_nodes, agg_arcs], axis=1)
+            if self.tp_state is not None:
+                # model-sharded state MLP; BN row stats still span 'graph'
+                return self.tp_state.apply(
+                    {"params": params["net_state"], "state": bn_state},
+                    inp,
+                    training=training,
+                    mask=pg.node_mask,
+                    rng=step_rng if training else None,
+                    bn_axis_name=axis,
+                )
             return gnn.net_state.apply(
                 {"params": params["net_state"], "state": bn_state},
                 inp,
@@ -503,6 +527,29 @@ class PartitionedGNN:
             count = jax.lax.psum(jnp.sum(m), axis)
         loss = loss_sum / jnp.maximum(count, 1.0) + self.gnn.regularization_loss(params)
         return loss, (k, out, new_mstate, count)
+
+    # -- TP variable resharding ------------------------------------------------
+    def shard_tp_variables(self, variables: dict) -> dict:
+        """Stack the state MLP's variables over the model axis (net_output
+        stays replicated)."""
+        assert self.tp_state is not None
+        sv = self.tp_state.shard_variables(
+            {"params": variables["params"]["net_state"], "state": variables["state"]["net_state"]}
+        )
+        return {
+            "params": {"net_state": sv["params"], "net_output": variables["params"]["net_output"]},
+            "state": {"net_state": sv["state"], "net_output": variables["state"]["net_output"]},
+        }
+
+    def gather_tp_variables(self, stacked: dict) -> dict:
+        assert self.tp_state is not None
+        g = self.tp_state.gather_variables(
+            {"params": stacked["params"]["net_state"], "state": stacked["state"]["net_state"]}
+        )
+        return {
+            "params": {"net_state": g["params"], "net_output": stacked["params"]["net_output"]},
+            "state": {"net_state": g["state"], "net_output": stacked["state"]["net_output"]},
+        }
 
     # -- public jitted entry points -------------------------------------------
     def make_train_step(self):

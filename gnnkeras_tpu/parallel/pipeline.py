@@ -1,0 +1,354 @@
+"""Pipeline parallelism: GPipe-style LGNN layer pipelining over a 'stage'
+mesh axis (SURVEY §2 parallelism mapping, SURVEY.md:101 — "PP = LGNN layer
+pipelining across stages"; no reference counterpart).
+
+One stage per LGNN layer; M microbatches flow through S stages in
+``M + S - 1`` clock ticks driven by a single ``lax.scan``.  Each tick a stage
+(a) receives the previous layer's converged state/output for *its* current
+microbatch over ``ppermute``, (b) rebuilds the layer input exactly as
+``LGNN.update_graph`` does (prepend propagated features to the t=0 labels,
+reference GNN/Models/LGNN.py:175-214), (c) runs its layer's full convergence
+loop + readout and accumulates its per-layer loss (parallel training mode:
+mean of per-layer losses, LGNN.py:262), and (d) forwards its own
+state/output ring-wise to the next stage.
+
+Scope (asserted): ``dim_state > 0`` (with dim_state==0 the reference's input
+width grows per layer — MLP.py:109-115 — so stage parameters cannot be
+homogeneous), node- or graph-focused stacks, ``average_st_grads=False``.
+Layer 0's smaller kernels are zero-row padded at the propagated-feature
+positions, which is exact: the zero features contribute nothing forward and
+their kernel rows receive zero gradient (they also stay zero under training
+because their cotangent is identically zero).
+
+Gradients: each stage's per-device loss is its PARTIAL contribution, so the
+summed-over-devices objective that grad-inside-shard_map differentiates IS
+the total pipeline loss — stage-sharded parameter gradients come out exact
+with no grad collective (cross-stage dependencies flow through the ppermute
+transpose inside the scanned reverse pass).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gnnkeras_tpu.graph.batch import GraphBatch
+from gnnkeras_tpu.models.lgnn import LGNN
+from gnnkeras_tpu.training.losses import masked_mean
+from gnnkeras_tpu.utils.dtypes import floatx
+
+
+def _insert_rows(v, at: int, n: int):
+    if n == 0:
+        return v
+    pad = jnp.zeros((n,) + v.shape[1:], v.dtype)
+    return jnp.concatenate([v[:at], pad, v[at:]], axis=0)
+
+
+def _strip_rows(v, at: int, n: int):
+    if n == 0:
+        return v
+    return jnp.concatenate([v[:at], v[at + n:]], axis=0)
+
+
+class _Layer0Padding:
+    """Row positions where layer 0's width-dependent leaves differ from the
+    layers≥1 shapes.  net_state input order is
+    ``[state | nodes | agg_states | agg_nodes | agg_arcs]`` (gnn.py:221-231);
+    the propagated features are PREPENDED inside ``nodes`` and therefore also
+    inside ``agg_nodes``; net_output input order is ``[state | nodes]``
+    (gnn.py:239-242 with dim_state>0)."""
+
+    def __init__(self, lgnn: LGNN, prop_width: int):
+        ds = lgnn.gnns[0].state_vect_dim
+        w0 = lgnn.gnns[0].net_output.input_dim[0] - ds  # layer-0 node width
+        self.prop = prop_width
+        # net_state: nodes slice starts at ds; after that insertion, agg_nodes
+        # starts at ds + (w0 + prop) + ds
+        self.state_positions = [ds, ds + w0 + prop_width + ds]
+        # net_output: nodes slice starts at ds
+        self.output_positions = [ds]
+
+    def pad(self, leaf, net: str, target_rows: int):
+        positions = self.state_positions if net == "state" else self.output_positions
+        v = leaf
+        for at in positions:
+            if v.shape[0] == target_rows:
+                break
+            v = _insert_rows(v, at, self.prop)
+        assert v.shape[0] == target_rows, (leaf.shape, target_rows, positions)
+        return v
+
+    def strip(self, leaf, net: str, target_rows: int):
+        positions = self.state_positions if net == "state" else self.output_positions
+        v = leaf
+        for at in reversed(positions):
+            if v.shape[0] == target_rows:
+                break
+            v = _strip_rows(v, at, self.prop)
+        assert v.shape[0] == target_rows, (leaf.shape, target_rows, positions)
+        return v
+
+
+def _map_width_leaves(tree_a, tree_b, fn):
+    """tree_map that applies ``fn(a, b)`` only where leaf shapes differ."""
+    return jax.tree_util.tree_map(
+        lambda a, b: a if a.shape == b.shape else fn(a, b), tree_a, tree_b
+    )
+
+
+class PipelineLGNN:
+    """GPipe pipeline over an LGNN's layers (parallel training mode)."""
+
+    def __init__(self, lgnn: LGNN, mesh: Optional[Mesh] = None, axis: str = "stage"):
+        from gnnkeras_tpu.parallel.mesh import make_mesh
+
+        if lgnn.gnns[0].state_vect_dim <= 0:
+            raise ValueError(
+                "pipeline parallelism needs dim_state > 0 (dim_state==0 grows the "
+                "input width per layer, MLP.py:109-115, so stages cannot share shapes)"
+            )
+        if lgnn._is_arc:
+            raise NotImplementedError("pipeline stages support node/graph-focused stacks")
+        self.lgnn = lgnn
+        self.axis = axis
+        self.mesh = mesh if mesh is not None else make_mesh((axis,))
+        self.n_stages = self.mesh.shape[axis]
+        if self.n_stages != lgnn.LAYERS:
+            raise ValueError(
+                f"mesh axis '{axis}' ({self.n_stages}) must equal LGNN layers ({lgnn.LAYERS})"
+            )
+        self.ds = lgnn.gnns[0].state_vect_dim
+        self.prop_width = self.ds * lgnn.get_state + lgnn.gnns[0].net_output.output_dim * lgnn.get_output
+        self.proto = lgnn.gnns[-1]  # layers≥1 spec: every stage's compute shape
+        self._padding = _Layer0Padding(lgnn, self.prop_width)
+        self._cache = {}
+
+    # -- variables -------------------------------------------------------------
+    def stack_variables(self) -> dict:
+        """Per-layer variables → one stacked tree (leading stage axis), with
+        layer 0 zero-padded to the layers≥1 shapes."""
+        self.lgnn.build()
+        variables = self.lgnn.variables
+        layers = [
+            {"params": variables["params"]["gnns"][i], "state": variables["state"]["gnns"][i]}
+            for i in range(self.lgnn.LAYERS)
+        ]
+        if self.lgnn.LAYERS > 1:
+            ref = layers[1]
+            padded0 = {}
+            for group in ("params", "state"):
+                padded0[group] = {
+                    net: _map_width_leaves(
+                        layers[0][group][net],
+                        ref[group][net],
+                        lambda a, b, net=net: self._padding.pad(a, "state" if net == "net_state" else "output", b.shape[0]),
+                    )
+                    for net in ("net_state", "net_output")
+                }
+            layers = [padded0] + layers[1:]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *layers)
+
+    def unstack_variables(self, stacked: dict) -> dict:
+        """Inverse of ``stack_variables`` (drops layer-0's zero padding)."""
+        out_p, out_s = [], []
+        tmpl0 = self.lgnn.gnns[0].init(jax.random.PRNGKey(0))
+        for i in range(self.lgnn.LAYERS):
+            tree = jax.tree_util.tree_map(lambda v: v[i], stacked)
+            if i == 0 and self.lgnn.LAYERS > 1:
+                tree = {
+                    group: {
+                        net: _map_width_leaves(
+                            tree[group][net],
+                            tmpl0[group][net],
+                            lambda a, b, net=net: self._padding.strip(a, "state" if net == "net_state" else "output", b.shape[0]),
+                        )
+                        for net in ("net_state", "net_output")
+                    }
+                    for group in ("params", "state")
+                }
+            out_p.append(tree["params"])
+            out_s.append(tree["state"])
+        return {"params": {"gnns": out_p}, "state": {"gnns": out_s}}
+
+    # -- device-local tick compute ---------------------------------------------
+    def _augment(self, batch: GraphBatch, prop: jax.Array, is_stage0) -> GraphBatch:
+        """Layer input: [prop | t=0 labels] with grown label dims
+        (update_graph, LGNN.py:175-214); stage 0 sees zeros in the prop slot
+        (inert under its zero-padded kernels)."""
+        prop = jnp.where(is_stage0, 0.0, prop)
+        nodes = jnp.concatenate([prop, batch.nodes], axis=1)
+        dims = tuple(int(d) + self.prop_width for d in batch.dim_node_label)
+        return batch.replace(nodes=nodes, dim_node_label=dims)
+
+    def _layer_tick(self, vars_local, batch, prop_in, is_stage0, rng_loop, rng_out, training):
+        lgnn, proto = self.lgnn, self.proto
+        cur = self._augment(batch, prop_in, is_stage0)
+        k, state, bn_state = proto.unfold(vars_local, cur, training=training, rng=rng_loop)
+        out, row_mask, bn_out = proto.node_level_output(
+            vars_local, state, cur, training=training, rng=rng_out
+        )
+        out_loss = cur.readout(out) if lgnn._is_graph else out
+        # next stage's prop features (update_graph concat order: state first)
+        pieces = []
+        if lgnn.get_state:
+            pieces.append(state)
+        if lgnn.get_output:
+            pieces.append(jnp.where(row_mask[:, None], out, 0.0))
+        prop_out = jnp.concatenate(pieces, axis=1)
+        return k, out_loss, prop_out, {"net_state": bn_state, "net_output": bn_out}
+
+    def _layer_reg(self, params) -> jax.Array:
+        dummy = lambda p: {"params": p, "state": None}
+        return self.proto.net_state.regularization_loss(
+            dummy(params["net_state"])
+        ) + self.proto.net_output.regularization_loss(dummy(params["net_output"]))
+
+    # -- train step -------------------------------------------------------------
+    def make_train_step(self, n_microbatches: int, opt_template):
+        key = ("train", n_microbatches)
+        if key in self._cache:
+            return self._cache[key]
+        lgnn, axis = self.lgnn, self.axis
+        loss_fn = lgnn.loss
+        if loss_fn is None:
+            raise RuntimeError("compile() the LGNN before building the pipeline step")
+        if lgnn.average_st_grads:
+            raise NotImplementedError("average_st_grads is not supported by the pipeline step")
+        S, M = self.n_stages, n_microbatches
+        T = M + S - 1
+        perm = [(i, i + 1) for i in range(S - 1)]
+
+        def device_step(svars_p, svars_s, opt_state, batches, rngs):
+            params = jax.tree_util.tree_map(lambda v: v[0], svars_p)
+            mstate = jax.tree_util.tree_map(lambda v: v[0], svars_s)
+            opt_local = jax.tree_util.tree_map(lambda v: v[0], opt_state)
+            my_rngs = rngs[0]  # (M, 2, key)
+            s = jax.lax.axis_index(axis)
+            n_nodes = batches.nodes.shape[1]
+
+            def objective(p):
+                def tick(carry, t):
+                    prop_in, loss_sum, k_sum, bn = carry
+                    m = t - s
+                    active = jnp.logical_and(m >= 0, m < M)
+                    mc = jnp.clip(m, 0, M - 1)
+                    batch_m = jax.tree_util.tree_map(
+                        lambda x: jax.lax.dynamic_index_in_dim(x, mc, 0, keepdims=False),
+                        batches,
+                    )
+                    rng_pair = my_rngs[mc]
+                    k, out_loss, prop_out, new_bn = self._layer_tick(
+                        {"params": p, "state": bn},
+                        batch_m, prop_in, s == 0, rng_pair[0], rng_pair[1], True,
+                    )
+                    data_loss = masked_mean(
+                        loss_fn(batch_m.targets, out_loss), batch_m.target_mask, batch_m.sample_weight
+                    )
+                    act = active.astype(floatx())
+                    loss_sum = loss_sum + act * data_loss
+                    k_sum = k_sum + act * k
+                    bn = jax.tree_util.tree_map(lambda a, b: jnp.where(active, a, b), new_bn, bn)
+                    # hand my output to the next stage for the next tick
+                    prop_next = jax.lax.ppermute(
+                        jnp.where(active, prop_out, jnp.zeros_like(prop_out)), axis, perm
+                    )
+                    return (prop_next, loss_sum, k_sum, bn), None
+
+                prop0 = jnp.zeros((n_nodes, self.prop_width), floatx())
+                (_, loss_sum, k_sum, bn_final), _ = jax.lax.scan(
+                    tick,
+                    (prop0, jnp.zeros((), floatx()), jnp.zeros((), floatx()), mstate),
+                    jnp.arange(T),
+                )
+                # partial per-stage loss: the summed-over-devices objective is
+                # the full pipeline loss → stage grads are exact as-is
+                return loss_sum / (S * M) + self._layer_reg(p), (loss_sum, k_sum, bn_final)
+
+            (_, (loss_sum, k_sum, bn_final)), grads = jax.value_and_grad(
+                objective, has_aux=True
+            )(params)
+            total_loss = jax.lax.psum(loss_sum, axis) / (S * M) + jax.lax.psum(
+                self._layer_reg(params), axis
+            )
+            updates, opt_local = lgnn.optimizer.update(grads, opt_local, params)
+            params = optax.apply_updates(params, updates)
+            expand = lambda tr: jax.tree_util.tree_map(lambda v: v[None], tr)
+            mean_k = jax.lax.psum(k_sum, axis) / (S * M)
+            return expand(params), expand(bn_final), expand(opt_local), {"loss": total_loss, "k": mean_k}
+
+        def specs(tree):
+            return jax.tree_util.tree_map(
+                lambda x: P(axis) if getattr(x, "ndim", 0) > 0 else P(), tree
+            )
+
+        opt_spec = specs(opt_template)
+        sharded = shard_map(
+            device_step,
+            mesh=self.mesh,
+            in_specs=(P(axis), P(axis), opt_spec, P(), P(axis)),
+            out_specs=(P(axis), P(axis), opt_spec, P()),
+            check_vma=False,
+        )
+        step = jax.jit(sharded, donate_argnums=(0, 1, 2))
+        self._cache[key] = step
+        return step
+
+    def _stage_rngs(self, rng, n_microbatches: int):
+        """(S, M, 2, key): the SAME per-layer (loop, out) keys the
+        single-device LGNN.forward chain draws (lgnn.py:152-156), so the
+        pipelined run is rng-identical to the sequential one."""
+        # M==1 uses rng directly — the same chain LGNN.forward draws, so the
+        # pipelined step is rng-identical to the sequential train step
+        keys = [rng] if n_microbatches == 1 else jax.random.split(rng, n_microbatches)
+        out = np.zeros((self.n_stages, n_microbatches, 2) + keys[0].shape, dtype=np.asarray(keys[0]).dtype)
+        for m in range(n_microbatches):
+            r = keys[m]
+            for i in range(self.n_stages):
+                r, rng_loop, rng_out = jax.random.split(r, 3)
+                if i == self.n_stages - 1:
+                    # the LAST layer goes through gnn.forward, which re-splits
+                    # its rng internally (gnn.py:258-259); intermediate layers
+                    # use the chain keys directly (lgnn.py:162-165)
+                    rng_loop, rng_out = jax.random.split(rng_loop)
+                out[i, m, 0] = np.asarray(rng_loop)
+                out[i, m, 1] = np.asarray(rng_out)
+        return jnp.asarray(out)
+
+    def train_step(self, stacked_vars_p, stacked_vars_s, opt_state, microbatches: Sequence[GraphBatch], rng):
+        """Run one pipelined step over M equal-shape microbatches."""
+        from gnnkeras_tpu.parallel.data_parallel import stack_batches
+
+        M = len(microbatches)
+        step = self.make_train_step(M, opt_state)
+        batches = stack_batches(list(microbatches))
+        rngs = self._stage_rngs(rng, M)
+        return step(stacked_vars_p, stacked_vars_s, opt_state, batches, rngs)
+
+    def fit(self, microbatch_lists, epochs: int = 1, verbose: int = 1, seed: int = 0):
+        """Pipelined training: each element of ``microbatch_lists`` is a list
+        of M equal-shape microbatches = one optimizer step per epoch pass."""
+        lgnn = self.lgnn
+        if lgnn.optimizer is None:
+            raise RuntimeError("compile() before fit()")
+        lgnn.build(seed=seed)
+        stacked = self.stack_variables()
+        svp, svs = stacked["params"], stacked["state"]
+        opt_state = jax.vmap(lgnn.optimizer.init)(svp)
+        history = {"loss": []}
+        for epoch in range(epochs):
+            losses = []
+            for mbs in microbatch_lists:
+                svp, svs, opt_state, logs = self.train_step(svp, svs, opt_state, mbs, lgnn.next_rng())
+                losses.append(float(logs["loss"]))
+            history["loss"].append(float(np.mean(losses)))
+            if verbose:
+                print(f"Epoch {epoch + 1}/{epochs} loss: {history['loss'][-1]:.4f}")
+        self.lgnn.variables = self.unstack_variables({"params": svp, "state": svs})
+        return history

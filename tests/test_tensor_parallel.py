@@ -144,3 +144,51 @@ class TestTPGNN:
         # weights written back gathered: the plain engine can keep using them
         _, _, out, _, _ = gnn.forward(gnn.variables, batch, training=False)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestHybridTP:
+    def test_three_axis_step_matches_single_device(self):
+        """data(1) x graph(4) x model(2) hybrid-TP step == the single-device
+        SGD train step (the full 3-axis composition the dryrun compiles)."""
+        from gnnkeras_tpu.parallel.hybrid import make_hybrid_train_step, stack_partitioned
+        from gnnkeras_tpu.parallel.partition import PartitionedGNN, partition_graph
+        from gnnkeras_tpu.training.trainer import _get_train_step
+
+        g = big_graph(seed=9)
+        rng = jax.random.PRNGKey(23)
+
+        def fresh():
+            gnn = build_gnn(hidden=[16])
+            gnn.compile(optimizer="sgd:0.1", loss="mse")
+            gnn.build(seed=3)
+            gnn._opt_state = gnn.optimizer.init(gnn.variables["params"])
+            return gnn
+
+        gnn1 = fresh()
+        batch = from_graph_object(g)
+        step1 = _get_train_step(gnn1)
+        params1, _, _, logs1 = step1(
+            gnn1.variables["params"], gnn1.variables["state"], gnn1._opt_state, batch, rng
+        )
+        loss1 = float(logs1["loss_sum"]) / float(logs1["count"])
+
+        gnn2 = fresh()
+        mesh = make_mesh(("data", "graph", "model"), shape=(1, 4, 2))
+        pgnn = PartitionedGNN(gnn2, mesh, tp_shards=2)
+        stacked_vars = pgnn.shard_tp_variables(gnn2.variables)
+        opt_state = gnn2.optimizer.init(stacked_vars["params"])
+        step2 = make_hybrid_train_step(pgnn, mesh, opt_template=opt_state)
+        pg = partition_graph(g, 4)
+        stacked_pg = stack_partitioned([pg])
+        # the hybrid step folds in the data index; reproduce the same rng the
+        # single-device step saw is impossible via fold_in, but with no
+        # dropout and dim_state=0 the rng is inert.
+        params2, mstate2, _, logs2 = step2(
+            stacked_vars["params"], stacked_vars["state"], opt_state, stacked_pg, rng
+        )
+        assert float(logs2["loss"]) == pytest.approx(loss1, rel=1e-5)
+        full2 = pgnn.gather_tp_variables({"params": params2, "state": mstate2})
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params1), jax.tree_util.tree_leaves(full2["params"])
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
