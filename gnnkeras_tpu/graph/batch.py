@@ -37,6 +37,43 @@ def _round_up(x: int, m: int) -> int:
 
 @partial(
     jax.tree_util.register_dataclass,
+    data_fields=["sel", "span_tile_sel", "span_group", "span_rows"],
+    meta_fields=["n_span_pad"],
+)
+@dataclasses.dataclass(frozen=True)
+class CompactReadout:
+    """Tile-wise graph readout for tile-packed batches.
+
+    The NodeGraph operator as (T, Gmax, 128) per-tile selection weights: with
+    whole graphs packed per 128-node tile, the readout is one batched
+    (Gmax×128)@(128×c) einsum and the graph rows ARE the slot rows
+    ``tile·Gmax + rank`` — no scatter and ~10x fewer bytes than 128×128
+    NodeGraph blocks.  Graphs spanning multiple tiles (exclusive aligned
+    runs) land in slot 0 of each of their tiles; their partials are combined
+    by a tiny per-tile segment-sum and written to their first-tile row."""
+
+    sel: jax.Array  # (T, Gmax, 128) readout weights
+    span_tile_sel: jax.Array  # (T,) 1.0 where the tile belongs to a spanning graph
+    span_group: jax.Array  # (T,) i32 spanning-graph segment id (dummy = n_span_pad-1)
+    span_rows: jax.Array  # (n_span_pad,) i32 slot row of each spanning graph
+    n_span_pad: int
+
+    def apply(self, node_out: jax.Array) -> jax.Array:
+        from gnnkeras_tpu.ops.segment import segment_sum
+
+        t, g_max, tile = self.sel.shape
+        tiles = node_out.reshape(t, tile, node_out.shape[1])
+        slots = jnp.einsum("tgn,tnc->tgc", self.sel, tiles, preferred_element_type=jnp.float32)
+        flat = slots.reshape(t * g_max, node_out.shape[1]).astype(node_out.dtype)
+        if self.n_span_pad > 1:  # slot-0 partials of spanning tiles → first-tile row
+            tile0 = slots[:, 0, :] * self.span_tile_sel[:, None]
+            totals = segment_sum(tile0, self.span_group, self.n_span_pad).astype(node_out.dtype)
+            flat = flat.at[self.span_rows].set(totals, mode="drop")
+        return flat
+
+
+@partial(
+    jax.tree_util.register_dataclass,
     data_fields=[
         "nodes",
         "arc_src",
@@ -56,6 +93,7 @@ def _round_up(x: int, m: int) -> int:
         "type_mask",
         "bcsr",
         "nodegraph_bcsr",
+        "compact_readout",
     ],
     meta_fields=["focus", "dim_node_label"],
 )
@@ -90,6 +128,7 @@ class GraphBatch:
     type_mask: Optional[jax.Array]
     bcsr: Optional[object]  # BcsrMatrix when block-sparse aggregation applies
     nodegraph_bcsr: Optional[object]  # BcsrMatrix (N x G) for graph readout
+    compact_readout: Optional[CompactReadout]  # tile-packed per-tile readout
     focus: str
     dim_node_label: Tuple[int, ...]
 
@@ -147,7 +186,10 @@ class GraphBatch:
 
     def readout(self, node_out: jax.Array) -> jax.Array:
         """``NodeGraphᵀ·out`` per-graph readout (reference GNN.py:345), via
-        the rectangular BCSR operator when available."""
+        the compact tile-wise path (tile-packed batches), the rectangular
+        BCSR operator, or the segment fallback."""
+        if self.compact_readout is not None:
+            return self.compact_readout.apply(node_out)
         if self.nodegraph_bcsr is not None:
             from gnnkeras_tpu.ops.bcsr import bcsr_aggregate
 
@@ -158,14 +200,21 @@ class GraphBatch:
 
 
 def _scatter_targets(
-    g: GraphObject, focus: str, n_rows: int, n_graphs_pad: int, pos: Optional[np.ndarray] = None
+    g: GraphObject,
+    focus: str,
+    n_rows: int,
+    n_graphs_pad: int,
+    pos: Optional[np.ndarray] = None,
+    graph_rows: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Row-align targets/sample_weight with their focus entity.
 
     The reference's sequencer emits targets already boolean-masked
     (GraphSequencers.py:112-116): one row per output_mask-true entity, further
     filtered to the batch's set.  Here targets live at their entity's row and
-    ``target_mask`` encodes the same set∧output filter."""
+    ``target_mask`` encodes the same set∧output filter.  ``graph_rows``
+    (compact tile-packed readout) places graph g's target at its slot row
+    instead of row g."""
     t_dim = g.DIM_TARGET
     dtype = floatx()
     if focus == "g":
@@ -174,9 +223,10 @@ def _scatter_targets(
         sw = np.zeros(rows, dtype=dtype)
         mask = np.zeros(rows, dtype=bool)
         n_real = g.targets.shape[0]
-        targets[:n_real] = g.targets
-        sw[:n_real] = g.sample_weight
-        mask[:n_real] = True
+        where = graph_rows if graph_rows is not None else np.arange(n_real)
+        targets[where] = g.targets
+        sw[where] = g.sample_weight
+        mask[where] = True
         return targets, mask, sw
 
     # node/arc focus: reference targets rows correspond, in order, to
@@ -233,7 +283,24 @@ def from_graph_object(
     # 128-aligned node padding enables the BCSR/MXU aggregation path.
     N = pad_nodes if pad_nodes is not None else _round_up(max(n_rows_needed, 1), 128 if dense_blocks else 8)
     A = pad_arcs if pad_arcs is not None else _round_up(max(a, 1), 8)
-    G = pad_graphs if pad_graphs is not None else _round_up(n_graphs, 8)
+
+    # compact tile-wise readout: graph rows become packing slots tile·Gmax+rank
+    compact_info = None
+    if (
+        tile_pack and dense_blocks and g.focus == "g" and n_graphs > 1 and n > 0
+        and pad_graphs is None and N % 128 == 0
+    ):
+        from gnnkeras_tpu.graph.packing import packed_graph_slots
+
+        sizes = np.bincount(g.graph_of_node.astype(np.int64), minlength=n_graphs)
+        tile0, rank, _, g_max, spanning = packed_graph_slots(sizes, 128)
+        T_n = N // 128
+        graph_rows = tile0 * g_max + rank
+        compact_info = (tile0, rank, g_max, spanning, T_n, graph_rows)
+        G = T_n * g_max
+    else:
+        graph_rows = None
+        G = pad_graphs if pad_graphs is not None else _round_up(n_graphs, 8)
     G_blocks = _round_up(G, 128)  # padded column space for the readout BCSR
     if N < n_rows_needed or A < a or G < n_graphs:
         raise ValueError(f"padding ({N},{A},{G}) smaller than graph ({n_rows_needed},{a},{n_graphs})")
@@ -269,14 +336,20 @@ def from_graph_object(
     m_rows = A if g.focus == "a" else N
 
     graph_of_node = np.zeros(N, dtype=np.int32)
-    graph_of_node[pos] = g.graph_of_node.astype(np.int32)
     ngw = np.zeros(N, dtype=dtype)
     ngw[pos] = g.nodegraph_weight
     graph_mask = np.zeros(G, dtype=bool)
-    graph_mask[:n_graphs] = True
+    if compact_info is not None:
+        # graph ids follow the slot layout so the segment fallback and the
+        # partitioned engine stay consistent with the compact rows
+        graph_of_node[pos] = compact_info[5][g.graph_of_node.astype(np.int64)].astype(np.int32)
+        graph_mask[compact_info[5]] = True
+    else:
+        graph_of_node[pos] = g.graph_of_node.astype(np.int32)
+        graph_mask[:n_graphs] = True
 
     r_rows = G if g.focus == "g" else m_rows
-    targets, target_mask, sample_weight = _scatter_targets(g, g.focus, r_rows, G, pos)
+    targets, target_mask, sample_weight = _scatter_targets(g, g.focus, r_rows, G, pos, graph_rows)
     if g.focus != "g" and set_mask_override is not None:
         full = np.zeros(r_rows, dtype=bool)
         idx = np.flatnonzero(g.output_mask)
@@ -294,12 +367,37 @@ def from_graph_object(
 
     bcsr = None
     nodegraph_bcsr = None
+    compact_readout = None
     if dense_blocks:
         from gnnkeras_tpu.ops.bcsr import TILE, build_bcsr
 
         if N % TILE == 0:
             bcsr = build_bcsr(src[:a], dst[:a], w[:a], N)
-            if g.focus == "g" and n > 0:
+            if compact_info is not None:
+                tile0, rank, g_max, spanning, T_n, graph_rows_np = compact_info
+                sel = np.zeros((T_n, g_max, 128), dtype=dtype)
+                g_of_n = g.graph_of_node.astype(np.int64)
+                sel[pos // 128, rank[g_of_n], pos % 128] = g.nodegraph_weight
+                span_ids = np.flatnonzero(spanning)
+                n_span_pad = len(span_ids) + 1
+                span_tile_sel = np.zeros(T_n, dtype=dtype)
+                span_group = np.full(T_n, n_span_pad - 1, np.int32)
+                span_rows = np.full(n_span_pad, G, np.int32)  # dummy → dropped
+                sizes = np.bincount(g_of_n, minlength=n_graphs)
+                for s_idx, g_id in enumerate(span_ids):
+                    run = -(-int(sizes[g_id]) // 128)
+                    t_start = int(tile0[g_id])
+                    span_tile_sel[t_start : t_start + run] = 1.0
+                    span_group[t_start : t_start + run] = s_idx
+                    span_rows[s_idx] = graph_rows_np[g_id]
+                compact_readout = CompactReadout(
+                    sel=jnp.asarray(sel),
+                    span_tile_sel=jnp.asarray(span_tile_sel),
+                    span_group=jnp.asarray(span_group),
+                    span_rows=jnp.asarray(span_rows),
+                    n_span_pad=n_span_pad,
+                )
+            elif g.focus == "g" and n > 0:
                 nodegraph_bcsr = build_bcsr(
                     pos, g.graph_of_node, g.nodegraph_weight, N, G_blocks
                 )
@@ -332,6 +430,7 @@ def from_graph_object(
         type_mask=None if type_mask is None else jnp.asarray(type_mask),
         bcsr=bcsr,
         nodegraph_bcsr=nodegraph_bcsr,
+        compact_readout=compact_readout,
         focus=g.focus,
         dim_node_label=dims,
     )

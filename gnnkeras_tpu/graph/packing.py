@@ -25,8 +25,10 @@ def pack_tiles(graph_sizes: np.ndarray, tile: int = 128) -> Tuple[np.ndarray, in
     ``tile``-node bins.
 
     Returns (start_offset_per_graph, total_padded_nodes).  Graphs larger than
-    one tile start at a fresh tile boundary and occupy an aligned run; their
-    final partial tile is reusable by later (smaller) graphs."""
+    one tile start at a fresh tile boundary and occupy an EXCLUSIVE aligned
+    run (their partial last tile is not reused: the compact tile-wise readout
+    needs spanning tiles to belong to exactly one graph; the waste is bounded
+    by one tile per oversize graph)."""
     n_graphs = len(graph_sizes)
     order = np.argsort(-np.asarray(graph_sizes), kind="stable")
     starts = np.zeros(n_graphs, dtype=np.int64)
@@ -39,8 +41,6 @@ def pack_tiles(graph_sizes: np.ndarray, tile: int = 128) -> Tuple[np.ndarray, in
             rem = size % tile
             starts[g] = n_tiles * tile
             n_tiles += full_tiles + (1 if rem else 0)
-            if rem:
-                bins.append([tile - rem, n_tiles * tile - (tile - rem)])
             continue
         placed = False
         for b in bins:
@@ -78,3 +78,29 @@ def packed_node_positions(graph_of_node: np.ndarray, tile: int = 128) -> Tuple[n
         ranks = np.empty(len(order), dtype=np.int64)
         ranks[order] = grouped_ranks
     return starts[graph_of_node] + ranks, n_padded
+
+
+def packed_graph_slots(graph_sizes: np.ndarray, tile: int = 128):
+    """Per-graph readout-slot assignment under ``pack_tiles``.
+
+    Returns ``(tile0, rank, n_tiles, g_max, spanning)``: each graph's first
+    tile, its rank among the graphs packed into that tile (spanning graphs
+    own their run exclusively → rank 0), the tile count, the maximum
+    graphs-per-tile, and the spanning mask (> one tile)."""
+    sizes = np.asarray(graph_sizes, dtype=np.int64)
+    starts, n_padded = pack_tiles(sizes, tile)
+    tile0 = starts // tile
+    spanning = sizes > tile
+    n_tiles = n_padded // tile
+
+    order = np.argsort(starts, kind="stable")
+    rank = np.zeros(len(starts), np.int64)
+    last_tile, next_rank = -1, 0
+    for g in order:
+        t = int(tile0[g])
+        if t != last_tile:
+            last_tile, next_rank = t, 0
+        rank[g] = next_rank
+        next_rank += 1
+    g_max = int(rank.max()) + 1 if len(rank) else 1
+    return tile0, rank, n_tiles, g_max, spanning

@@ -47,6 +47,11 @@ def unconverged(
 ) -> jax.Array:
     """True while any *real* node moved more than threshold·‖old‖₂
     (reference ``condition``, GNN.py:196-214; padding is excluded)."""
+    if threshold == 0.0:
+        # ‖s−s_old‖₂ > 0 ⟺ some element changed — one comparison pass
+        # instead of two sum-of-squares reductions (bit-identical predicate)
+        changed = jnp.any(state != state_old, axis=1)
+        return jnp.any(jnp.logical_and(changed, node_mask))
     distance = jnp.sqrt(jnp.sum(jnp.square(state - state_old), axis=1))
     norm = jnp.sqrt(jnp.sum(jnp.square(state_old), axis=1))
     check = distance > threshold * norm

@@ -23,15 +23,29 @@ LANES = 128
 
 
 def _ring_kernel(num_devices: int, rows: int, axis_name: str):
-    def kernel(local_ref, out_ref, comm_buf, send_sem, recv_sem):
+    def kernel(local_ref, out_ref, comm_buf, send_sem, recv_sem, credit_sem):
         my_id = jax.lax.axis_index(axis_name)
+        left = jax.lax.rem(my_id - 1 + num_devices, num_devices)
+        dst = jax.lax.rem(my_id + 1, num_devices)
         out_ref[pl.ds(my_id * rows, rows), :] = local_ref[...]
         comm_buf[0] = local_ref[...]
 
         def step(i, _):
             send_slot = i % 2
             recv_slot = (i + 1) % 2
-            dst = jax.lax.rem(my_id + 1, num_devices)
+
+            # flow control: my iteration-i send writes the right neighbor's
+            # slot (i+1)%2, which that neighbor last sent FROM at iteration
+            # i-1.  Nothing else orders my progress with the neighbor's, so
+            # without a credit I could overwrite a buffer whose outbound DMA
+            # is still in flight (the interleaving the interpret-mode
+            # scheduler exposed; it would race on real hardware too).  The
+            # neighbor releases the slot by signaling a credit after its own
+            # send completes.
+            @pl.when(i > 0)
+            def _():
+                pltpu.semaphore_wait(credit_sem, 1)
+
             rdma = pltpu.make_async_remote_copy(
                 src_ref=comm_buf.at[send_slot],
                 dst_ref=comm_buf.at[recv_slot],
@@ -42,6 +56,16 @@ def _ring_kernel(num_devices: int, rows: int, axis_name: str):
             )
             rdma.start()
             rdma.wait()
+
+            # my send from send_slot is done → the LEFT neighbor may write it
+            # next iteration (skip the last iteration so the semaphore drains)
+            @pl.when(i < num_devices - 2)
+            def _():
+                pltpu.semaphore_signal(
+                    credit_sem, inc=1, device_id=left,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+
             src_dev = jax.lax.rem(my_id - i - 1 + num_devices, num_devices)
             out_ref[pl.ds(src_dev * rows, rows), :] = comm_buf[recv_slot]
             return 0
@@ -69,6 +93,7 @@ def ring_all_gather(x: jax.Array, axis_name: str, num_devices: int) -> jax.Array
             pltpu.VMEM((2, rows, d_pad), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.REGULAR,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True, collective_id=0),
         interpret=pltpu.InterpretParams() if jax.default_backend() != "tpu" else False,

@@ -61,6 +61,8 @@ def _round_up(x: int, m: int) -> int:
         "arc_src_type",
         "graph_of_node",
         "nodegraph_weight",
+        "local_bcsr",
+        "halo_bcsr",
     ],
     meta_fields=["focus", "dim_node_label", "n_parts", "nodes_per_part", "n_graphs"],
 )
@@ -96,6 +98,12 @@ class PartitionedGraph:
     # NodeGraph, graph_class.py:127-138); targets rows are replicated graphs.
     graph_of_node: Optional[jax.Array]  # (D, Np) i32 global graph id of each local node
     nodegraph_weight: Optional[jax.Array]  # (D, Np) NodeGraph readout weight (1/N_g)
+    # BCSR/MXU aggregation (dense_blocks=True): per-device block operators for
+    # local-source edges (Np x Np) and remote-source edges (rows = the
+    # exchanged buffer).  The exchange is issued before the local block-SpMM,
+    # so XLA's latency-hiding scheduler overlaps transfer with local compute.
+    local_bcsr: Optional[object]  # stacked BcsrMatrix, leading D axis
+    halo_bcsr: Optional[object]  # stacked BcsrMatrix, leading D axis
     focus: str
     dim_node_label: Tuple[int, ...]
     n_parts: int
@@ -103,8 +111,38 @@ class PartitionedGraph:
     n_graphs: int  # padded graph rows (0 unless focus == 'g')
 
 
+def _stack_bcsr(mats):
+    """Stack per-part BcsrMatrix operators along a new device axis, zero-block
+    padded to the largest block count (zero blocks add nothing)."""
+    from gnnkeras_tpu.ops.bcsr import BcsrMatrix
+
+    b_max = max(m.blocks.shape[0] for m in mats)
+
+    def pad(m):
+        b = m.blocks.shape[0]
+        blocks = np.asarray(m.blocks)
+        st = np.asarray(m.src_tile)
+        dt = np.asarray(m.dst_tile)
+        if b < b_max:
+            blocks = np.concatenate([blocks, np.zeros((b_max - b,) + blocks.shape[1:], blocks.dtype)])
+            st = np.concatenate([st, np.zeros(b_max - b, st.dtype)])
+            dt = np.concatenate([dt, np.zeros(b_max - b, dt.dtype)])
+        return blocks, st, dt
+
+    padded = [pad(m) for m in mats]
+    return BcsrMatrix(
+        blocks=jnp.asarray(np.stack([p[0] for p in padded])),
+        src_tile=jnp.asarray(np.stack([p[1] for p in padded])),
+        dst_tile=jnp.asarray(np.stack([p[2] for p in padded])),
+        n_src_tiles=mats[0].n_src_tiles,
+        n_dst_tiles=mats[0].n_dst_tiles,
+        tile=mats[0].tile,
+    )
+
+
 def partition_graph(
-    g: GraphObject, n_parts: int, pad_multiple: int = 8, halo: bool = True
+    g: GraphObject, n_parts: int, pad_multiple: int = 8, halo: bool = True,
+    dense_blocks: bool = False,
 ) -> PartitionedGraph:
     """Contiguous node-range partition; edges assigned to the destination's
     part (incoming aggregation is local).
@@ -119,7 +157,15 @@ def partition_graph(
     devices), each device computes a partial NodeGraph readout over global
     graph ids, and the psum of partials reproduces the reference's
     ``NodeGraphᵀ·out`` (GNN/Models/GNN.py:341-346).  Graph-level target rows
-    are replicated on every device."""
+    are replicated on every device.
+
+    ``dense_blocks=True`` builds per-partition BCSR/MXU operators (local-edge
+    block + halo-edge block) so the sharded convergence loop aggregates on
+    the same block-sparse einsum path as the single-chip engine instead of
+    the ~20x-slower TPU scatter; the halo exchange is issued ahead of the
+    local block-SpMM so XLA overlaps transfer with compute."""
+    if dense_blocks:
+        pad_multiple = max(pad_multiple, 128)  # BCSR tiles are 128-aligned
     n = g.nodes.shape[0]
     chunk = -(-n // n_parts)
     np_pad = _round_up(chunk, pad_multiple)
@@ -211,6 +257,7 @@ def partition_graph(
             target_mask[p, : len(e)] = np.logical_and(g.set_mask[e], g.output_mask[e])
 
     publish_local = publish_mask = arc_src_halo = None
+    slot_map = None
     if halo:
         # per-owner q: the union of q-owned src rows read by OTHER parts.
         needed_by_owner = [set() for _ in range(n_parts)]
@@ -241,6 +288,33 @@ def partition_graph(
                     [global_to_slot[int(x)] for x in src[e][~local]], dtype=np.int64
                 )
                 arc_src_halo[p, : len(e)] = idx
+            slot_map = global_to_slot
+
+    local_bcsr = halo_bcsr = None
+    if dense_blocks:
+        from gnnkeras_tpu.ops.bcsr import build_bcsr
+
+        h_rows = publish_local.shape[1] if publish_local is not None else np_pad
+        gathered_rows = n_parts * h_rows
+        locals_, halos_ = [], []
+        for p in range(n_parts):
+            e = edges_per_part[p]
+            local_sel = src_part[e] == p
+            el, er = e[local_sel], e[~local_sel]
+            locals_.append(
+                build_bcsr(src[el] - p * chunk, dst[el] - p * chunk,
+                           g.arcnode_weight[el], np_pad, np_pad, max_band_factor=10**9)
+            )
+            if slot_map is not None:
+                remote_rows = np.array([slot_map[int(x)] for x in src[er]], dtype=np.int64)
+            else:
+                remote_rows = src_global_new[er]
+            halos_.append(
+                build_bcsr(remote_rows, dst[er] - p * chunk,
+                           g.arcnode_weight[er], gathered_rows, np_pad, max_band_factor=10**9)
+            )
+        local_bcsr = _stack_bcsr(locals_)
+        halo_bcsr = _stack_bcsr(halos_)
 
     return PartitionedGraph(
         nodes=jnp.asarray(nodes),
@@ -262,6 +336,8 @@ def partition_graph(
         arc_src_type=None if arc_src_type is None else jnp.asarray(arc_src_type),
         graph_of_node=None if graph_of_node is None else jnp.asarray(graph_of_node),
         nodegraph_weight=None if nodegraph_weight is None else jnp.asarray(nodegraph_weight),
+        local_bcsr=local_bcsr,
+        halo_bcsr=halo_bcsr,
         focus=g.focus,
         dim_node_label=tuple(int(d) for d in g.DIM_NODE_LABEL),
         n_parts=n_parts,
@@ -319,28 +395,47 @@ class PartitionedGNN:
             pg = jax.tree_util.tree_map(lambda x: x[0], pg)
         np_local = pg.nodes.shape[0]
         use_halo = pg.publish_local is not None
+        use_bcsr = pg.local_bcsr is not None
 
-        def exchange(x):
-            """Extend local rows with the remote rows this device's edges
-            read: halo-published boundary rows when available (H·d per device
-            over ICI), the full state otherwise (N·d).  The halo buffers move
-            either through XLA's all_gather or the Pallas RDMA ring kernel."""
+        def gather_remote(x):
+            """The exchanged buffer: halo-published boundary rows when
+            available (H·d per device over ICI), the full tiled state
+            otherwise (N·d), moved through XLA's all_gather or the Pallas
+            RDMA ring kernel."""
             if use_halo:
                 published = x[pg.publish_local] * pg.publish_mask[:, None].astype(x.dtype)
                 if self.transport == "pallas_ring":
                     from gnnkeras_tpu.ops.ring import ring_all_gather
 
-                    gathered = ring_all_gather(published, axis, self.n_devices)
-                else:
-                    gathered = jax.lax.all_gather(published, axis, tiled=True)
-                return jnp.concatenate([x, gathered], axis=0)
+                    return ring_all_gather(published, axis, self.n_devices)
+                return jax.lax.all_gather(published, axis, tiled=True)
             return jax.lax.all_gather(x, axis, tiled=True)
 
+        def exchange(x):
+            """Local rows extended with the exchanged remote rows (the
+            edge-list path's row space; arc_src_halo indexes it)."""
+            if use_halo:
+                return jnp.concatenate([x, gather_remote(x)], axis=0)
+            return gather_remote(x)
+
         src_ext = pg.arc_src_halo if use_halo else pg.arc_src_global
-        if use_halo:
-            # in halo mode local rows index the local block directly; in
-            # all_gather mode they index the tiled global buffer.
-            pass
+
+        def aggregate(x):
+            """``Adjᵀ·x`` restricted to this device's destination rows.
+            BCSR mode: the remote gather is ISSUED first and the local block
+            einsum computed while it is in flight (XLA's latency-hiding
+            scheduler overlaps the independent collective), then the halo
+            blocks consume the gathered buffer — the overlapped exchange the
+            BASELINE north star calls for.  Fallback: gather + edge-list
+            segment-sum."""
+            if use_bcsr:
+                from gnnkeras_tpu.ops.bcsr import bcsr_aggregate
+
+                remote = gather_remote(x)
+                agg = bcsr_aggregate(x, pg.local_bcsr)
+                return agg + bcsr_aggregate(remote, pg.halo_bcsr)
+            ext = exchange(x)
+            return segment_sum(ext[src_ext] * pg.arc_weight[:, None], pg.arc_dst_local, np_local)
 
         agg_arcs = segment_sum(pg.arc_label * pg.arc_weight[:, None], pg.arc_dst_local, np_local)
 
@@ -365,10 +460,7 @@ class PartitionedGNN:
                 jax.random.fold_in(rng, my), (np_local, gnn.state_vect_dim), dtype=floatx()
             )
             if not self.composite:
-                ext_nodes = exchange(pg.nodes)
-                agg_nodes = segment_sum(
-                    ext_nodes[src_ext] * pg.arc_weight[:, None], pg.arc_dst_local, np_local
-                )
+                agg_nodes = aggregate(pg.nodes)
             else:
                 agg_nodes = None
         else:
@@ -387,10 +479,7 @@ class PartitionedGNN:
             return jax.lax.pmax(local_any.astype(jnp.int32), axis) > 0
 
         def transition(state, bn_state, step_rng):
-            ext_state = exchange(state)
-            agg_states = segment_sum(
-                ext_state[src_ext] * pg.arc_weight[:, None], pg.arc_dst_local, np_local
-            )
+            agg_states = aggregate(state)
             if self.composite:
                 # per-type expert MLPs on local rows (CompositeGNN.py:215-234)
                 state_width = gnn.state_vect_dim or pg.nodes.shape[1]
@@ -620,6 +709,39 @@ class PartitionedGNN:
             self.gnn.variables["params"], self.gnn.variables["state"], pg, rng
         )
         return k, state, out, new_mstate
+
+    def evaluate(self, pg: PartitionedGraph, verbose: int = 0):
+        """Loss + metrics over the partitioned graph (inference mode) —
+        mirrors trainer.evaluate's logs."""
+        gnn = self.gnn
+        if gnn.loss is None:
+            raise RuntimeError("call compile() before evaluate()")
+        gnn.build()
+        from gnnkeras_tpu.training.metrics import get_metric
+
+        _, _, out, _ = self.forward(pg, training=False)
+        out = np.asarray(out)
+        if pg.focus == "g":
+            y_pred = out[0]  # replicated per-graph rows
+            y = np.asarray(pg.targets[0])
+            mask = np.asarray(pg.target_mask[0])
+            sw = np.asarray(pg.sample_weight[0])
+        else:
+            y_pred = out.reshape(-1, out.shape[-1])
+            y = np.asarray(pg.targets).reshape(-1, pg.targets.shape[-1])
+            mask = np.asarray(pg.target_mask).reshape(-1)
+            sw = np.asarray(pg.sample_weight).reshape(-1)
+        import jax.numpy as jnp
+
+        per = np.asarray(gnn.loss(jnp.asarray(y), jnp.asarray(y_pred)))
+        logs = {"loss": float((per * sw * mask).sum() / max(mask.sum(), 1.0))}
+        for spec in gnn.metrics:
+            name, fn = get_metric(spec)
+            s, c = fn(jnp.asarray(y), jnp.asarray(y_pred), jnp.asarray(mask), jnp.asarray(sw))
+            logs[name] = float(s) / max(float(c), 1.0)
+        if verbose:
+            print(" - ".join(f"{k}: {v:.4f}" for k, v in logs.items()))
+        return logs
 
     def fit(self, pg: PartitionedGraph, epochs: int = 1, verbose: int = 1, seed: int = 0):
         """Full-batch training of the partitioned graph."""

@@ -133,8 +133,14 @@ class TestTilePacking:
         k1, s1, o1, _, _ = gnn.forward(gnn.variables, b_plain, training=True)
         k2, s2, o2, _, _ = gnn.forward(gnn.variables, b_packed, training=True)
         assert float(k1) == float(k2)
-        # graph-level outputs are graph-indexed: identical row-for-row
-        np.testing.assert_allclose(np.asarray(o2)[:60], np.asarray(o1)[:60], rtol=2e-4, atol=1e-5)
+        # graph rows under tile packing live at the compact-readout slot
+        # (tile·Gmax + rank); map through packed_graph_slots
+        from gnnkeras_tpu.graph.packing import packed_graph_slots
+
+        sizes = np.bincount(merged.graph_of_node.astype(int), minlength=60)
+        tile0, rank, _, g_max, _ = packed_graph_slots(sizes)
+        rows = tile0 * g_max + rank
+        np.testing.assert_allclose(np.asarray(o2)[rows], np.asarray(o1)[:60], rtol=2e-4, atol=1e-5)
         # node states equal up to the packing permutation
         pos, _ = packed_node_positions(merged.graph_of_node)
         np.testing.assert_allclose(

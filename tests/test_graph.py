@@ -2,6 +2,8 @@
 oracles (reference math at graph_class.py:91-138, composite_graph_class.py:
 73-103), merge index offsetting (graph_class.py:385-413), persistence."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -354,3 +356,99 @@ class TestGraphTensorIO:
         np.savez(path, **data)
         with pytest.raises(ValueError):
             load_graph_tensor(path, focus="n")
+
+
+class TestCompactReadout:
+    """Tile-packed compact readout == unpacked NodeGraph readout, including
+    graphs larger than one tile (exclusive aligned runs)."""
+
+    def _graphs(self, seed=0, n_graphs=30, with_big=True):
+        rng = np.random.default_rng(seed)
+        graphs = []
+        for i in range(n_graphs):
+            n = int(rng.integers(4, 40))
+            if with_big and i in (3, 11):
+                n = int(rng.integers(150, 300))  # spans >1 tile
+            a = max(2 * n, 4)
+            nodes = rng.normal(size=(n, 5))
+            arcs = np.concatenate([rng.integers(0, n, (a, 2)), rng.normal(size=(a, 2))], axis=1)
+            t = rng.normal(size=(1, 3))
+            graphs.append(GraphObject(nodes=nodes, arcs=arcs, targets=t, focus="g",
+                                      aggregation_mode="average"))
+        return graphs
+
+    @pytest.mark.parametrize("with_big", [False, True])
+    def test_matches_unpacked_readout(self, with_big):
+        from gnnkeras_tpu.graph.batch import from_graph_object
+
+        graphs = self._graphs(with_big=with_big)
+        merged = GraphObject.merge(graphs, focus="g", aggregation_mode="average")
+
+        plain = from_graph_object(merged)  # row g = graph g
+        packed = from_graph_object(merged, tile_pack=True)
+        assert packed.compact_readout is not None
+
+        rng = np.random.default_rng(1)
+        out_plain = rng.normal(size=(plain.num_nodes, 3)).astype(np.float32)
+        # map node rows: packed node positions permute the rows
+        out_packed = np.zeros((packed.num_nodes, 3), dtype=np.float32)
+        mask_plain = np.asarray(plain.node_mask)
+        mask_packed = np.asarray(packed.node_mask)
+        out_packed[mask_packed] = out_plain[mask_plain]  # both orders are merge order? no —
+        # rebuild via the position maps instead: real rows of `plain` are the
+        # first n rows in merge order; packed rows permute them by pos.
+        n_real = merged.nodes.shape[0]
+        from gnnkeras_tpu.graph.packing import packed_node_positions
+
+        pos, _ = packed_node_positions(merged.graph_of_node)
+        out_packed = np.zeros((packed.num_nodes, 3), dtype=np.float32)
+        out_packed[pos] = out_plain[:n_real]
+
+        r_plain = np.asarray(plain.readout(jnp.asarray(out_plain)))
+        r_packed = np.asarray(packed.readout(jnp.asarray(out_packed)))
+
+        # per-graph comparison through each layout's target rows
+        m_plain = np.asarray(plain.target_mask)
+        m_packed = np.asarray(packed.target_mask)
+        t_plain = np.asarray(plain.targets)[m_plain]
+        t_packed = np.asarray(packed.targets)[m_packed]
+        # targets identify the graphs: sort both by target bytes to align rows
+        order_p = np.lexsort(t_plain.T)
+        order_q = np.lexsort(t_packed.T)
+        np.testing.assert_allclose(t_plain[order_p], t_packed[order_q], rtol=0, atol=0)
+        np.testing.assert_allclose(
+            r_plain[m_plain][order_p], r_packed[m_packed][order_q], rtol=1e-5, atol=1e-6
+        )
+
+    def test_training_with_tile_pack_learns(self):
+        from gnnkeras_tpu.graph.batch import from_graph_object
+        from gnnkeras_tpu.models.gnn import GNNgraphBased
+        from gnnkeras_tpu.models.mlp import MLP, get_inout_dims
+        from gnnkeras_tpu.training.trainer import _get_train_step
+
+        graphs = self._graphs(seed=3, n_graphs=20, with_big=True)
+        rng = np.random.default_rng(4)
+        for g in graphs:  # classification targets
+            t = np.zeros((1, 3))
+            t[0, rng.integers(3)] = 1
+            g.targets = t
+        merged = GraphObject.merge(graphs, focus="g", aggregation_mode="average")
+        batch = from_graph_object(merged, tile_pack=True)
+
+        inp_s, layers_s = get_inout_dims("state", 5, 2, 3, "g", 0)
+        inp_o, layers_o = get_inout_dims("output", 5, 2, 3, "g", 0)
+        st = MLP(input_dim=inp_s[0], layers=layers_s, activations="selu",
+                 kernel_initializer="lecun_normal", bias_initializer="lecun_normal")
+        ot = MLP(input_dim=inp_o[0], layers=layers_o, activations="softmax",
+                 kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+        gnn = GNNgraphBased(st, ot, 0, 3, 0.01)
+        gnn.compile(optimizer="adam:0.01", loss="categorical_crossentropy")
+        gnn.build(seed=2)
+        gnn._opt_state = gnn.optimizer.init(gnn.variables["params"])
+        step = _get_train_step(gnn)
+        params, mstate, opt = gnn.variables["params"], gnn.variables["state"], gnn._opt_state
+        losses = []
+        for i in range(8):
+            params, mstate, opt, logs = step(params, mstate, opt, batch, jax.random.PRNGKey(i))
+            losses.append(float(logs["loss_sum"]) / float(logs["count"]))
+        assert losses[-1] < losses[0]
