@@ -82,10 +82,20 @@ class MultiGraphSequencer:
             for i in range(len(self))
         ]
         # monotonic sequencer-wide pads: one compiled step for all epochs.
+        compact = self.tile_pack and self.focus == "g"
         if self.tile_pack:
-            from gnnkeras_tpu.graph.packing import packed_node_positions
+            from gnnkeras_tpu.graph.packing import packed_graph_slots, packed_node_positions
 
             needed = max(packed_node_positions(g.graph_of_node)[1] for g in merged)
+            if compact:
+                # uniform compact-readout slot width (graph rows = tile·Gmax+rank)
+                g_max = max(
+                    packed_graph_slots(
+                        np.bincount(g.graph_of_node.astype(np.int64), minlength=g.num_graphs)
+                    )[3]
+                    for g in merged
+                )
+                self._compact_gmax = max(getattr(self, "_compact_gmax", 0), g_max)
         else:
             needed = max(g.nodes.shape[0] for g in merged)
         self._pad_nodes = max(self._pad_nodes, _round_up(needed, self.pad_multiple))
@@ -95,8 +105,10 @@ class MultiGraphSequencer:
         self._pad_graphs = max(self._pad_graphs, _round_up(max(g.num_graphs for g in merged), 8))
         self.batches: List[GraphBatch] = [
             from_graph_object(
-                g, self._pad_nodes, self._pad_arcs, self._pad_graphs,
+                g, self._pad_nodes, self._pad_arcs,
+                None if compact else self._pad_graphs,
                 agg_dtype=self.agg_dtype, tile_pack=self.tile_pack,
+                compact_gmax=self._compact_gmax if compact else None,
             )
             for g in merged
         ]

@@ -257,6 +257,7 @@ def from_graph_object(
     agg_dtype: Optional[str] = None,
     pallas: bool = False,
     tile_pack: bool = False,
+    compact_gmax: Optional[int] = None,
 ) -> GraphBatch:
     """Convert a (possibly merged) host graph into a padded device batch.
 
@@ -294,6 +295,8 @@ def from_graph_object(
 
         sizes = np.bincount(g.graph_of_node.astype(np.int64), minlength=n_graphs)
         tile0, rank, _, g_max, spanning = packed_graph_slots(sizes, 128)
+        if compact_gmax is not None:  # sequencer-uniform slot width
+            g_max = max(g_max, int(compact_gmax))
         T_n = N // 128
         graph_rows = tile0 * g_max + rank
         compact_info = (tile0, rank, g_max, spanning, T_n, graph_rows)
