@@ -1,0 +1,156 @@
+"""Compact-strip Pallas aggregation: the successor to ops/spmm.py's fused
+kernel (which lost to the XLA einsum by 5x due to d=14→128 lane padding,
+BASELINE.md round 1).
+
+Layout: graphs packed into 32-node sub-slots of 128-node tiles make each
+tile's within-slot adjacency block-diagonal with four 32×32 blocks, stored
+COMPACT as a (T, 32, 128) strip — 4x fewer HBM bytes than the 128×128 block.
+The kernel expands the strip to the (128,128) block-diagonal in VMEM with
+four lane-masked sublane strips (pure VPU masking, no shifts) and runs one
+full 128-contraction MXU matmul per tile against the TRANSPOSED state
+(features in sublanes: nothing is lane-padded anywhere).
+
+Edges crossing 32-slot boundaries (graphs larger than a slot) are carried by
+the standard BCSR residual (ops/bcsr.py) and summed in.
+
+The backward pass reuses the forward kernel with the transposed strip
+(block-diagonal transpose = per-slot 32×32 transposes, precomputed host-side)
+— the VJP of ``out_T = state_T·BD`` is ``ct_T·BDᵀ`` plus the residual's own
+autodiff.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gnnkeras_tpu.ops.bcsr import BcsrMatrix, bcsr_aggregate, build_bcsr, transpose_bcsr
+
+SLOT = 32
+TILE = 128
+D_SUB = 8  # sublane granularity for the transposed state
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["strip", "strip_t", "residual", "residual_t"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class StripOperator:
+    """Within-slot compact strips (+ transposes for the VJP) and the
+    cross-slot BCSR residual."""
+
+    strip: jax.Array  # (T, SLOT, TILE)
+    strip_t: jax.Array  # (T, SLOT, TILE): per-slot transposed blocks
+    residual: Optional[BcsrMatrix]
+    residual_t: Optional[BcsrMatrix]
+
+
+def build_strip_operator(
+    src: np.ndarray, dst: np.ndarray, weight: np.ndarray, n_padded: int
+) -> StripOperator:
+    """Host-side construction over slot-packed node positions (every graph
+    ≤ SLOT nodes lives inside one slot; larger graphs produce residual
+    edges)."""
+    assert n_padded % TILE == 0
+    t = n_padded // TILE
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    weight = np.asarray(weight, dtype=np.float64)
+
+    in_slot = (src // SLOT) == (dst // SLOT)
+    s, d, w = src[in_slot], dst[in_slot], weight[in_slot]
+    strip = np.zeros((t, SLOT, TILE), np.float32)
+    np.add.at(strip, (d // TILE, s % SLOT, d % TILE), w)
+    # block-diagonal transpose: edge (s → d) lands at column s, row d%SLOT
+    strip_t = np.zeros_like(strip)
+    np.add.at(strip_t, (s // TILE, d % SLOT, s % TILE), w)
+
+    residual = residual_t = None
+    if np.any(~in_slot):
+        sr, dr, wr = src[~in_slot], dst[~in_slot], weight[~in_slot]
+        residual = build_bcsr(sr, dr, wr, n_padded, max_band_factor=10**9)
+        residual_t = transpose_bcsr(residual)
+    return StripOperator(
+        strip=jnp.asarray(strip),
+        strip_t=jnp.asarray(strip_t),
+        residual=residual,
+        residual_t=residual_t,
+    )
+
+
+def _strip_kernel(d_sub: int, dtype):
+    def kernel(strip_ref, state_ref, out_ref):
+        a = strip_ref[0]  # (SLOT, TILE)
+        col_group = jax.lax.broadcasted_iota(jnp.int32, (SLOT, TILE), 1) // SLOT
+        parts = [a * (col_group == g_i).astype(a.dtype) for g_i in range(TILE // SLOT)]
+        bd = jnp.concatenate(parts, axis=0)  # (TILE, TILE) block-diagonal
+        x = state_ref[...]
+        out_ref[...] = jnp.dot(
+            x.astype(bd.dtype), bd, preferred_element_type=jnp.float32
+        ).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _strip_matmul(state_t: jax.Array, strip: jax.Array) -> jax.Array:
+    """(d_sub, N) × strips → (d_sub, N) of within-slot contributions."""
+    d_sub, n = state_t.shape
+    t = strip.shape[0]
+    return pl.pallas_call(
+        _strip_kernel(d_sub, strip.dtype),
+        out_shape=jax.ShapeDtypeStruct((d_sub, n), state_t.dtype),
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, SLOT, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_sub, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((d_sub, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=jax.default_backend() != "tpu",
+    )(strip, state_t)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def strip_aggregate(state: jax.Array, op: StripOperator) -> jax.Array:
+    """``Adjᵀ·state`` (incoming aggregation) through the compact strips +
+    BCSR residual.  state (N, d) row-major at the interface; transposed
+    internally."""
+    return _strip_forward(state, op)
+
+
+def _strip_forward(state: jax.Array, op: StripOperator) -> jax.Array:
+    n, d = state.shape
+    d_pad = -(-d // D_SUB) * D_SUB
+    state_t = jnp.pad(state, ((0, 0), (0, d_pad - d))).T  # (d_pad, N)
+    out_t = _strip_matmul(state_t, op.strip)
+    out = out_t.T[:, :d]
+    if op.residual is not None:
+        out = out + bcsr_aggregate(state, op.residual)
+    return out
+
+
+def _strip_fwd(state, op):
+    return _strip_forward(state, op), (op,)
+
+
+def _strip_bwd(res, ct):
+    (op,) = res
+    n, d = ct.shape
+    d_pad = -(-d // D_SUB) * D_SUB
+    ct_t = jnp.pad(ct, ((0, 0), (0, d_pad - d))).T
+    dstate_t = _strip_matmul(ct_t, op.strip_t)
+    dstate = dstate_t.T[:, :d]
+    if op.residual_t is not None:
+        dstate = dstate + bcsr_aggregate(ct, op.residual_t)
+    return dstate, None
+
+
+strip_aggregate.defvjp(_strip_fwd, _strip_bwd)

@@ -1,0 +1,91 @@
+"""Compact-strip Pallas aggregation (ops/strip.py) vs a dense oracle —
+forward and custom-VJP backward, interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnnkeras_tpu.ops.strip import SLOT, TILE, build_strip_operator, strip_aggregate
+
+
+def random_slot_graph(seed=0, n_tiles=3, cross_slot=True):
+    """Edges over n_tiles*128 nodes, mostly within 32-slots plus (optionally)
+    cross-slot residual edges."""
+    rng = np.random.default_rng(seed)
+    n = n_tiles * TILE
+    # within-slot edges
+    base = rng.integers(0, n, 600)
+    off = rng.integers(0, SLOT, 600)
+    src_in = (base // SLOT) * SLOT + off
+    dst_in = base
+    src, dst = [src_in], [dst_in]
+    if cross_slot:
+        src_x = rng.integers(0, n, 120)
+        dst_x = rng.integers(0, n, 120)
+        src.append(src_x)
+        dst.append(dst_x)
+    src = np.concatenate(src)
+    dst = np.concatenate(dst)
+    w = rng.normal(size=len(src))
+    return src, dst, w, n
+
+
+def dense_oracle(src, dst, w, n, state):
+    adj = np.zeros((n, n), np.float64)
+    np.add.at(adj, (src, dst), w)
+    return (adj.T @ state.astype(np.float64)).astype(np.float32)
+
+
+class TestStripAggregate:
+    @pytest.mark.parametrize("cross_slot", [False, True])
+    @pytest.mark.parametrize("d", [14, 8, 3])
+    def test_forward_matches_dense(self, cross_slot, d):
+        src, dst, w, n = random_slot_graph(cross_slot=cross_slot)
+        op = build_strip_operator(src, dst, w, n)
+        assert (op.residual is not None) == cross_slot
+        state = np.random.default_rng(1).normal(size=(n, d)).astype(np.float32)
+        got = np.asarray(strip_aggregate(jnp.asarray(state), op))
+        want = dense_oracle(src, dst, w, n, state)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_backward_matches_autodiff_oracle(self):
+        src, dst, w, n = random_slot_graph(seed=3)
+        op = build_strip_operator(src, dst, w, n)
+        d = 5
+        state = jnp.asarray(np.random.default_rng(2).normal(size=(n, d)).astype(np.float32))
+        ct_seed = jnp.asarray(np.random.default_rng(3).normal(size=(n, d)).astype(np.float32))
+
+        g_got = jax.grad(lambda s: jnp.sum(strip_aggregate(s, op) * ct_seed))(state)
+
+        adj = np.zeros((n, n), np.float32)
+        np.add.at(adj, (src, dst), w.astype(np.float32))
+        adj_j = jnp.asarray(adj)
+        g_want = jax.grad(lambda s: jnp.sum((adj_j.T @ s) * ct_seed))(state)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), rtol=1e-4, atol=1e-4)
+
+    def test_mutag_packed_exactness(self):
+        """Real Mutagenicity packed at 32-slot granularity: strips + residual
+        reproduce the full aggregation."""
+        from gnnkeras_tpu.data.mutag import load_mutag
+        from gnnkeras_tpu.graph.graph import GraphObject
+        from gnnkeras_tpu.graph.packing import packed_node_positions
+        from gnnkeras_tpu.ops.segment import aggregate_neighbors
+
+        graphs = load_mutag()[:300]
+        merged = GraphObject.merge(graphs, focus="g", aggregation_mode="average")
+        pos, n_rows = packed_node_positions(merged.graph_of_node, tile=SLOT)
+        n_pad = -(-n_rows // TILE) * TILE
+        src = pos[merged.arcs[:, 0].astype(np.int64)]
+        dst = pos[merged.arcs[:, 1].astype(np.int64)]
+        w = merged.arcnode_weight
+
+        op = build_strip_operator(src, dst, w, n_pad)
+        state = np.random.default_rng(5).normal(size=(n_pad, 14)).astype(np.float32)
+        got = np.asarray(strip_aggregate(jnp.asarray(state), op))
+        want = np.asarray(
+            aggregate_neighbors(jnp.asarray(state), jnp.asarray(src.astype(np.int32)),
+                                jnp.asarray(dst.astype(np.int32)),
+                                jnp.asarray(w.astype(np.float32)), n_pad)
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-4)
