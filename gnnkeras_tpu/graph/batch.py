@@ -94,6 +94,8 @@ class CompactReadout:
         "bcsr",
         "nodegraph_bcsr",
         "compact_readout",
+        "agg_arc_labels",
+        "agg_node_labels",
     ],
     meta_fields=["focus", "dim_node_label"],
 )
@@ -129,6 +131,11 @@ class GraphBatch:
     bcsr: Optional[object]  # BcsrMatrix when block-sparse aggregation applies
     nodegraph_bcsr: Optional[object]  # BcsrMatrix (N x G) for graph readout
     compact_readout: Optional[CompactReadout]  # tile-packed per-tile readout
+    # batch-constant neighbor sums, precomputed host-side in f64 so the
+    # convergence loop never re-runs the (slow on TPU) edge scatter:
+    # ``ArcNodeᵀ·arc_labels`` (reference GNN.py:254) and ``Adjᵀ·node_labels``
+    agg_arc_labels: Optional[jax.Array]  # (N, da)
+    agg_node_labels: Optional[jax.Array]  # (N, dn)
     focus: str
     dim_node_label: Tuple[int, ...]
 
@@ -414,6 +421,12 @@ def from_graph_object(
 
                 bcsr = prepare_pallas_bcsr(bcsr)
 
+    # batch-constant neighbor-label sums (f64 host accumulation)
+    agg_arc = np.zeros((N, g.DIM_ARC_LABEL), np.float64)
+    np.add.at(agg_arc, dst[:a], arc_label[:a].astype(np.float64) * w[:a, None].astype(np.float64))
+    agg_node = np.zeros((N, nodes.shape[1]), np.float64)
+    np.add.at(agg_node, dst[:a], nodes[src[:a]].astype(np.float64) * w[:a, None].astype(np.float64))
+
     return GraphBatch(
         nodes=jnp.asarray(nodes),
         arc_src=jnp.asarray(src),
@@ -434,6 +447,8 @@ def from_graph_object(
         bcsr=bcsr,
         nodegraph_bcsr=nodegraph_bcsr,
         compact_readout=compact_readout,
+        agg_arc_labels=jnp.asarray(agg_arc.astype(dtype)),
+        agg_node_labels=jnp.asarray(agg_node.astype(dtype)),
         focus=g.focus,
         dim_node_label=dims,
     )

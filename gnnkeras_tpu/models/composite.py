@@ -75,7 +75,10 @@ class CompositeGNNnodeBased(GNNnodeBased):
             w_t = batch.arcnode_weight * src_type[:, t].astype(floatx())
             msg = batch.nodes[batch.arc_src, :d_t] * w_t[:, None]
             parts.append(segment_sum(msg, batch.arc_dst, n))
-        parts.append(aggregate_edges(batch.arc_label, batch.arc_dst, batch.arcnode_weight, n))
+        if batch.agg_arc_labels is not None:  # batch-constant, precomputed host-side
+            parts.append(batch.agg_arc_labels)
+        else:
+            parts.append(aggregate_edges(batch.arc_label, batch.arc_dst, batch.arcnode_weight, n))
         return jnp.concatenate(parts, axis=1)
 
     def unfold(

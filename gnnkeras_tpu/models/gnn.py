@@ -112,7 +112,10 @@ class GNNnodeBased(GraphModel):
             if rng is None:
                 raise ValueError("state_vect_dim > 0 requires an rng for the random state init")
             state = STATE_INIT_STDDEV * jax.random.normal(rng, (n, self.state_vect_dim), dtype=floatx())
-            aggregated_nodes = batch.aggregate(batch.nodes)
+            if batch.agg_node_labels is not None:
+                aggregated_nodes = batch.agg_node_labels
+            else:
+                aggregated_nodes = batch.aggregate(batch.nodes)
         else:
             state = batch.nodes
             aggregated_nodes = jnp.zeros((n, 0), dtype=floatx())
@@ -148,7 +151,12 @@ class GNNnodeBased(GraphModel):
         reference's backprop-through-unfolding); inference a ``lax.while_loop``.
         """
         n = batch.num_nodes
-        aggregated_arcs = aggregate_edges(batch.arc_label, batch.arc_dst, batch.arcnode_weight, n)
+        # batch-constant: precomputed host-side when the batch carries it
+        # (TPU scatter is ~100x off roofline; see graph/batch.py)
+        if batch.agg_arc_labels is not None:
+            aggregated_arcs = batch.agg_arc_labels
+        else:
+            aggregated_arcs = aggregate_edges(batch.arc_label, batch.arc_dst, batch.arcnode_weight, n)
         state0, aggregated_nodes = self._initial_state(batch, rng)
         state_old0 = jnp.ones_like(state0)
 

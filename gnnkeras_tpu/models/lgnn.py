@@ -128,7 +128,13 @@ class LGNN(GraphModel):
         if arcplus:
             arc_label = jnp.concatenate(arcplus + [arc_label], axis=1)
         dims = tuple(int(d) + grow for d in batch0.dim_node_label)
-        return batch0.replace(nodes=nodes, arc_label=arc_label, dim_node_label=dims)
+        # features changed → the batch-constant precomputed neighbor sums are
+        # stale; drop them so the next layer recomputes on device
+        return batch0.replace(
+            nodes=nodes, arc_label=arc_label, dim_node_label=dims,
+            agg_arc_labels=None if arcplus else batch0.agg_arc_labels,
+            agg_node_labels=None,
+        )
 
     # -- forward ---------------------------------------------------------------
     def forward(

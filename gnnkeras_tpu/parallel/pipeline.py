@@ -185,7 +185,8 @@ class PipelineLGNN:
         prop = jnp.where(is_stage0, 0.0, prop)
         nodes = jnp.concatenate([prop, batch.nodes], axis=1)
         dims = tuple(int(d) + self.prop_width for d in batch.dim_node_label)
-        return batch.replace(nodes=nodes, dim_node_label=dims)
+        # node features changed → drop the stale precomputed neighbor-label sum
+        return batch.replace(nodes=nodes, dim_node_label=dims, agg_node_labels=None)
 
     def _layer_tick(self, vars_local, batch, prop_in, is_stage0, rng_loop, rng_out, training):
         lgnn, proto = self.lgnn, self.proto

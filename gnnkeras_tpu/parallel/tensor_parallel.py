@@ -298,7 +298,10 @@ class TensorParallelGNN:
         from gnnkeras_tpu.ops.segment import aggregate_edges
 
         n = batch.num_nodes
-        aggregated_arcs = aggregate_edges(batch.arc_label, batch.arc_dst, batch.arcnode_weight, n)
+        if batch.agg_arc_labels is not None:
+            aggregated_arcs = batch.agg_arc_labels
+        else:
+            aggregated_arcs = aggregate_edges(batch.arc_label, batch.arc_dst, batch.arcnode_weight, n)
         state0, aggregated_nodes = gnn._initial_state(batch, rng)
         state_old0 = jnp.ones_like(state0)
         bn0 = variables["state"]["net_state"]
