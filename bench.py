@@ -123,9 +123,16 @@ def main():
 
 
 if __name__ == "__main__":
+    import signal
+
+    def _watchdog(signum, frame):  # tunneled-TPU runs can wedge in remote compile
+        raise TimeoutError("bench watchdog: device/compile did not respond in time")
+
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(1500)
     try:
         main()
-    except Exception as exc:  # always emit the one JSON line the driver records
+    except BaseException as exc:  # always emit the one JSON line the driver records
         print(json.dumps({
             "metric": "transition_edges_per_s",
             "value": 0,
