@@ -81,8 +81,6 @@ def make_hybrid_train_step(
         return jax.jit(sharded, donate_argnums=(0, 1, 2))
 
     # --- 3-axis: data × graph × model ---------------------------------------
-    if gnn.average_st_grads:
-        raise NotImplementedError("average_st_grads with TP-hybrid is not supported")
     Dg, Dm = mesh.shape[graph_axis], mesh.shape[model_axis]
     tied_state = tp.tied_mask()
 
@@ -118,6 +116,8 @@ def make_hybrid_train_step(
         (_, (loss, k, out, new_mstate, count)), grads = jax.value_and_grad(
             objective, has_aux=True
         )(params)
+        if gnn.average_st_grads:
+            grads = gnn.scale_state_grads(grads, k)
         # graph axis ties every leaf; model axis ties only the tied leaves
         grads = jax.lax.psum(grads, graph_axis)
         grads = {

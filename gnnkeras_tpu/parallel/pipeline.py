@@ -220,8 +220,6 @@ class PipelineLGNN:
         loss_fn = lgnn.loss
         if loss_fn is None:
             raise RuntimeError("compile() the LGNN before building the pipeline step")
-        if lgnn.average_st_grads:
-            raise NotImplementedError("average_st_grads is not supported by the pipeline step")
         S, M = self.n_stages, n_microbatches
         T = M + S - 1
         perm = [(i, i + 1) for i in range(S - 1)]
@@ -275,6 +273,11 @@ class PipelineLGNN:
             (_, (loss_sum, k_sum, bn_final)), grads = jax.value_and_grad(
                 objective, has_aux=True
             )(params)
+            if lgnn.average_st_grads:
+                # reference LGNN.py:272 divides layer i's state grads by its
+                # iteration count; with microbatch accumulation the stage's
+                # MEAN k stands in (exact for M == 1)
+                grads = self.proto.scale_state_grads(grads, k_sum / M)
             total_loss = jax.lax.psum(loss_sum, axis) / (S * M) + jax.lax.psum(
                 self._layer_reg(params), axis
             )

@@ -196,3 +196,39 @@ class TestPipelineStep:
         opt_state = jax.vmap(lgnn2.optimizer.init)(svp)
         _, _, _, logs2 = pp.train_step(svp, svs, opt_state, [batch], rng)
         assert float(logs2["loss"]) == pytest.approx(loss1, rel=1e-5)
+
+
+class TestPipelineAvgStGrads:
+    def test_m1_avg_st_grads_matches_single(self, mesh4):
+        """average_st_grads (reference starter LGNN config): exact step
+        parity at M=1 (per-layer k is exact; M>1 uses the stage mean-k)."""
+        from gnnkeras_tpu.training.trainer import _get_train_step
+
+        batch = graphs_batch(seed=7)
+        rng = jax.random.PRNGKey(31)
+
+        def fresh():
+            lgnn = build_lgnn(layers=4)
+            lgnn.compile(optimizer="sgd:0.1", loss="categorical_crossentropy",
+                         training_mode="parallel", average_st_grads=True)
+            lgnn.build(seed=7)
+            return lgnn
+
+        lgnn1 = fresh()
+        lgnn1._opt_state = lgnn1.optimizer.init(lgnn1.variables["params"])
+        step1 = _get_train_step(lgnn1)
+        params1, _, _, logs1 = step1(
+            lgnn1.variables["params"], lgnn1.variables["state"], lgnn1._opt_state, batch, rng
+        )
+
+        lgnn2 = fresh()
+        pp = PipelineLGNN(lgnn2, mesh4)
+        stacked = pp.stack_variables()
+        svp, svs = stacked["params"], stacked["state"]
+        opt_state = jax.vmap(lgnn2.optimizer.init)(svp)
+        svp, svs, _, logs2 = pp.train_step(svp, svs, opt_state, [batch], rng)
+        full2 = pp.unstack_variables({"params": svp, "state": svs})
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params1), jax.tree_util.tree_leaves(full2["params"])
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
