@@ -176,16 +176,11 @@ class GraphBatch:
 
     def aggregate(self, state: jax.Array) -> jax.Array:
         """``Adjacencyᵀ·state`` (incoming-message aggregation) — the hot op of
-        the convergence loop.  Uses the fused Pallas kernel or the MXU
-        block-sparse einsum when the batch carries a BCSR operator, the
-        edge-list segment-sum otherwise."""
+        the convergence loop.  Uses the MXU block-sparse einsum when the
+        batch carries a BCSR operator, the edge-list segment-sum otherwise."""
         if self.bcsr is not None:
-            from gnnkeras_tpu.ops.bcsr import BcsrMatrix, bcsr_aggregate
+            from gnnkeras_tpu.ops.bcsr import bcsr_aggregate
 
-            if not isinstance(self.bcsr, BcsrMatrix):  # PallasBcsr
-                from gnnkeras_tpu.ops.spmm import pallas_bcsr_aggregate
-
-                return pallas_bcsr_aggregate(state, self.bcsr)
             return bcsr_aggregate(state, self.bcsr)
         from gnnkeras_tpu.ops.segment import aggregate_neighbors
 
@@ -262,7 +257,6 @@ def from_graph_object(
     set_mask_override: Optional[np.ndarray] = None,
     dense_blocks: bool = True,
     agg_dtype: Optional[str] = None,
-    pallas: bool = False,
     tile_pack: bool = False,
     compact_gmax: Optional[int] = None,
 ) -> GraphBatch:
@@ -416,10 +410,6 @@ def from_graph_object(
 
                 bcsr = cast_bcsr(bcsr, jnp.dtype(agg_dtype))
                 nodegraph_bcsr = cast_bcsr(nodegraph_bcsr, jnp.dtype(agg_dtype))
-            if pallas and bcsr is not None:
-                from gnnkeras_tpu.ops.spmm import prepare_pallas_bcsr
-
-                bcsr = prepare_pallas_bcsr(bcsr)
 
     # batch-constant neighbor-label sums (f64 host accumulation)
     agg_arc = np.zeros((N, g.DIM_ARC_LABEL), np.float64)
@@ -464,17 +454,16 @@ def graphs_to_batch(
     *,
     dense_blocks: bool = True,
     agg_dtype: Optional[str] = None,
-    pallas: bool = False,
     tile_pack: bool = False,
 ) -> GraphBatch:
     """Merge a list of host graphs (disjoint union) and pad to a device batch.
-    The fast-path knobs (``tile_pack``, ``agg_dtype``, ``pallas``) pass
+    The fast-path knobs (``tile_pack``, ``agg_dtype``) pass
     through to ``from_graph_object``."""
     cls = CompositeGraphObject if isinstance(graphs[0], CompositeGraphObject) else GraphObject
     merged = cls.merge(list(graphs), focus=focus, aggregation_mode=aggregation_mode)
     return from_graph_object(
         merged, pad_nodes, pad_arcs, pad_graphs,
-        dense_blocks=dense_blocks, agg_dtype=agg_dtype, pallas=pallas, tile_pack=tile_pack,
+        dense_blocks=dense_blocks, agg_dtype=agg_dtype, tile_pack=tile_pack,
     )
 
 

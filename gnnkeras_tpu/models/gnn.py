@@ -169,8 +169,9 @@ class GNNnodeBased(GraphModel):
         else:
             step_rngs = jnp.zeros((n_steps,) + jax.random.PRNGKey(0).shape, dtype=jax.random.PRNGKey(0).dtype)
 
-        def transition(state, bn_state, step_rng):
-            aggregated_states = batch.aggregate(state)
+        def transition(state, bn_state, step_rng, aggregated_states=None):
+            if aggregated_states is None:
+                aggregated_states = batch.aggregate(state)
             inp = self._transition_input(state, batch, aggregated_states, aggregated_nodes, aggregated_arcs)
             new_state, new_bn = self.net_state.apply(
                 {"params": net_state_params, "state": bn_state},
@@ -181,26 +182,35 @@ class GNNnodeBased(GraphModel):
             )
             return new_state, new_bn
 
+        def step_body(carry, step_rng, aggregated_states=None):
+            k, state, state_old, bn_state = carry
+            run = unconverged(state, state_old, batch.node_mask, self.state_threshold)
+            new_state, new_bn = transition(state, bn_state, step_rng, aggregated_states)
+            state_next = jnp.where(run, new_state, state)
+            state_old_next = jnp.where(run, state, state_old)
+            bn_next = _select_tree(run, new_bn, bn_state)
+            return (k + run.astype(floatx()), state_next, state_old_next, bn_next)
+
         if training or self.max_iteration == 0:
             # scan to the static bound; once converged every further step is a
             # pass-through (identity in the reverse pass), so gradients flow
             # through exactly the k executed iterations as in the reference.
-            def step(carry, step_rng):
-                k, state, state_old, bn_state = carry
-                run = unconverged(state, state_old, batch.node_mask, self.state_threshold)
-                new_state, new_bn = transition(state, bn_state, step_rng)
-                state_next = jnp.where(run, new_state, state)
-                state_old_next = jnp.where(run, state, state_old)
-                bn_next = _select_tree(run, new_bn, bn_state)
-                return (k + run.astype(floatx()), state_next, state_old_next, bn_next), None
+            carry = (jnp.zeros((), floatx()), state0, state_old0, bn0)
+            rest = step_rngs
+            length = self.max_iteration
+            # peel iteration 0 when its neighbor-state sum is the precomputed
+            # label sum (dim_state==0 → state₀ IS the labels): one fewer
+            # on-device aggregation per forward
+            if self.state_vect_dim == 0 and batch.agg_node_labels is not None and self.max_iteration >= 1:
+                peeled = jax.checkpoint(
+                    lambda c, r: step_body(c, r, aggregated_states=batch.agg_node_labels)
+                )
+                carry = peeled(carry, step_rngs[0])
+                rest = step_rngs[1:]
+                length = self.max_iteration - 1
 
-            step = jax.checkpoint(step)
-            (k, state, _, bn_final), _ = jax.lax.scan(
-                step,
-                (jnp.zeros((), floatx()), state0, state_old0, bn0),
-                step_rngs,
-                length=self.max_iteration,
-            )
+            step = jax.checkpoint(lambda c, r: (step_body(c, r), None))
+            (k, state, _, bn_final), _ = jax.lax.scan(step, carry, rest, length=length)
         else:
             def cond_fn(carry):
                 k, state, state_old, _ = carry

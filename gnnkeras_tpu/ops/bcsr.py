@@ -20,7 +20,7 @@ the same block cell, matching coo/tf.sparse duplicate summation.
 
 The representation is only built when the block structure is thin (near the
 diagonal); for block-dense graphs the edge-list path stays in force.  The
-Pallas kernel (gnnkeras_tpu.ops.spmm) consumes this same structure.
+Pallas kernel tier (gnnkeras_tpu.ops.strip) consumes this same structure.
 """
 
 from __future__ import annotations

@@ -7,7 +7,7 @@ incoming messages with ``tf.sparse.sparse_dense_matmul(op, X, adjoint_a=True)``
 the matrices: every one of those products is an edge-/node-wise gather followed
 by a segment-sum with precomputed per-edge aggregation weights, which XLA
 lowers to fused scatter-adds with static shapes.  The Pallas block-sparse SpMM
-kernel (gnnkeras_tpu.ops.spmm) plugs in behind the same API for the hot path.
+kernel tier (gnnkeras_tpu.ops.strip) plugs in behind the same API.
 
 Semantics reproduced exactly (see tests/test_graph.py for oracle checks):
 

@@ -1,4 +1,4 @@
-"""Compact-strip Pallas aggregation: the successor to ops/spmm.py's fused
+"""Compact-strip Pallas aggregation: the successor to the round-1 fused
 kernel (which lost to the XLA einsum by 5x due to d=14→128 lane padding,
 BASELINE.md round 1).
 
