@@ -431,3 +431,41 @@ def test_lgnn_stack_parity():
                                    rtol=1e-4, atol=1e-5, err_msg=f"layer {i} state")
         np.testing.assert_allclose(np.asarray(outs[i])[:n], outs_ref[i].numpy(),
                                    rtol=1e-4, atol=1e-5, err_msg=f"layer {i} output")
+
+
+class TestTransductionParity:
+    def test_get_transduction_matches_reference(self):
+        """Identical global-RNG transduction: the reference's static
+        get_transduction (TransductiveGraphSequencers.py:62-95) and ours
+        produce the same heterogeneous graph for the same seed."""
+        from GNN.Sequencers.TransductiveGraphSequencers import (
+            TransductiveMultiGraphSequencer as RefTSeq,
+        )
+
+        from gnnkeras_tpu.data.transductive import get_transduction
+        from gnnkeras_tpu.graph.graph import GraphObject
+
+        rng = np.random.default_rng(3)
+        n, a = 40, 160
+        nodes = rng.normal(size=(n, 5)).astype(np.float32)
+        arcs = np.concatenate(
+            [rng.integers(0, n, (a, 2)), rng.normal(size=(a, 2))], axis=1
+        ).astype(np.float32)
+        targets = rng.normal(size=(n, 3)).astype(np.float32)
+
+        ours_g = GraphObject(nodes=nodes, arcs=arcs, targets=targets, focus="n",
+                             aggregation_mode="average")
+        ref_g = RefGraphObject(nodes=nodes.copy(), arcs=arcs.copy(), targets=targets.copy(),
+                               focus="n", aggregation_mode="average")
+
+        np.random.seed(123)
+        ours_t = get_transduction(ours_g, 0.4, "n")
+        np.random.seed(123)
+        ref_t = RefTSeq.get_transduction(ref_g, 0.4, "n", "float32")
+
+        np.testing.assert_allclose(ours_t.nodes, np.asarray(ref_t.nodes))
+        np.testing.assert_allclose(ours_t.targets, np.asarray(ref_t.targets))
+        np.testing.assert_array_equal(ours_t.type_mask, np.asarray(ref_t.type_mask))
+        np.testing.assert_array_equal(ours_t.output_mask, np.asarray(ref_t.output_mask))
+        np.testing.assert_array_equal(ours_t.set_mask, np.asarray(ref_t.set_mask))
+        assert tuple(ours_t.DIM_NODE_LABEL) == tuple(int(d) for d in np.ravel(ref_t.DIM_NODE_LABEL))
