@@ -96,6 +96,7 @@ class CompactReadout:
         "compact_readout",
         "agg_arc_labels",
         "agg_node_labels",
+        "agg_component",
     ],
     meta_fields=["focus", "dim_node_label"],
 )
@@ -136,6 +137,9 @@ class GraphBatch:
     # ``ArcNodeᵀ·arc_labels`` (reference GNN.py:254) and ``Adjᵀ·node_labels``
     agg_arc_labels: Optional[jax.Array]  # (N, da)
     agg_node_labels: Optional[jax.Array]  # (N, dn)
+    # composite: concat of per-type ``CompAdjᵀ·nodes[:, :d_t]`` and the arc
+    # sum (reference CompositeGNN.py:251-253) — also batch-constant
+    agg_component: Optional[jax.Array]  # (N, Σd_t + da)
     focus: str
     dim_node_label: Tuple[int, ...]
 
@@ -416,6 +420,20 @@ def from_graph_object(
     np.add.at(agg_arc, dst[:a], arc_label[:a].astype(np.float64) * w[:a, None].astype(np.float64))
     agg_node = np.zeros((N, nodes.shape[1]), np.float64)
     np.add.at(agg_node, dst[:a], nodes[src[:a]].astype(np.float64) * w[:a, None].astype(np.float64))
+    agg_component = None
+    if type_mask is not None:
+        # per-type neighbor-label sums gated by the SOURCE node's type,
+        # concat + the arc sum (reference CompositeGNN.py:251-253)
+        parts = []
+        src_np = src[:a].astype(np.int64)
+        dst_np = dst[:a].astype(np.int64)
+        w64 = w[:a].astype(np.float64)
+        for t, d_t in enumerate(dims):
+            gate = type_mask[src_np, t].astype(np.float64)
+            part = np.zeros((N, int(d_t)), np.float64)
+            np.add.at(part, dst_np, nodes[src_np, : int(d_t)].astype(np.float64) * (w64 * gate)[:, None])
+            parts.append(part)
+        agg_component = np.concatenate(parts + [agg_arc], axis=1)
 
     return GraphBatch(
         nodes=jnp.asarray(nodes),
@@ -439,6 +457,7 @@ def from_graph_object(
         compact_readout=compact_readout,
         agg_arc_labels=jnp.asarray(agg_arc.astype(dtype)),
         agg_node_labels=jnp.asarray(agg_node.astype(dtype)),
+        agg_component=None if agg_component is None else jnp.asarray(agg_component.astype(dtype)),
         focus=g.focus,
         dim_node_label=dims,
     )

@@ -67,7 +67,10 @@ class CompositeGNNnodeBased(GNNnodeBased):
     # -- forward --------------------------------------------------------------
     def _aggregated_component(self, batch: GraphBatch) -> jax.Array:
         """concat of per-type ``CompAdjᵀ·nodes[:, :d_t]`` and ``ArcNodeᵀ·arcs``
-        (CompositeGNN.py:251-253); type gating replaces the per-type matrices."""
+        (CompositeGNN.py:251-253); type gating replaces the per-type matrices.
+        Batch-constant → precomputed host-side when the batch carries it."""
+        if batch.agg_component is not None:
+            return batch.agg_component
         n = batch.num_nodes
         src_type = batch.type_mask[batch.arc_src]  # (A, T) bool
         parts = []

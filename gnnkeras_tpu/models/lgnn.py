@@ -134,6 +134,7 @@ class LGNN(GraphModel):
             nodes=nodes, arc_label=arc_label, dim_node_label=dims,
             agg_arc_labels=None if arcplus else batch0.agg_arc_labels,
             agg_node_labels=None,
+            agg_component=None,
         )
 
     # -- forward ---------------------------------------------------------------

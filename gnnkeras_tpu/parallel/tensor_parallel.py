@@ -267,17 +267,16 @@ class TensorParallelGNN:
     def shard_variables(self, variables: dict) -> dict:
         D = self.n_devices
         rep = lambda tree: jax.tree_util.tree_map(lambda v: jnp.broadcast_to(v, (D,) + v.shape), tree)
+        sv = self.tp_state.shard_variables(
+            {"params": variables["params"]["net_state"], "state": variables["state"]["net_state"]}
+        )
         return {
             "params": {
-                "net_state": self.tp_state.shard_variables(
-                    {"params": variables["params"]["net_state"], "state": variables["state"]["net_state"]}
-                )["params"],
+                "net_state": sv["params"],
                 "net_output": rep(variables["params"]["net_output"]),
             },
             "state": {
-                "net_state": self.tp_state.shard_variables(
-                    {"params": variables["params"]["net_state"], "state": variables["state"]["net_state"]}
-                )["state"],
+                "net_state": sv["state"],
                 "net_output": rep(variables["state"]["net_output"]),
             },
         }
