@@ -63,6 +63,8 @@ def _round_up(x: int, m: int) -> int:
         "nodegraph_weight",
         "local_bcsr",
         "halo_bcsr",
+        "agg_arc_labels",
+        "agg_node_labels",
     ],
     meta_fields=["focus", "dim_node_label", "n_parts", "nodes_per_part", "n_graphs"],
 )
@@ -104,6 +106,10 @@ class PartitionedGraph:
     # so XLA's latency-hiding scheduler overlaps transfer with local compute.
     local_bcsr: Optional[object]  # stacked BcsrMatrix, leading D axis
     halo_bcsr: Optional[object]  # stacked BcsrMatrix, leading D axis
+    # batch-constant neighbor-label sums per partition, precomputed host-side
+    # (the TPU edge scatter is ~100x off roofline; see graph/batch.py)
+    agg_arc_labels: Optional[jax.Array]  # (D, Np, da)
+    agg_node_labels: Optional[jax.Array]  # (D, Np, dn)
     focus: str
     dim_node_label: Tuple[int, ...]
     n_parts: int
@@ -290,6 +296,16 @@ def partition_graph(
                 arc_src_halo[p, : len(e)] = idx
             slot_map = global_to_slot
 
+    # batch-constant per-partition neighbor-label sums (f64 host accumulation)
+    agg_arc_pre = np.zeros((n_parts, np_pad, da), np.float64)
+    agg_node_pre = np.zeros((n_parts, np_pad, dn), np.float64)
+    for p in range(n_parts):
+        e = edges_per_part[p]
+        d_local = dst[e] - p * chunk
+        w64 = g.arcnode_weight[e].astype(np.float64)
+        np.add.at(agg_arc_pre[p], d_local, g.arcs[e, 2:].astype(np.float64) * w64[:, None])
+        np.add.at(agg_node_pre[p], d_local, g.nodes[src[e]].astype(np.float64) * w64[:, None])
+
     local_bcsr = halo_bcsr = None
     if dense_blocks:
         from gnnkeras_tpu.ops.bcsr import build_bcsr
@@ -338,6 +354,8 @@ def partition_graph(
         nodegraph_weight=None if nodegraph_weight is None else jnp.asarray(nodegraph_weight),
         local_bcsr=local_bcsr,
         halo_bcsr=halo_bcsr,
+        agg_arc_labels=jnp.asarray(agg_arc_pre.astype(dtype)),
+        agg_node_labels=jnp.asarray(agg_node_pre.astype(dtype)),
         focus=g.focus,
         dim_node_label=tuple(int(d) for d in g.DIM_NODE_LABEL),
         n_parts=n_parts,
@@ -437,7 +455,10 @@ class PartitionedGNN:
             ext = exchange(x)
             return segment_sum(ext[src_ext] * pg.arc_weight[:, None], pg.arc_dst_local, np_local)
 
-        agg_arcs = segment_sum(pg.arc_label * pg.arc_weight[:, None], pg.arc_dst_local, np_local)
+        if pg.agg_arc_labels is not None:
+            agg_arcs = pg.agg_arc_labels
+        else:
+            agg_arcs = segment_sum(pg.arc_label * pg.arc_weight[:, None], pg.arc_dst_local, np_local)
 
         agg_component = None
         if self.composite:
@@ -460,7 +481,7 @@ class PartitionedGNN:
                 jax.random.fold_in(rng, my), (np_local, gnn.state_vect_dim), dtype=floatx()
             )
             if not self.composite:
-                agg_nodes = aggregate(pg.nodes)
+                agg_nodes = pg.agg_node_labels if pg.agg_node_labels is not None else aggregate(pg.nodes)
             else:
                 agg_nodes = None
         else:

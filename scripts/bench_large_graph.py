@@ -86,8 +86,86 @@ def main():
         _ = float(acc)
         times.append(time.perf_counter() - t0)
     dt = (float(np.median(times)) - floor) / REPEATS
-    print(f"unfold ({ITERS} iters): {dt * 1e3:.2f} ms -> {ITERS * n_arcs / dt / 1e6:.0f}M edges/s/chip")
+    print(f"unfold ({ITERS} iters): {dt * 1e3:.2f} ms -> {ITERS * n_arcs / dt / 1e6:.0f}M edges/s/chip",
+          flush=True)
+    return dt
+
+
+def partitioned(dense_blocks: bool):
+    """The partitioned engine on THIS chip (n_parts = #devices): with one
+    device this measures the sharded machinery's per-chip overhead vs the
+    plain engine — the 1-chip anchor of the BASELINE scaling metric."""
+    from gnnkeras_tpu.parallel.mesh import make_mesh
+    from gnnkeras_tpu.parallel.partition import PartitionedGNN, partition_graph
+
+    rng = np.random.default_rng(0)
+    src = np.repeat(np.arange(N_NODES), PER_NODE)
+    dst = (src + rng.integers(-BAND, BAND + 1, len(src))) % N_NODES
+    arcs = np.concatenate(
+        [np.stack([src, dst], 1).astype(np.float32), rng.normal(size=(len(src), 2)).astype(np.float32)],
+        axis=1,
+    )
+    nodes = rng.normal(size=(N_NODES, 8)).astype(np.float32)
+    g_tmp = GraphObject(nodes=nodes, arcs=arcs, targets=np.ones((N_NODES, 2), np.float32), focus="n")
+    g = GraphObject(nodes=nodes, arcs=g_tmp.arcs, targets=rng.normal(size=(N_NODES, 2)).astype(np.float32),
+                    focus="n", aggregation_mode="average")
+    n_arcs = g.arcs.shape[0]
+
+    n_dev = len(jax.devices())
+    pg = partition_graph(g, n_dev, dense_blocks=dense_blocks)
+    inp_s, layers_s = get_inout_dims("state", 8, 2, 2, "n", 0)
+    inp_o, layers_o = get_inout_dims("output", 8, 2, 2, "n", 0)
+    gnn = GNNnodeBased(
+        MLP(input_dim=inp_s[0], layers=layers_s, activations="selu",
+            kernel_initializer="lecun_normal", bias_initializer="lecun_normal"),
+        MLP(input_dim=inp_o[0], layers=layers_o, activations="softmax",
+            kernel_initializer="glorot_normal", bias_initializer="glorot_normal"),
+        0, ITERS, 0.0,
+    )
+    gnn.build(seed=0)
+    pgnn = PartitionedGNN(gnn, make_mesh(("graph",)))
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def device_rep(params, mstate, pg_l, rng_):
+        def body(i, carry):
+            acc, _ = carry
+            import dataclasses
+            pg2 = dataclasses.replace(pg_l, nodes=pg_l.nodes + acc * 1e-30)
+            k, state, out, _, _ = pgnn._local_forward(params, mstate, pg2, rng_, True, strip_axes=1)
+            return (acc + jnp.sum(state), k)
+
+        return jax.lax.fori_loop(0, REPEATS, body, (jnp.zeros(()), jnp.zeros(())))
+
+    sharded = shard_map(
+        device_rep, mesh=pgnn.mesh,
+        in_specs=(P(), P(), P("graph"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    fn = jax.jit(sharded)
+    acc, k = fn(gnn.variables["params"], gnn.variables["state"], pg, jax.random.PRNGKey(0))
+    _ = float(acc)
+    sync = jax.jit(lambda x: jnp.sum(x))
+    _ = float(sync(pg.node_mask))
+    t0 = time.perf_counter()
+    _ = float(sync(pg.node_mask))
+    floor = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc, k = fn(gnn.variables["params"], gnn.variables["state"], pg, jax.random.PRNGKey(0))
+        _ = float(acc)
+        times.append(time.perf_counter() - t0)
+    dt = (float(np.median(times)) - floor) / REPEATS
+    label = "bcsr" if dense_blocks else "scatter"
+    print(f"partitioned[{label}] x{n_dev}dev unfold: {dt * 1e3:.2f} ms -> "
+          f"{ITERS * n_arcs / dt / 1e6:.0f}M edges/s/chip", flush=True)
+    return dt
 
 
 if __name__ == "__main__":
-    main()
+    dt_plain = main()
+    dt_part = partitioned(dense_blocks=True)
+    print(f"partitioned-engine overhead vs plain: {dt_part / dt_plain:.2f}x")
