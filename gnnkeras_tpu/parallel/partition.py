@@ -65,6 +65,7 @@ def _round_up(x: int, m: int) -> int:
         "halo_bcsr",
         "agg_arc_labels",
         "agg_node_labels",
+        "agg_component",
     ],
     meta_fields=["focus", "dim_node_label", "n_parts", "nodes_per_part", "n_graphs"],
 )
@@ -110,6 +111,7 @@ class PartitionedGraph:
     # (the TPU edge scatter is ~100x off roofline; see graph/batch.py)
     agg_arc_labels: Optional[jax.Array]  # (D, Np, da)
     agg_node_labels: Optional[jax.Array]  # (D, Np, dn)
+    agg_component: Optional[jax.Array]  # (D, Np, Σd_t + da), composite only
     focus: str
     dim_node_label: Tuple[int, ...]
     n_parts: int
@@ -305,6 +307,23 @@ def partition_graph(
         w64 = g.arcnode_weight[e].astype(np.float64)
         np.add.at(agg_arc_pre[p], d_local, g.arcs[e, 2:].astype(np.float64) * w64[:, None])
         np.add.at(agg_node_pre[p], d_local, g.nodes[src[e]].astype(np.float64) * w64[:, None])
+    agg_comp_pre = None
+    if composite:
+        dims_list = [int(d) for d in g.DIM_NODE_LABEL]
+        agg_comp_pre = np.zeros((n_parts, np_pad, sum(dims_list) + da), np.float64)
+        for p in range(n_parts):
+            e = edges_per_part[p]
+            d_local = dst[e] - p * chunk
+            w64 = g.arcnode_weight[e].astype(np.float64)
+            off = 0
+            for t, d_t in enumerate(dims_list):
+                gate = g.type_mask[src[e], t].astype(np.float64)
+                np.add.at(
+                    agg_comp_pre[p][:, off : off + d_t], d_local,
+                    g.nodes[src[e], :d_t].astype(np.float64) * (w64 * gate)[:, None],
+                )
+                off += d_t
+            agg_comp_pre[p][:, off:] = agg_arc_pre[p]
 
     local_bcsr = halo_bcsr = None
     if dense_blocks:
@@ -356,6 +375,7 @@ def partition_graph(
         halo_bcsr=halo_bcsr,
         agg_arc_labels=jnp.asarray(agg_arc_pre.astype(dtype)),
         agg_node_labels=jnp.asarray(agg_node_pre.astype(dtype)),
+        agg_component=None if agg_comp_pre is None else jnp.asarray(agg_comp_pre.astype(dtype)),
         focus=g.focus,
         dim_node_label=tuple(int(d) for d in g.DIM_NODE_LABEL),
         n_parts=n_parts,
@@ -461,7 +481,9 @@ class PartitionedGNN:
             agg_arcs = segment_sum(pg.arc_label * pg.arc_weight[:, None], pg.arc_dst_local, np_local)
 
         agg_component = None
-        if self.composite:
+        if self.composite and pg.agg_component is not None:
+            agg_component = pg.agg_component  # batch-constant, host-precomputed
+        elif self.composite:
             # per-type neighbor-label aggregation (CompositeGNN.py:251-253):
             # the source node's type gates the shared edge weights; source
             # features may be remote → exchanged once.
