@@ -469,3 +469,65 @@ class TestTransductionParity:
         np.testing.assert_array_equal(ours_t.output_mask, np.asarray(ref_t.output_mask))
         np.testing.assert_array_equal(ours_t.set_mask, np.asarray(ref_t.set_mask))
         assert tuple(ours_t.DIM_NODE_LABEL) == tuple(int(d) for d in np.ravel(ref_t.DIM_NODE_LABEL))
+
+
+def test_serial_bake_cycle_parity():
+    """One serial bake cycle: with identical trained layer-1 weights, our
+    baking pass (training/serial.py _bake_graphs) and the reference's
+    (LGNN.fit serial body, LGNN.py:328-338: node-level Loop with
+    training=True + update_graph) produce the same layer-2 input features."""
+    from GNN.Models.LGNN import LGNN as RefLGNN
+
+    from gnnkeras_tpu.models.lgnn import LGNN
+    from gnnkeras_tpu.training.serial import _bake_graphs
+
+    # layer-0 pair (focus 'g', serial starter shape algebra with GS/GO)
+    ref0, our0 = build_pair("g", RefGNNgraph, GNNgraphBased, max_iter=5, threshold=0.0)
+
+    # second layer only to satisfy the LGNN constructors (not executed)
+    inp_s1, layers_s1 = ref_get_inout_dims("state", 3, 2, 2, "g", 0, layer=1,
+                                           get_state=True, get_output=True)
+    inp_o1, layers_o1 = ref_get_inout_dims("output", 3, 2, 2, "g", 0, layer=1,
+                                           get_state=True, get_output=True)
+    ref1 = RefGNNgraph(
+        RefMLP(input_dim=inp_s1[0], layers=[int(u) for x in layers_s1 for u in np.ravel(x)],
+               activations="selu", kernel_initializer="lecun_normal", bias_initializer="lecun_normal"),
+        RefMLP(input_dim=inp_o1[0], layers=[int(u) for x in layers_o1 for u in np.ravel(x)],
+               activations="softmax", kernel_initializer="glorot_normal", bias_initializer="glorot_normal"),
+        0, 5, 0.0,
+    )
+    our1 = GNNgraphBased(
+        MLP(input_dim=inp_s1[0], layers=layers_s1, activations="selu"),
+        MLP(input_dim=inp_o1[0], layers=layers_o1, activations="softmax"),
+        0, 5, 0.0,
+    )
+    our1.build(seed=1)
+    ref_lgnn = RefLGNN([ref0, ref1], get_state=True, get_output=True)
+    our_lgnn = LGNN([our0, our1], True, True)
+
+    rng = np.random.default_rng(17)
+    graphs, ref_graphs = [], []
+    for seed in range(4):
+        nodes, arcs, targets = rand_graph_arrays(seed=seed, n=9, a=20, focus="g")
+        graphs.append(GraphObject(nodes=nodes, arcs=arcs, targets=targets, focus="g",
+                                  aggregation_mode="average"))
+        ref_graphs.append(make_ref_graph(nodes, graphs[-1].arcs, targets, "g", "average"))
+
+    # OUR bake
+    our0.build(seed=0)
+    baked = _bake_graphs(our_lgnn, our0, [g.copy() for g in graphs], [g.copy() for g in graphs])
+
+    # REFERENCE bake (LGNN.py:332-338 verbatim)
+    for g_ref, ours_baked in zip(ref_graphs, baked):
+        gt = RefGraphTensor.fromGraphObject(g_ref)
+        k, s, o = RefGNNnode.Loop(
+            ref0, gt.nodes, gt.arcs, gt.DIM_NODE_LABEL, gt.set_mask, gt.output_mask,
+            gt.Adjacency, gt.ArcNode, gt.NodeGraph, training=True,
+        )
+        n_new, a_new, dims_new = ref_lgnn.update_graph(
+            g_ref.nodes, g_ref.arcs, g_ref.DIM_NODE_LABEL, g_ref.set_mask, g_ref.output_mask, s, o
+        )
+        np.testing.assert_allclose(
+            ours_baked.nodes, np.asarray(n_new), rtol=2e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(ours_baked.arcs, np.asarray(a_new), rtol=2e-4, atol=1e-5)
