@@ -651,3 +651,40 @@ class TestPartitionedEvaluate:
         logs = pgnn.evaluate(pg)
         assert logs["loss"] == pytest.approx(loss_ref, rel=1e-4)
         assert logs["accuracy"] == pytest.approx(acc_ref, abs=1e-6)
+
+
+class TestHybridBcsr:
+    def test_hybrid_step_with_dense_blocks(self):
+        """data(2) x graph(4) hybrid step over BCSR-partitioned graphs: the
+        stacked block operators ride the pytree through stack_partitioned and
+        the step stays finite and loss-reducing."""
+        from gnnkeras_tpu.parallel.hybrid import make_hybrid_train_step, stack_partitioned
+        from gnnkeras_tpu.parallel.mesh import make_mesh
+
+        def one_graph(seed):
+            r = np.random.default_rng(seed)
+            n = 512
+            src = np.repeat(np.arange(n), 3)
+            dst = (src + np.tile([1, 2, 5], n)) % n
+            arcs = np.concatenate([np.stack([src, dst], 1), r.normal(size=(len(src), 2))], axis=1)
+            return GraphObject(nodes=r.normal(size=(n, 3)), arcs=arcs,
+                               targets=r.normal(size=(n, 2)), focus="n", aggregation_mode="average")
+
+        gnn = build_gnn(GNNnodeBased, "n")
+        gnn.compile(optimizer="adam:0.05", loss="mse")
+        gnn.build(seed=3)
+        gnn._opt_state = gnn.optimizer.init(gnn.variables["params"])
+
+        pgs = [partition_graph(one_graph(s), 4, dense_blocks=True) for s in range(2)]
+        assert all(pg.local_bcsr is not None for pg in pgs)
+        stacked = stack_partitioned(pgs)
+        mesh = make_mesh(("data", "graph"), shape=(2, 4))
+        pgnn = PartitionedGNN(gnn, mesh)
+        step = make_hybrid_train_step(pgnn, mesh)
+        params, mstate, opt, logs0 = step(
+            gnn.variables["params"], gnn.variables["state"], gnn._opt_state, stacked,
+            jax.random.PRNGKey(0),
+        )
+        for _ in range(5):
+            params, mstate, opt, logs = step(params, mstate, opt, stacked, jax.random.PRNGKey(1))
+        assert float(logs["loss"]) < float(logs0["loss"])
