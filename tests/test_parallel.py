@@ -688,3 +688,48 @@ class TestHybridBcsr:
         for _ in range(5):
             params, mstate, opt, logs = step(params, mstate, opt, stacked, jax.random.PRNGKey(1))
         assert float(logs["loss"]) < float(logs0["loss"])
+
+
+class TestPartitionedCompositeGraphFocus:
+    def test_composite_graph_focus_partitioned_matches_single(self, mesh8):
+        """Composite models × graph focus × partitioning: merged composite
+        batch, partial NodeGraph readout, type-gated aggregation."""
+        from gnnkeras_tpu.graph.graph import CompositeGraphObject
+        from gnnkeras_tpu.models.composite import CompositeGNNgraphBased
+
+        rng = np.random.default_rng(33)
+        n_types, dims = 3, (2, 3, 4)
+        width = max(dims)
+        graphs = []
+        for _ in range(24):
+            n = int(rng.integers(6, 14))
+            a = int(rng.integers(12, 28))
+            nodes = rng.normal(size=(n, width))
+            arcs = np.concatenate([rng.integers(0, n, (a, 2)), rng.normal(size=(a, 2))], axis=1)
+            tm = np.zeros((n, n_types), dtype=bool)
+            tm[np.arange(n), rng.integers(0, n_types, n)] = True
+            t = np.zeros((1, 2))
+            t[0, rng.integers(2)] = 1
+            graphs.append(CompositeGraphObject(
+                nodes=nodes, arcs=arcs, targets=t, type_mask=tm, dim_node_label=dims,
+                focus="g", aggregation_mode="composite_average"))
+        merged = CompositeGraphObject.merge(graphs, focus="g", aggregation_mode="composite_average")
+
+        comp_w = int(np.sum(dims)) + 2
+        nets = [MLP(input_dim=(int(d_t) + width + width + comp_w,), layers=[width],
+                    activations="selu", kernel_initializer="lecun_normal",
+                    bias_initializer="lecun_normal") for d_t in dims]
+        ot = MLP(input_dim=(width,), layers=[2], activations="softmax",
+                 kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+        cgnn = CompositeGNNgraphBased(nets, ot, 0, 4, 0.01)
+        cgnn.build(seed=9)
+
+        batch = from_graph_object(merged)
+        _, _, out_ref, _, _ = cgnn.forward(cgnn.variables, batch, training=False)
+
+        pg = partition_graph(merged, 8)
+        assert pg.agg_component is not None and pg.graph_of_node is not None
+        pgnn = PartitionedGNN(cgnn, mesh8)
+        _, _, out, _ = pgnn.forward(pg, training=False)
+        got = np.asarray(out)[0]
+        np.testing.assert_allclose(got[:24], np.asarray(out_ref)[:24], rtol=2e-4, atol=1e-5)
