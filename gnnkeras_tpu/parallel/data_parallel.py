@@ -204,3 +204,7 @@ class DataParallelTrainer:
         """Evaluation is cheap relative to training — delegate to the model's
         single-device eval step on the synchronized (replicated) weights."""
         return self.model.evaluate(sequencer, **kwargs)
+
+    def predict(self, sequencer, **kwargs):
+        """Predictions on the synchronized weights (single-device step)."""
+        return self.model.predict(sequencer, **kwargs)
