@@ -786,8 +786,19 @@ class PartitionedGNN:
             print(" - ".join(f"{k}: {v:.4f}" for k, v in logs.items()))
         return logs
 
-    def fit(self, pg: PartitionedGraph, epochs: int = 1, verbose: int = 1, seed: int = 0):
-        """Full-batch training of the partitioned graph."""
+    def fit(
+        self,
+        pg: PartitionedGraph,
+        epochs: int = 1,
+        verbose: int = 1,
+        seed: int = 0,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 1,
+        resume: bool = False,
+    ):
+        """Full-batch training of the partitioned graph, with the same
+        resumable checkpointing surface as the single-device fit (params +
+        BN state + optimizer state + PRNG via Orbax)."""
         import time
 
         gnn = self.gnn
@@ -796,10 +807,30 @@ class PartitionedGNN:
         gnn.build(seed=seed)
         if gnn._opt_state is None:
             gnn._opt_state = gnn.optimizer.init(gnn.variables["params"])
+
+        manager = None
+        start_epoch = 0
+        if checkpoint_dir is not None:
+            from gnnkeras_tpu.training.checkpoint import CheckpointManager
+
+            manager = CheckpointManager(checkpoint_dir)
+            if resume and manager.latest_step() is not None:
+                extra = manager.restore(gnn)
+                start_epoch = int(extra.get("epoch", -1)) + 1
+                if verbose:
+                    print(f"resumed from {checkpoint_dir} at epoch {start_epoch}")
+
         step = self.make_train_step()
         params, mstate, opt_state = gnn.variables["params"], gnn.variables["state"], gnn._opt_state
+        # replicate across the mesh (checkpoint restore places on one device)
+        from jax.sharding import NamedSharding
+
+        rep = NamedSharding(self.mesh, P())
+        params, mstate, opt_state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), (params, mstate, opt_state)
+        )
         history = {"loss": []}
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             t0 = time.perf_counter()
             params, mstate, opt_state, logs = step(params, mstate, opt_state, pg, gnn.next_rng())
             history["loss"].append(float(logs["loss"]))
@@ -808,6 +839,10 @@ class PartitionedGNN:
                     f"Epoch {epoch + 1}/{epochs} [{time.perf_counter() - t0:.2f}s] "
                     f"loss: {float(logs['loss']):.4f} k: {float(logs['k']):.0f}"
                 )
+            if manager is not None and (epoch + 1) % checkpoint_every == 0:
+                gnn.variables = {"params": params, "state": mstate}
+                gnn._opt_state = opt_state
+                manager.save(epoch, gnn, {"epoch": epoch, "loss": history["loss"][-1]})
         gnn.variables = {"params": params, "state": mstate}
         gnn._opt_state = opt_state
         return history

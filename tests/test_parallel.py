@@ -733,3 +733,29 @@ class TestPartitionedCompositeGraphFocus:
         _, _, out, _ = pgnn.forward(pg, training=False)
         got = np.asarray(out)[0]
         np.testing.assert_allclose(got[:24], np.asarray(out_ref)[:24], rtol=2e-4, atol=1e-5)
+
+
+class TestPartitionedCheckpoint:
+    def test_partitioned_fit_checkpoint_resume(self, mesh8, tmp_path):
+        """Partitioned training resumes mid-run from the Orbax checkpoint
+        (failure-recovery minimum for the distributed tier)."""
+        g = big_graph(seed=51)
+        ckpt = str(tmp_path / "part_ckpt")
+
+        def fresh():
+            gnn = build_gnn(GNNnodeBased, "n")
+            gnn.compile(optimizer="adam:0.01", loss="mse")
+            gnn.build(seed=5)
+            return gnn
+
+        gnn1 = fresh()
+        pg = partition_graph(g, 8)
+        p1 = PartitionedGNN(gnn1, mesh8)
+        h1 = p1.fit(pg, epochs=3, verbose=0, checkpoint_dir=ckpt)
+        assert len(h1["loss"]) == 3
+
+        gnn2 = fresh()
+        p2 = PartitionedGNN(gnn2, mesh8)
+        h2 = p2.fit(pg, epochs=5, verbose=0, checkpoint_dir=ckpt, resume=True)
+        assert len(h2["loss"]) == 2  # epochs 0-2 restored, 3-4 run
+        assert h2["loss"][-1] < h1["loss"][0]
