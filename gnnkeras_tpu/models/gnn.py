@@ -223,9 +223,20 @@ class GNNnodeBased(GraphModel):
                 new_state, new_bn = transition(state, bn_state, step_rngs[idx])
                 return (k + 1.0, new_state, state, new_bn)
 
-            k, state, _, bn_final = jax.lax.while_loop(
-                cond_fn, body_fn, (jnp.zeros((), floatx()), state0, state_old0, bn0)
-            )
+            carry = (jnp.zeros((), floatx()), state0, state_old0, bn0)
+            if self.state_vect_dim == 0 and batch.agg_node_labels is not None and self.max_iteration >= 1:
+                # same iteration-0 peel as the training path: the first
+                # neighbor-state sum IS the precomputed label sum
+                def peeled(c):
+                    k, state, state_old, bn_state = c
+                    new_state, new_bn = transition(
+                        state, bn_state, step_rngs[0], aggregated_states=batch.agg_node_labels
+                    )
+                    return (k + 1.0, new_state, state, new_bn)
+
+                carry = jax.lax.cond(cond_fn(carry), peeled, lambda c: c, carry)
+
+            k, state, _, bn_final = jax.lax.while_loop(cond_fn, body_fn, carry)
 
         return k, state, bn_final
 
