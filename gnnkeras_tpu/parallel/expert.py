@@ -190,8 +190,9 @@ class ExpertParallelCompositeGNN:
         )
         vapply = jax.vmap(apply_one, in_axes=(0, 0, 0, 0, 0))
 
-        def transition(state, bn_states, step_rng):
-            agg_states = batch.aggregate(state)
+        def transition(state, bn_states, step_rng, agg_states=None):
+            if agg_states is None:
+                agg_states = batch.aggregate(state)
             tail = jnp.concatenate([state, agg_states, agg_component], axis=1)
             local_inputs = jnp.concatenate(
                 [local_nodes, jnp.broadcast_to(tail[None], (t_local,) + tail.shape)], axis=2
@@ -212,21 +213,27 @@ class ExpertParallelCompositeGNN:
         n_steps = max(gnn.max_iteration, 1)
         step_rngs = jax.random.split(rng, n_steps)
 
-        def step(carry, step_rng):
+        def step_body(carry, step_rng, agg_states=None):
             k, state, state_old, bn_states = carry
             run = unconverged(state, state_old, batch.node_mask, gnn.state_threshold)
-            new_state, new_bn = transition(state, bn_states, step_rng)
+            new_state, new_bn = transition(state, bn_states, step_rng, agg_states)
             return (
                 k + run.astype(floatx()),
                 jnp.where(run, new_state, state),
                 jnp.where(run, state, state_old),
                 _select_tree(run, new_bn, bn_states),
-            ), None
+            )
 
-        (k, state, _, bn_final), _ = jax.lax.scan(
-            step, (jnp.zeros((), floatx()), state0, state_old0, bn0), step_rngs,
-            length=gnn.max_iteration,
-        )
+        carry = (jnp.zeros((), floatx()), state0, state_old0, bn0)
+        rest, length = step_rngs, gnn.max_iteration
+        # iteration-0 peel (models/gnn.py): at dim_state==0 the first
+        # neighbor-state sum IS the precomputed label sum
+        if gnn.state_vect_dim == 0 and batch.agg_node_labels is not None and gnn.max_iteration >= 1:
+            carry = step_body(carry, step_rngs[0], agg_states=batch.agg_node_labels)
+            rest, length = step_rngs[1:], gnn.max_iteration - 1
+
+        step = lambda c, r: (step_body(c, r), None)
+        (k, state, _, bn_final), _ = jax.lax.scan(step, carry, rest, length=length)
 
         # shared output head (replicated)
         out, out_mask, bn_out = gnn.apply_output(

@@ -521,8 +521,9 @@ class PartitionedGNN:
             local_any = jnp.any(jnp.logical_and(distance > gnn.state_threshold * norm, pg.node_mask))
             return jax.lax.pmax(local_any.astype(jnp.int32), axis) > 0
 
-        def transition(state, bn_state, step_rng):
-            agg_states = aggregate(state)
+        def transition(state, bn_state, step_rng, agg_states=None):
+            if agg_states is None:
+                agg_states = aggregate(state)
             if self.composite:
                 # per-type expert MLPs on local rows (CompositeGNN.py:215-234)
                 state_width = gnn.state_vect_dim or pg.nodes.shape[1]
@@ -570,23 +571,35 @@ class PartitionedGNN:
                 axis_name=axis,
             )
 
-        if training:
-            def step(carry, step_rng):
-                k, state, state_old, bn_state = carry
-                run = local_unconverged(state, state_old)
-                new_state, new_bn = transition(state, bn_state, step_rng)
-                return (
-                    k + run.astype(floatx()),
-                    jnp.where(run, new_state, state),
-                    jnp.where(run, state, state_old),
-                    jax.tree_util.tree_map(lambda a, b: jnp.where(run, a, b), new_bn, bn_state),
-                ), None
+        # iteration-0 peel (same as the single-chip engine, models/gnn.py): at
+        # dim_state==0 state₀ IS the node labels, so the first neighbor-state
+        # sum equals the host-precomputed per-partition label sum — one fewer
+        # exchange + aggregation per unfold.
+        peel = gnn.state_vect_dim == 0 and pg.agg_node_labels is not None and gnn.max_iteration >= 1
 
-            step = jax.checkpoint(step)
-            (k, state, _, bn_final), _ = jax.lax.scan(
-                step, (jnp.zeros((), floatx()), state0, state_old0, bn0), step_rngs,
-                length=gnn.max_iteration,
+        def step_body(carry, step_rng, agg_states=None):
+            k, state, state_old, bn_state = carry
+            run = local_unconverged(state, state_old)
+            new_state, new_bn = transition(state, bn_state, step_rng, agg_states)
+            return (
+                k + run.astype(floatx()),
+                jnp.where(run, new_state, state),
+                jnp.where(run, state, state_old),
+                jax.tree_util.tree_map(lambda a, b: jnp.where(run, a, b), new_bn, bn_state),
             )
+
+        if training:
+            carry = (jnp.zeros((), floatx()), state0, state_old0, bn0)
+            rest, length = step_rngs, gnn.max_iteration
+            if peel:
+                peeled = jax.checkpoint(
+                    lambda c, r: step_body(c, r, agg_states=pg.agg_node_labels)
+                )
+                carry = peeled(carry, step_rngs[0])
+                rest, length = step_rngs[1:], gnn.max_iteration - 1
+
+            step = jax.checkpoint(lambda c, r: (step_body(c, r), None))
+            (k, state, _, bn_final), _ = jax.lax.scan(step, carry, rest, length=length)
         else:
             def cond_fn(carry):
                 k, state, state_old, _ = carry
@@ -598,9 +611,18 @@ class PartitionedGNN:
                 new_state, new_bn = transition(state, bn_state, step_rngs[idx])
                 return (k + 1.0, new_state, state, new_bn)
 
-            k, state, _, bn_final = jax.lax.while_loop(
-                cond_fn, body_fn, (jnp.zeros((), floatx()), state0, state_old0, bn0)
-            )
+            carry = (jnp.zeros((), floatx()), state0, state_old0, bn0)
+            if peel:
+                def peeled_fn(c):
+                    k, state, state_old, bn_state = c
+                    new_state, new_bn = transition(
+                        state, bn_state, step_rngs[0], agg_states=pg.agg_node_labels
+                    )
+                    return (k + 1.0, new_state, state, new_bn)
+
+                carry = jax.lax.cond(cond_fn(carry), peeled_fn, lambda c: c, carry)
+
+            k, state, _, bn_final = jax.lax.while_loop(cond_fn, body_fn, carry)
 
         # readout
         row_mask = jnp.logical_and(

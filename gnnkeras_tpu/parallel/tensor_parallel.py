@@ -312,8 +312,9 @@ class TensorParallelGNN:
             key = jax.random.PRNGKey(0)
             step_rngs = jnp.zeros((n_steps,) + key.shape, dtype=key.dtype)
 
-        def transition(state, bn_state, step_rng):
-            aggregated_states = batch.aggregate(state)
+        def transition(state, bn_state, step_rng, aggregated_states=None):
+            if aggregated_states is None:
+                aggregated_states = batch.aggregate(state)
             inp = gnn._transition_input(state, batch, aggregated_states, aggregated_nodes, aggregated_arcs)
             return self.tp_state.apply(
                 {"params": variables["params"]["net_state"], "state": bn_state},
@@ -323,21 +324,30 @@ class TensorParallelGNN:
                 rng=step_rng if rng is not None else None,
             )
 
-        def step(carry, step_rng):
+        def step_body(carry, step_rng, aggregated_states=None):
             k, state, state_old, bn_state = carry
             run = unconverged(state, state_old, batch.node_mask, gnn.state_threshold)
-            new_state, new_bn = transition(state, bn_state, step_rng)
+            new_state, new_bn = transition(state, bn_state, step_rng, aggregated_states)
             return (
                 k + run.astype(floatx()),
                 jnp.where(run, new_state, state),
                 jnp.where(run, state, state_old),
                 jax.tree_util.tree_map(lambda a, b: jnp.where(run, a, b), new_bn, bn_state),
-            ), None
+            )
 
-        step = jax.checkpoint(step)
-        (k, state, _, bn_final), _ = jax.lax.scan(
-            step, (jnp.zeros((), floatx()), state0, state_old0, bn0), step_rngs, length=gnn.max_iteration
-        )
+        carry = (jnp.zeros((), floatx()), state0, state_old0, bn0)
+        rest, length = step_rngs, gnn.max_iteration
+        # iteration-0 peel (models/gnn.py): at dim_state==0 the first
+        # neighbor-state sum IS the precomputed label sum
+        if gnn.state_vect_dim == 0 and batch.agg_node_labels is not None and gnn.max_iteration >= 1:
+            peeled = jax.checkpoint(
+                lambda c, r: step_body(c, r, aggregated_states=batch.agg_node_labels)
+            )
+            carry = peeled(carry, step_rngs[0])
+            rest, length = step_rngs[1:], gnn.max_iteration - 1
+
+        step = jax.checkpoint(lambda c, r: (step_body(c, r), None))
+        (k, state, _, bn_final), _ = jax.lax.scan(step, carry, rest, length=length)
 
         # replicated readout (reference apply_filters + net_output)
         out, out_mask, bn_out = gnn.apply_output(
