@@ -38,8 +38,9 @@ from gnnkeras_tpu.data.transductive import (
 )
 from gnnkeras_tpu.config import GNNConfig
 from gnnkeras_tpu.data.mutag import load_mutag
+from gnnkeras_tpu.serving import Predictor, export_forward, load_exported
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "GraphObject",
@@ -64,4 +65,7 @@ __all__ = [
     "TransductiveSingleGraphSequencer",
     "GNNConfig",
     "load_mutag",
+    "Predictor",
+    "export_forward",
+    "load_exported",
 ]

@@ -111,6 +111,10 @@ class GraphBatch:
       set_mask/output_mask (M,) · graph_of_node (N,) i32
       nodegraph_weight (N,) · graph_mask (G,) · targets (R, T)
       target_mask (R,) · sample_weight (R,) · type_mask (N, T_types) or None
+
+    Instances built by ``from_graph_object`` additionally carry a host-only
+    ``host_pred_rows`` numpy attribute (row indices of supervised entities in
+    the caller's order; dropped by pytree transforms) — see trainer.predict.
     """
 
     nodes: jax.Array
@@ -367,6 +371,20 @@ def from_graph_object(
             full[pos[idx]] = sm[idx]
         target_mask = full
 
+    # host-only caller-order view (dropped by pytree transforms): row indices
+    # of the supervised entities in the caller's (graph, entity) order — lets
+    # trainer.predict / serving.Predictor undo the tile-pack permutation,
+    # preserving the reference's prediction row order (GNN.py:176-177).
+    if g.focus == "g":
+        pred_rows = np.asarray(
+            graph_rows if graph_rows is not None else np.arange(g.targets.shape[0]),
+            dtype=np.int64,
+        )
+    else:
+        idx = np.flatnonzero(g.output_mask)
+        rows_entity = idx if g.focus == "a" else pos[idx]
+        pred_rows = rows_entity[sm[idx].astype(bool)]
+
     type_mask = None
     dims: Tuple[int, ...] = tuple(int(d) for d in g.DIM_NODE_LABEL)
     if isinstance(g, CompositeGraphObject):
@@ -435,7 +453,7 @@ def from_graph_object(
             parts.append(part)
         agg_component = np.concatenate(parts + [agg_arc], axis=1)
 
-    return GraphBatch(
+    batch = GraphBatch(
         nodes=jnp.asarray(nodes),
         arc_src=jnp.asarray(src),
         arc_dst=jnp.asarray(dst),
@@ -461,6 +479,8 @@ def from_graph_object(
         focus=g.focus,
         dim_node_label=dims,
     )
+    object.__setattr__(batch, "host_pred_rows", pred_rows)
+    return batch
 
 
 def graphs_to_batch(

@@ -240,6 +240,76 @@ class GNNnodeBased(GraphModel):
 
         return k, state, bn_final
 
+    # -- fused whole-unfold fast path (ops/fused.py) ----------------------------
+    def fold_transition(self, variables: dict):
+        """Fold the state net's inference BatchNorm into its Dense layer and
+        split the weight rows by the transition-input layout.
+
+        Returns ``(w_state, w_agg, w_arc, bias, activation)`` or None when
+        the net doesn't match the fusable shape (single Dense, optional
+        leading BatchNorm, dropout-only in between — the reference starter
+        architecture, /root/reference/starter.py:71-77) or dim_state > 0.
+        """
+        from gnnkeras_tpu.ops.fused import _ACTIVATIONS
+
+        if self.state_vect_dim != 0:
+            return None
+        net = self.net_state
+        program = net.program
+        dense_idx = [i for i, l in enumerate(program) if l[0] == "dense"]
+        if len(dense_idx) != 1 or dense_idx[0] != len(program) - 1:
+            return None
+        if any(l[0] not in ("batch_norm", "dropout") for l in program[:-1]):
+            return None
+        bn_idx = [i for i, l in enumerate(program) if l[0] == "batch_norm"]
+        if len(bn_idx) > 1:
+            return None
+        act = program[-1][2]
+        act = act if isinstance(act, str) else None
+        if act not in _ACTIVATIONS:
+            return None
+
+        params = variables["params"]["net_state"]
+        bn_state = variables["state"]["net_state"]
+        w = params[-1]["kernel"]
+        b = params[-1]["bias"]
+        if bn_idx:
+            from gnnkeras_tpu.models.mlp import _BN_EPS
+
+            i = bn_idx[0]
+            scale = params[i]["gamma"] * jax.lax.rsqrt(bn_state[i]["moving_var"] + _BN_EPS)
+            shift = params[i]["beta"] - bn_state[i]["moving_mean"] * scale
+            b = b + shift @ w
+            w = scale[:, None] * w
+        # transition input layout (``_transition_input`` at dim_state==0):
+        # [state (d) | Σ_neigh state (d) | Σ_in arc labels (da)]
+        d = w.shape[1]
+        da = w.shape[0] - 2 * d
+        if da < 0:
+            return None
+        return w[:d], w[d : 2 * d], w[2 * d :], b, act
+
+    def forward_fused(self, variables: dict, batch: GraphBatch, op, n_iter: Optional[int] = None):
+        """Inference forward with the whole unfolding fused into one Pallas
+        kernel launch (ops/fused.py): valid for tile-packed block-diagonal
+        batches, dim_state==0, threshold==0 (fixed trip count) and the
+        single-Dense state net.  Returns (state, out, out_mask)."""
+        from gnnkeras_tpu.ops.fused import fused_unfold
+
+        folded = self.fold_transition(variables)
+        if folded is None:
+            raise ValueError("state net / model config is not fusable (see fold_transition)")
+        if batch.agg_arc_labels is None:
+            raise ValueError("fused forward needs the precomputed agg_arc_labels")
+        w_state, w_agg, w_arc, bias, act = folded
+        const = batch.agg_arc_labels @ w_arc + bias
+        state = fused_unfold(
+            batch.nodes, const, w_state, w_agg, op,
+            self.max_iteration if n_iter is None else n_iter, act,
+        )
+        out, out_mask, _ = self.apply_output(variables, state, batch, training=False, rng=None)
+        return state, out, out_mask
+
     def readout_input(self, state: jax.Array, batch: GraphBatch) -> Tuple[jax.Array, jax.Array]:
         """(net_output input rows, BN/loss row mask).  Node focus: converged
         state (| labels), one row per node (reference apply_filters,

@@ -1,0 +1,297 @@
+"""Serving and export: fixed-shape AOT inference endpoints and portable
+compiled artifacts.
+
+The reference has no serving story: inference is ``Model.evaluate`` /
+``Model.predict`` in eager TF on whatever shapes arrive (GNN/Models/GNN.py:
+165-177), recompiling nothing because nothing is compiled.  A TPU deployment
+needs the opposite: one ahead-of-time compiled executable for a fixed padded
+request shape, reused for every request.
+
+Two tiers:
+
+- :class:`Predictor` — in-process endpoint.  Merges incoming ``GraphObject``
+  requests into the fixed template shape, runs the AOT-compiled eval forward
+  (optionally the fused whole-unfold Pallas kernel, ops/fused.py, which
+  collapses the entire convergence loop into one kernel launch — the
+  latency-optimal path for small requests), and returns per-entity outputs
+  in the caller's row order.
+- :func:`export_forward` / :func:`load_exported` — portable artifact: the
+  eval forward serialized as versioned StableHLO via ``jax.export`` plus the
+  trained parameters and serving metadata.  The artifact is loadable in a
+  process that never imports the model classes and runs on any JAX backend
+  that can compile it (the TPU-serving analog of the reference's SavedModel
+  directories, GNN/Models/GNN.py:94-137).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnnkeras_tpu.graph.batch import GraphBatch, from_graph_object
+from gnnkeras_tpu.graph.graph import GraphObject
+
+
+def _round_up(x: int, m: int) -> int:
+    return max(((x + m - 1) // m) * m, m)
+
+
+_FOCUS_OF_NAME = {"node": "n", "arc": "a", "graph": "g"}
+
+
+class Predictor:
+    """Fixed-shape compiled inference endpoint around a trained model.
+
+    ``max_nodes`` / ``max_arcs`` / ``max_graphs`` define the padded request
+    template; every request is merged + padded to it, so the forward is
+    compiled exactly once (call :meth:`warmup` to pay that cost ahead of the
+    first request).  Requests that overflow the template raise.
+
+    ``fused=True`` routes the unfolding through the whole-unfold Pallas
+    kernel (one kernel launch per request instead of one op-graph walk) —
+    valid for dim_state==0, threshold==0, single-Dense state nets and
+    requests whose graphs each fit inside a 128-node tile; requests that
+    don't fall back to the XLA path with identical output contract
+    (``fused='auto'`` never raises; ``fused=True`` raises when the MODEL is
+    not fusable).
+    """
+
+    def __init__(
+        self,
+        model,
+        max_nodes: int,
+        max_arcs: int,
+        max_graphs: int,
+        aggregation_mode: str = "average",
+        fused: object = False,
+        tiles_per_step: int = 8,
+        dims: Optional[Tuple[int, int, int]] = None,
+    ) -> None:
+        model.build()
+        self.model = model
+        self.focus = _FOCUS_OF_NAME.get(getattr(model, "name", "node"), "n")
+        self.aggregation_mode = aggregation_mode
+        self.max_nodes = _round_up(int(max_nodes), 128)
+        self.max_arcs = _round_up(int(max_arcs), 8)
+        self.max_graphs = int(max_graphs)
+        self.tiles_per_step = int(tiles_per_step)
+        self.dims = dims  # (dim_node_label, dim_arc_label, dim_target), for warmup
+
+        self._folded = None
+        if fused:
+            folded = getattr(model, "fold_transition", lambda v: None)(model.variables)
+            ok = folded is not None and float(model.state_threshold) == 0.0
+            if not ok and fused is True:
+                raise ValueError(
+                    "fused=True requires dim_state==0, threshold==0 and a single-Dense state net"
+                )
+            self._folded = folded if ok else None
+        self.fused = self._folded is not None
+
+        self._xla_step = None
+        self._fused_step = None
+
+    @classmethod
+    def for_graphs(
+        cls, model, sample_graphs: Sequence[GraphObject], batch_size: int,
+        headroom: float = 1.0, **kwargs,
+    ) -> "Predictor":
+        """Size the template from representative graphs: the ``batch_size``
+        largest sample graphs define the node/arc budget (× ``headroom``)."""
+        nodes = sorted((g.nodes.shape[0] for g in sample_graphs), reverse=True)
+        arcs = sorted((g.arcs.shape[0] for g in sample_graphs), reverse=True)
+        n = int(sum(nodes[:batch_size]) * headroom)
+        a = int(sum(arcs[:batch_size]) * headroom)
+        agg = kwargs.pop("aggregation_mode", sample_graphs[0].aggregation_mode)
+        g0 = sample_graphs[0]
+        dims = kwargs.pop("dims", (g0.nodes.shape[1], g0.DIM_ARC_LABEL, g0.DIM_TARGET))
+        return cls(model, n, a, batch_size, aggregation_mode=agg, dims=dims, **kwargs)
+
+    # -- request batching ------------------------------------------------------
+    def _merge(self, graphs: Sequence[GraphObject]) -> GraphObject:
+        if len(graphs) > self.max_graphs:
+            raise ValueError(f"request has {len(graphs)} graphs > template {self.max_graphs}")
+        merged = GraphObject.merge(list(graphs), focus=self.focus, aggregation_mode=self.aggregation_mode)
+        n, a = merged.nodes.shape[0], merged.arcs.shape[0]
+        if n > self.max_nodes or a > self.max_arcs:
+            raise ValueError(
+                f"request ({n} nodes, {a} arcs) overflows template ({self.max_nodes}, {self.max_arcs})"
+            )
+        return merged
+
+    # -- compiled steps ----------------------------------------------------------
+    def _xla(self):
+        if self._xla_step is None:
+            model = self.model
+
+            def step(params, mstate, batch):
+                variables = {"params": params, "state": mstate}
+                _, _, out, out_mask, _ = model.forward(variables, batch, training=False, rng=None)
+                return out, out_mask
+
+            self._xla_step = jax.jit(step)
+        return self._xla_step
+
+    def _fused(self):
+        if self._fused_step is None:
+            from gnnkeras_tpu.ops.fused import FusedDiagOperator, fused_unfold
+
+            model = self.model
+            w_state, w_agg, w_arc, bias, act = self._folded
+            tps = self.tiles_per_step
+
+            def step(params, mstate, batch, blocks):
+                variables = {"params": params, "state": mstate}
+                op = FusedDiagOperator(blocks=blocks, tile=128)
+                const = batch.agg_arc_labels @ w_arc + bias
+                state = fused_unfold(
+                    batch.nodes, const, w_state, w_agg, op, model.max_iteration, act,
+                    tiles_per_step=tps,
+                )
+                out, out_mask, _ = model.apply_output(variables, state, batch, training=False, rng=None)
+                return out, out_mask
+
+            self._fused_step = jax.jit(step)
+        return self._fused_step
+
+    # -- inference ---------------------------------------------------------------
+    def __call__(self, graphs) -> np.ndarray:
+        """Outputs for every supervised (set∧output) entity, rows in the
+        caller's (graph, entity) order — the contract of
+        ``training.trainer.predict``."""
+        if isinstance(graphs, GraphObject):
+            graphs = [graphs]
+        merged = self._merge(graphs)
+        if self.fused:
+            res = self._predict_fused(merged)
+            if res is not None:
+                return res
+        return self._predict_xla(merged)
+
+    def _predict_xla(self, merged: GraphObject) -> np.ndarray:
+        batch = from_graph_object(
+            merged, pad_nodes=self.max_nodes, pad_arcs=self.max_arcs,
+            pad_graphs=self.max_graphs if self.focus == "g" else None,
+        )
+        out, _ = self._xla()(self.model.variables["params"], self.model.variables["state"], batch)
+        return np.asarray(out)[batch.host_pred_rows]
+
+    def _predict_fused(self, merged: GraphObject) -> Optional[np.ndarray]:
+        from gnnkeras_tpu.ops.fused import build_fused_diag
+
+        try:
+            batch = from_graph_object(
+                merged, pad_nodes=self.max_nodes, pad_arcs=self.max_arcs,
+                pad_graphs=None,  # compact slot rows when tile-packing applies
+                tile_pack=True,
+            )
+        except ValueError:  # packing gaps overflow the template → XLA path
+            return None
+        a = merged.arcs.shape[0]
+        op = build_fused_diag(
+            np.asarray(batch.arc_src)[:a], np.asarray(batch.arc_dst)[:a],
+            np.asarray(batch.arcnode_weight)[:a], batch.num_nodes,
+            dtype=jnp.bfloat16,
+        )
+        if op is None:  # an edge crosses tiles → XLA fallback (same contract)
+            return None
+        out, _ = self._fused()(
+            self.model.variables["params"], self.model.variables["state"], batch, op.blocks
+        )
+        # host_pred_rows undoes the tile-pack permutation (graph/batch.py)
+        return np.asarray(out)[batch.host_pred_rows]
+
+    # -- warmup ------------------------------------------------------------------
+    def warmup(self) -> "Predictor":
+        """Trigger compilation for the template shape with a synthetic
+        request, so the first real request pays no compile latency."""
+        if self.dims is None:
+            raise ValueError("warmup needs dims=(dn, da, dt) — or build via for_graphs")
+        dn, da, dt = self.dims
+        nodes = np.zeros((2, dn), dtype=np.float32)
+        nodes[:, 0] = 1.0
+        arcs = np.zeros((2, 2 + da), dtype=np.float32)
+        arcs[0, :2] = [0, 1]
+        arcs[1, :2] = [1, 0]
+        n_t = 1 if self.focus == "g" else 2
+        g = GraphObject(
+            nodes=nodes, arcs=arcs, targets=np.zeros((n_t, dt), dtype=np.float32),
+            focus=self.focus, aggregation_mode=self.aggregation_mode,
+        )
+        self(g)
+        return self
+
+
+# -----------------------------------------------------------------------------
+# Portable export (jax.export / StableHLO)
+# -----------------------------------------------------------------------------
+
+
+def export_forward(model, template_batch: GraphBatch, path: str) -> None:
+    """Serialize the eval forward for ``template_batch``'s shapes as a
+    versioned StableHLO artifact + trained parameters + metadata.
+
+    Layout: ``forward.jaxexport`` (serialized ``jax.export`` bytes),
+    ``params.npz`` (flattened variables), ``serving.json``.  Load via
+    :func:`load_exported`; call with any same-shape ``GraphBatch``."""
+    from jax import export as jexport
+
+    model.build()
+    flat_v, vtd = jax.tree_util.tree_flatten(model.variables)
+    flat_b, btd = jax.tree_util.tree_flatten(template_batch)
+
+    def fn(fv, fb):
+        v = jax.tree_util.tree_unflatten(vtd, fv)
+        b = jax.tree_util.tree_unflatten(btd, fb)
+        _, _, out, out_mask, _ = model.forward(v, b, training=False, rng=None)
+        if isinstance(out, (list, tuple)):  # LGNN: serve the last layer
+            out = out[-1]
+        return out, out_mask
+
+    exported = jexport.export(jax.jit(fn))(flat_v, flat_b)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "forward.jaxexport"), "wb") as f:
+        f.write(exported.serialize())
+    np.savez(
+        os.path.join(path, "params.npz"),
+        **{f"p{i}": np.asarray(x) for i, x in enumerate(flat_v)},
+    )
+    meta = {
+        "n_params": len(flat_v),
+        "model_class": type(model).__name__,
+        "focus": _FOCUS_OF_NAME.get(getattr(model, "name", "node"), "n"),
+        "batch_shapes": [list(np.shape(x)) for x in flat_b],
+    }
+    with open(os.path.join(path, "serving.json"), "w") as f:
+        json.dump(meta, f)
+
+
+class ExportedForward:
+    """A deserialized forward: ``call(batch)`` → (out, out_mask) for any
+    batch with the template shapes; parameters baked in from the artifact."""
+
+    def __init__(self, exported, params: List[np.ndarray], meta: dict):
+        self._exported = exported
+        self._params = [jnp.asarray(p) for p in params]
+        self.meta = meta
+
+    def call(self, batch: GraphBatch):
+        flat_b, _ = jax.tree_util.tree_flatten(batch)
+        return self._exported.call(self._params, flat_b)
+
+
+def load_exported(path: str) -> ExportedForward:
+    from jax import export as jexport
+
+    with open(os.path.join(path, "forward.jaxexport"), "rb") as f:
+        exported = jexport.deserialize(f.read())
+    with open(os.path.join(path, "serving.json")) as f:
+        meta = json.load(f)
+    z = np.load(os.path.join(path, "params.npz"))
+    params = [z[f"p{i}"] for i in range(meta["n_params"])]
+    return ExportedForward(exported, params, meta)

@@ -243,6 +243,9 @@ def predict(model, sequencer, seed: Optional[int] = None):
         out, _ = cache["predict_step"](
             model.variables["params"], model.variables["state"], batch, model.next_rng()
         )
-        mask = np.asarray(batch.target_mask)
-        outs.append(np.asarray(out)[mask])
+        out = np.asarray(out)
+        # tile-packed batches permute rows; host_pred_rows (graph/batch.py)
+        # restores the caller's (graph, entity) order
+        rows = getattr(batch, "host_pred_rows", None)
+        outs.append(out[rows] if rows is not None else out[np.asarray(batch.target_mask)])
     return np.concatenate(outs, axis=0)

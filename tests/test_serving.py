@@ -1,0 +1,148 @@
+"""Serving endpoints (gnnkeras_tpu/serving.py): fixed-shape Predictor
+(XLA and fused paths, order restoration under tile packing) and the
+jax.export StableHLO artifact roundtrip."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gnnkeras_tpu.data.sequencers import MultiGraphSequencer
+from gnnkeras_tpu.graph.batch import from_graph_object
+from gnnkeras_tpu.graph.graph import GraphObject
+from gnnkeras_tpu.models.gnn import GNNgraphBased, GNNnodeBased
+from gnnkeras_tpu.models.mlp import MLP, get_inout_dims
+from gnnkeras_tpu.serving import Predictor, export_forward, load_exported
+from gnnkeras_tpu.training.trainer import predict
+
+
+def _random_graphs(n_graphs=25, seed=0, dn=14, da=3, t_dim=2, focus="g"):
+    rng = np.random.default_rng(seed)
+    graphs = []
+    for _ in range(n_graphs):
+        n = int(rng.integers(5, 40))
+        nodes = np.eye(dn, dtype=np.float32)[rng.integers(0, dn, n)]
+        a = int(rng.integers(n, 3 * n))
+        src, dst = rng.integers(0, n, a), rng.integers(0, n, a)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        if len(src) == 0:
+            src, dst = np.array([0]), np.array([1 % n])
+        arcs = np.concatenate(
+            [np.stack([src, dst], 1), np.eye(da, dtype=np.float32)[rng.integers(0, da, len(src))]], 1
+        )
+        targets = (
+            np.eye(t_dim, dtype=np.float32)[rng.integers(0, t_dim, 1)]
+            if focus == "g"
+            else np.eye(t_dim, dtype=np.float32)[rng.integers(0, t_dim, n)]
+        )
+        graphs.append(
+            GraphObject(nodes=nodes, arcs=arcs, targets=targets, focus=focus, aggregation_mode="average")
+        )
+    return graphs
+
+
+def _gnn(cls=GNNgraphBased, focus="g", seed=0, threshold=0.0):
+    ins, ls = get_inout_dims("state", 14, 3, 2, focus, 0)
+    ino, lo = get_inout_dims("output", 14, 3, 2, focus, 0)
+    net_st = MLP(input_dim=ins[0], layers=ls, activations="selu",
+                 kernel_initializer="lecun_normal", bias_initializer="lecun_normal")
+    net_out = MLP(input_dim=ino[0], layers=lo, activations="softmax",
+                  kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+    gnn = cls(net_st, net_out, 0, 5, threshold)
+    gnn.build(seed=seed)
+    return gnn
+
+
+class TestPredictor:
+    def test_matches_trainer_predict(self):
+        graphs = _random_graphs()
+        gnn = _gnn()
+        p = Predictor.for_graphs(gnn, graphs, batch_size=len(graphs))
+        got = p(graphs)
+        seq = MultiGraphSequencer([g.copy() for g in graphs], "g", "average",
+                                  batch_size=len(graphs), shuffle=False)
+        want = predict(gnn, seq)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_single_graph_request(self):
+        graphs = _random_graphs(n_graphs=3, seed=2)
+        gnn = _gnn(seed=2)
+        p = Predictor.for_graphs(gnn, graphs, batch_size=3)
+        one = p(graphs[0])
+        all3 = p(graphs)
+        np.testing.assert_allclose(one[0], all3[0], rtol=1e-5, atol=1e-6)
+
+    def test_overflow_raises(self):
+        graphs = _random_graphs(n_graphs=6, seed=3)
+        gnn = _gnn(seed=3)
+        p = Predictor.for_graphs(gnn, graphs[:2], batch_size=2)
+        with pytest.raises(ValueError):
+            p(graphs)
+
+    def test_fused_matches_xla_order(self):
+        graphs = _random_graphs(seed=4)
+        gnn = _gnn(seed=4)
+        p_x = Predictor.for_graphs(gnn, graphs, batch_size=len(graphs))
+        p_f = Predictor.for_graphs(gnn, graphs, batch_size=len(graphs), fused=True)
+        assert p_f.fused
+        got_x, got_f = p_x(graphs), p_f(graphs)
+        assert got_x.shape == got_f.shape
+        # bf16 kernel: same ranking, close probabilities
+        assert (got_x.argmax(1) == got_f.argmax(1)).mean() > 0.95
+        assert np.abs(got_x - got_f).max() < 0.05
+
+    def test_fused_node_focus_order(self):
+        graphs = _random_graphs(seed=5, focus="n", n_graphs=10)
+        gnn = _gnn(cls=GNNnodeBased, focus="n", seed=5)
+        p_x = Predictor.for_graphs(gnn, graphs, batch_size=len(graphs))
+        p_f = Predictor.for_graphs(gnn, graphs, batch_size=len(graphs), fused=True)
+        got_x, got_f = p_x(graphs), p_f(graphs)
+        assert got_x.shape == got_f.shape
+        assert np.abs(got_x - got_f).max() < 0.05
+
+    def test_fused_true_raises_on_unfusable_model(self):
+        gnn = _gnn(threshold=0.01)  # dynamic trip count → not fusable
+        with pytest.raises(ValueError):
+            Predictor(gnn, 256, 256, 4, fused=True)
+
+    def test_warmup(self):
+        graphs = _random_graphs(n_graphs=4, seed=6)
+        gnn = _gnn(seed=6)
+        p = Predictor.for_graphs(gnn, graphs, batch_size=4).warmup()
+        out = p(graphs[:2])
+        assert out.shape == (2, 2)
+
+
+class TestExport:
+    def test_stablehlo_roundtrip(self, tmp_path):
+        graphs = _random_graphs(n_graphs=8, seed=7)
+        gnn = _gnn(seed=7)
+        merged = GraphObject.merge([g.copy() for g in graphs], focus="g", aggregation_mode="average")
+        batch = from_graph_object(merged)
+        _, _, out_ref, out_mask, _ = gnn.forward(gnn.variables, batch, training=False, rng=None)
+
+        path = str(tmp_path / "artifact")
+        export_forward(gnn, batch, path)
+        loaded = load_exported(path)
+        out, mask = loaded.call(batch)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), rtol=1e-5, atol=1e-6)
+        assert loaded.meta["model_class"] == "GNNgraphBased"
+
+    def test_exported_runs_on_new_batch(self, tmp_path):
+        graphs = _random_graphs(n_graphs=8, seed=8)
+        gnn = _gnn(seed=8)
+        merged = GraphObject.merge([g.copy() for g in graphs], focus="g", aggregation_mode="average")
+        batch = from_graph_object(merged, pad_nodes=512, pad_arcs=1024, pad_graphs=8)
+        path = str(tmp_path / "artifact")
+        export_forward(gnn, batch, path)
+        loaded = load_exported(path)
+
+        graphs2 = _random_graphs(n_graphs=8, seed=9)
+        merged2 = GraphObject.merge([g.copy() for g in graphs2], focus="g", aggregation_mode="average")
+        batch2 = from_graph_object(
+            merged2, pad_nodes=batch.num_nodes, pad_arcs=batch.num_arcs, pad_graphs=batch.num_graphs
+        )
+        _, _, want, _, _ = gnn.forward(gnn.variables, batch2, training=False, rng=None)
+        got, _ = loaded.call(batch2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)

@@ -219,3 +219,54 @@ class TestRegularization:
         e_plain = plain.evaluate(seq)
         e_reg = reg.evaluate(seq)
         assert e_reg["loss"] > e_plain["loss"]
+
+
+class TestPredictRowOrder:
+    def test_predict_caller_order_under_tile_packing(self):
+        """trainer.predict must return rows in the caller's graph order even
+        when the sequencer routes the batch through the tile-packed compact
+        readout (which permutes graph rows to packing slots) — regression for
+        the host_pred_rows mechanism in graph/batch.py."""
+        from gnnkeras_tpu.training.trainer import predict
+
+        rng = np.random.default_rng(17)
+        graphs = []
+        for _ in range(30):
+            n = int(rng.integers(5, 40))
+            nodes = np.eye(6, dtype=np.float32)[rng.integers(0, 6, n)]
+            a = max(int(rng.integers(n, 2 * n)), 1)
+            src, dst = rng.integers(0, n, a), rng.integers(0, n, a)
+            keep = src != dst
+            src, dst = src[keep], dst[keep]
+            if len(src) == 0:
+                src, dst = np.array([0]), np.array([min(1, n - 1)])
+            arcs = np.concatenate(
+                [np.stack([src, dst], 1),
+                 np.eye(2, dtype=np.float32)[rng.integers(0, 2, len(src))]], 1)
+            targets = np.eye(2, dtype=np.float32)[rng.integers(0, 2, 1)]
+            graphs.append(GraphObject(nodes=nodes, arcs=arcs, targets=targets,
+                                      focus="g", aggregation_mode="average"))
+
+        inp_s, layers_s = get_inout_dims("state", 6, 2, 2, "g", 0)
+        inp_o, layers_o = get_inout_dims("output", 6, 2, 2, "g", 0)
+        gnn = GNNgraphBased(
+            MLP(input_dim=inp_s[0], layers=layers_s, activations="selu",
+                kernel_initializer="lecun_normal", bias_initializer="lecun_normal"),
+            MLP(input_dim=inp_o[0], layers=layers_o, activations="softmax",
+                kernel_initializer="glorot_normal", bias_initializer="glorot_normal"),
+            0, 3, 0.0,
+        )
+        gnn.build(seed=11)
+
+        seq = MultiGraphSequencer([g.copy() for g in graphs], "g", "average",
+                                  batch_size=len(graphs), shuffle=False)
+        batch = seq[0]
+        assert batch.compact_readout is not None  # packing actually engaged
+        got = predict(gnn, seq)
+
+        # oracle: each graph forwarded alone (no packing, no permutation)
+        for i in (0, 7, 19, 29):
+            seq1 = MultiGraphSequencer([graphs[i].copy()], "g", "average",
+                                       batch_size=1, shuffle=False)
+            want = predict(gnn, seq1)
+            np.testing.assert_allclose(got[i], want[0], rtol=1e-5, atol=1e-6)
