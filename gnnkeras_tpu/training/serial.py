@@ -62,14 +62,20 @@ def _update_host_graph(model, g0: GraphObject, state: np.ndarray, out: np.ndarra
     return GraphObject(**common)
 
 
-def _bake_graphs(model, gnn, graphs, t0_graphs):
+def _bake_graphs(model, gnn, graphs, t0_graphs, chunk_size: int = 1):
     """Run the trained layer over every graph (training=True, per reference
     LGNN.py:332) and return new host graphs: t=0 features + this layer's
-    (state, output) prepended."""
-    pad_n = max(g.nodes.shape[0] for g in graphs)
-    pad_a = max(g.arcs.shape[0] for g in graphs)
-    pad_n = ((pad_n + 127) // 128) * 128
-    pad_a = ((pad_a + 127) // 128) * 128
+    (state, output) prepended.
+
+    ``chunk_size=1`` (default) replays one compiled per-graph program,
+    committing BatchNorm moving statistics sequentially graph-by-graph —
+    bit-faithful to the reference's batch_size=1 baking loop (LGNN.py:328).
+    ``chunk_size>1`` is the TPU fast path: graphs are disjoint-union merged
+    ``chunk_size`` at a time so the bake costs ~len/chunk_size launches and
+    host syncs instead of len.  BatchNorm statistics then update once per
+    CHUNK (moments over all chunk nodes) — with no BatchNorm in the nets the
+    baked features are identical; with BatchNorm the EMA commit granularity
+    differs from the reference's per-graph order (documented deviation)."""
 
     def bake_step(params, mstate, batch, rng):
         variables = {"params": params, "state": mstate}
@@ -80,21 +86,46 @@ def _bake_graphs(model, gnn, graphs, t0_graphs):
 
     bake_step = jax.jit(bake_step)
 
+    chunk_size = max(int(chunk_size), 1)
+    chunks = [graphs[i : i + chunk_size] for i in range(0, len(graphs), chunk_size)]
+    pad_n = max(sum(g.nodes.shape[0] for g in ch) for ch in chunks)
+    pad_a = max(sum(g.arcs.shape[0] for g in ch) for ch in chunks)
+    pad_n = ((pad_n + 127) // 128) * 128
+    pad_a = ((pad_a + 127) // 128) * 128
+
     new_graphs = []
     variables = gnn.variables
-    for g, g0 in zip(graphs, t0_graphs):
-        batch = from_graph_object(g, pad_n, pad_a)
+    t0_iter = iter(t0_graphs)
+    for ch in chunks:
+        if len(ch) > 1:
+            cls = type(ch[0])
+            g_dev = cls.merge(list(ch), focus=ch[0].focus, aggregation_mode=ch[0].aggregation_mode)
+        else:
+            g_dev = ch[0]
+        batch = from_graph_object(g_dev, pad_n, pad_a)
         state, out, new_bn = bake_step(variables["params"], variables["state"], batch, gnn.next_rng())
         variables = {"params": variables["params"], "state": new_bn}
-        n_rows = g.arcs.shape[0] if model._is_arc else g.nodes.shape[0]
-        state_np = np.asarray(state)[: g.nodes.shape[0]]
-        out_np = np.asarray(out)[:n_rows]
-        new_graphs.append(_update_host_graph(model, g0, state_np, out_np))
+        state_np = np.asarray(state)
+        out_np = np.asarray(out)
+        # split the merged rows back per graph (merge preserves per-graph
+        # node/arc contiguity: arc keys are offset per graph before the sort)
+        off_n = off_r = 0
+        for g in ch:
+            n_i = g.nodes.shape[0]
+            n_rows = g.arcs.shape[0] if model._is_arc else n_i
+            row0 = off_r if model._is_arc else off_n
+            new_graphs.append(
+                _update_host_graph(
+                    model, next(t0_iter), state_np[off_n : off_n + n_i], out_np[row0 : row0 + n_rows]
+                )
+            )
+            off_n += n_i
+            off_r += g.arcs.shape[0]
     gnn.variables = variables
     return new_graphs
 
 
-def _bake_layer(model, gnn, sequence, t0_sequence):
+def _bake_layer(model, gnn, sequence, t0_sequence, chunk_size: int = 1):
     """Rebuild ``sequence``'s dataset with the trained layer's features.
 
     Transductive sequencers hold HOMOGENEOUS source graphs and re-transduce
@@ -114,7 +145,7 @@ def _bake_layer(model, gnn, sequence, t0_sequence):
         cur = sequence.graph_objects
         t0 = t0_sequence.graph_objects
         transduced = [get_transduction(g, sequence.transductive_rate, sequence.focus) for g in cur]
-        new_graphs = _bake_graphs(model, gnn, transduced, t0)
+        new_graphs = _bake_graphs(model, gnn, transduced, t0, chunk_size)
         cfg = sequence.get_config()
         cfg["graphs"] = new_graphs
         cfg["shuffle"] = t0_sequence.shuffle
@@ -123,7 +154,7 @@ def _bake_layer(model, gnn, sequence, t0_sequence):
         cur = [sequence.graph_object]
         t0 = [t0_sequence.graph_object]
         transduced = [get_transduction(cur[0], sequence.transductive_rate, sequence.focus)]
-        new_graphs = _bake_graphs(model, gnn, transduced, t0)
+        new_graphs = _bake_graphs(model, gnn, transduced, t0, chunk_size)
         cfg = sequence.get_config()
         cfg["graph"] = new_graphs[0]
         cfg["shuffle"] = t0_sequence.shuffle
@@ -131,7 +162,7 @@ def _bake_layer(model, gnn, sequence, t0_sequence):
 
     graphs = sequence.data if isinstance(sequence.data, list) else [sequence.data]
     t0_graphs = t0_sequence.data if isinstance(t0_sequence.data, list) else [t0_sequence.data]
-    new_graphs = _bake_graphs(model, gnn, graphs, t0_graphs)
+    new_graphs = _bake_graphs(model, gnn, graphs, t0_graphs, chunk_size)
     return t0_sequence.with_graphs(new_graphs)
 
 
@@ -143,11 +174,17 @@ def fit_serial(
     callbacks: Optional[list] = None,
     verbose: int = 1,
     seed: int = 0,
+    bake_batch_size: int = 1,
 ):
     """Serial-mode LGNN fit (reference LGNN.py:292-359).  ``callbacks``, if
     given, must be one list per layer (LGNN.py:300-304).  Transductive
     sequencers are supported: each bake runs the layer on a fresh transduction
-    and re-wraps the updated homogeneous graphs (see ``_bake_layer``)."""
+    and re-wraps the updated homogeneous graphs (see ``_bake_layer``).
+
+    ``bake_batch_size>1`` merges that many graphs per baking launch (the TPU
+    fast path — ~N/bake_batch_size device round-trips instead of N); BatchNorm
+    moving statistics then commit per chunk instead of per graph (see
+    ``_bake_graphs``)."""
     model.build(seed=seed)
     if callbacks is not None:
         assert len(callbacks) == model.LAYERS, "serial mode needs one callback list per layer"
@@ -174,10 +211,10 @@ def fit_serial(
         model.push_layer_variables(idx)
         histories.append(h)
 
-        training_sequence = _bake_layer(model, gnn, training_sequence, training_data_t0)
+        training_sequence = _bake_layer(model, gnn, training_sequence, training_data_t0, bake_batch_size)
         model.push_layer_variables(idx)  # commit baking-pass BatchNorm updates
         if valid_sequence is not None:
-            valid_sequence = _bake_layer(model, gnn, valid_sequence, valid_t0)
+            valid_sequence = _bake_layer(model, gnn, valid_sequence, valid_t0, bake_batch_size)
             model.push_layer_variables(idx)
 
     if verbose:

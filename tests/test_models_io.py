@@ -304,3 +304,69 @@ class TestSingleGraphSequencer:
         seq = SingleGraphSequencer(g, "n", batch_size=16, shuffle=True, pad_multiple=16)
         h = gnn.fit(seq, epochs=3, verbose=0)
         assert h.history["loss"][-1] < h.history["loss"][0]
+
+
+class TestChunkedBake:
+    """bake_batch_size>1 merges graphs per baking launch (training/serial.py
+    _bake_graphs fast path).  Without BatchNorm the baked features must be
+    IDENTICAL to the reference-faithful per-graph loop; an e2e serial fit with
+    BatchNorm + chunking must still train."""
+
+    def _lgnn_no_bn(self, seed=0):
+        gnns = []
+        for layer in range(2):
+            inp_s, layers_s = get_inout_dims("state", 3, 2, 2, "n", 0,
+                                             layer=layer, get_state=True, get_output=True)
+            inp_o, layers_o = get_inout_dims("output", 3, 2, 2, "n", 0,
+                                             layer=layer, get_state=True, get_output=True)
+            st = MLP(input_dim=inp_s[0], layers=layers_s, activations="selu",
+                     kernel_initializer="lecun_normal", bias_initializer="lecun_normal",
+                     batch_normalization=False)
+            ot = MLP(input_dim=inp_o[0], layers=layers_o, activations="linear",
+                     kernel_initializer="glorot_normal", bias_initializer="glorot_normal",
+                     batch_normalization=False)
+            gnns.append(GNNnodeBased(st, ot, 0, 3, 0.0))
+        lgnn = LGNN(gnns, True, True)
+        lgnn.build(seed=seed)
+        return lgnn
+
+    def test_chunked_equals_pergraph_without_bn(self):
+        from gnnkeras_tpu.training.serial import _bake_graphs
+
+        graphs = toy_graphs(9, seed=21, focus="n")
+        l1 = self._lgnn_no_bn(seed=3)
+        l1.pull_layer_variables(0)
+        g1 = l1.gnns[0]
+        baked1 = _bake_graphs(l1, g1, [g.copy() for g in graphs], [g.copy() for g in graphs])
+
+        l2 = self._lgnn_no_bn(seed=3)
+        l2.pull_layer_variables(0)
+        g2 = l2.gnns[0]
+        baked4 = _bake_graphs(l2, g2, [g.copy() for g in graphs], [g.copy() for g in graphs],
+                              chunk_size=4)
+        assert len(baked1) == len(baked4) == len(graphs)
+        for a, b in zip(baked1, baked4):
+            np.testing.assert_allclose(a.nodes, b.nodes, rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(a.arcs, b.arcs, rtol=1e-5, atol=1e-6)
+
+    def test_serial_fit_with_bake_batch_size(self):
+        graphs = toy_graphs(8, seed=22, focus="n")
+        gnns = []
+        for layer in range(2):
+            inp_s, layers_s = get_inout_dims("state", 3, 2, 2, "n", 0,
+                                             layer=layer, get_state=True, get_output=True)
+            inp_o, layers_o = get_inout_dims("output", 3, 2, 2, "n", 0,
+                                             layer=layer, get_state=True, get_output=True)
+            st = MLP(input_dim=inp_s[0], layers=layers_s, activations="selu",
+                     kernel_initializer="lecun_normal", bias_initializer="lecun_normal")
+            ot = MLP(input_dim=inp_o[0], layers=layers_o, activations="linear",
+                     kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+            gnns.append(GNNnodeBased(st, ot, 0, 3, 0.0))
+        lgnn = LGNN(gnns, True, True)
+        lgnn.compile(optimizer="adam:0.01", loss="mse", training_mode="serial")
+        seq = MultiGraphSequencer(graphs, "n", "average", batch_size=4, shuffle=False, pad_multiple=16)
+        hists = lgnn.fit(seq, epochs=3, verbose=0, bake_batch_size=8)
+        assert len(hists) == 2
+        assert hists[0].history["loss"][-1] < hists[0].history["loss"][0]
+        for h in hists:
+            assert np.all(np.isfinite(h.history["loss"]))
