@@ -90,6 +90,10 @@ class Predictor:
                 raise ValueError(
                     "fused=True requires dim_state==0, threshold==0 and a single-Dense state net"
                 )
+            if fused == "auto" and self.max_nodes // 128 > 16:
+                # measured crossover (BASELINE.md serving latency table): the
+                # one-launch kernel wins below ~16 tiles, XLA wins above
+                ok = False
             self._folded = folded if ok else None
         self.fused = self._folded is not None
 
