@@ -74,7 +74,9 @@ class Predictor:
     ) -> None:
         model.build()
         self.model = model
-        self.focus = _FOCUS_OF_NAME.get(getattr(model, "name", "node"), "n")
+        # LGNN stacks expose the focus through their first layer
+        named = model.gnns[0] if hasattr(model, "gnns") else model
+        self.focus = _FOCUS_OF_NAME.get(getattr(named, "name", "node"), "n")
         self.aggregation_mode = aggregation_mode
         self.max_nodes = _round_up(int(max_nodes), 128)
         self.max_arcs = _round_up(int(max_arcs), 8)
@@ -131,11 +133,16 @@ class Predictor:
     # -- compiled steps ----------------------------------------------------------
     def _xla(self):
         if self._xla_step is None:
+            from gnnkeras_tpu.training.trainer import _is_lgnn
+
             model = self.model
+            lgnn = _is_lgnn(model)
 
             def step(params, mstate, batch):
                 variables = {"params": params, "state": mstate}
                 _, _, out, out_mask, _ = model.forward(variables, batch, training=False, rng=None)
+                if lgnn:  # LGNN forward returns per-layer outputs; serve the last
+                    out = out[-1]
                 return out, out_mask
 
             self._xla_step = jax.jit(step)

@@ -146,3 +146,31 @@ class TestExport:
         _, _, want, _, _ = gnn.forward(gnn.variables, batch2, training=False, rng=None)
         got, _ = loaded.call(batch2)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+class TestPredictorLGNN:
+    def test_lgnn_matches_trainer_predict(self):
+        from gnnkeras_tpu.models.lgnn import LGNN
+
+        graphs = _random_graphs(n_graphs=12, seed=10)
+        gnns = []
+        for layer in range(2):
+            ins, ls = get_inout_dims("state", 14, 3, 2, "g", 0, layer=layer,
+                                     get_state=True, get_output=True)
+            ino, lo = get_inout_dims("output", 14, 3, 2, "g", 0, layer=layer,
+                                     get_state=True, get_output=True)
+            st = MLP(input_dim=ins[0], layers=ls, activations="selu",
+                     kernel_initializer="lecun_normal", bias_initializer="lecun_normal")
+            ot = MLP(input_dim=ino[0], layers=lo, activations="softmax",
+                     kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+            gnns.append(GNNgraphBased(st, ot, 0, 3, 0.0))
+        lgnn = LGNN(gnns, True, True)
+        lgnn.build(seed=10)
+
+        p = Predictor.for_graphs(lgnn, graphs, batch_size=len(graphs))
+        assert p.focus == "g"
+        got = p(graphs)
+        seq = MultiGraphSequencer([g.copy() for g in graphs], "g", "average",
+                                  batch_size=len(graphs), shuffle=False)
+        want = predict(lgnn, seq)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
