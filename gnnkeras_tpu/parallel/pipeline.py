@@ -14,7 +14,11 @@ state/output ring-wise to the next stage.
 
 Scope (asserted): ``dim_state > 0`` (with dim_state==0 the reference's input
 width grows per layer — MLP.py:109-115 — so stage parameters cannot be
-homogeneous), node- or graph-focused stacks, ``average_st_grads=False``.
+homogeneous).  All three focuses are supported; arc-focused stacks propagate
+the previous layer's output onto the ARC labels (update_graph, LGNN.py:211)
+so the inter-stage hand-off carries a (node-rows, arc-rows) feature pair, and
+need ``node_label_dim`` (net_state and the arc readout have identical input
+totals, so the MLP dims alone cannot locate layer-0's padding rows).
 Layer 0's smaller kernels are zero-row padded at the propagated-feature
 positions, which is exact: the zero features contribute nothing forward and
 their kernel rows receive zero gradient (they also stay zero under training
@@ -58,41 +62,62 @@ def _strip_rows(v, at: int, n: int):
 
 
 class _Layer0Padding:
-    """Row positions where layer 0's width-dependent leaves differ from the
-    layers≥1 shapes.  net_state input order is
-    ``[state | nodes | agg_states | agg_nodes | agg_arcs]`` (gnn.py:221-231);
-    the propagated features are PREPENDED inside ``nodes`` and therefore also
-    inside ``agg_nodes``; net_output input order is ``[state | nodes]``
-    (gnn.py:239-242 with dim_state>0)."""
+    """Row positions (in the layers≥1 full-input coordinates) where layer 0's
+    width-dependent kernel leaves are missing the propagated-feature rows.
 
-    def __init__(self, lgnn: LGNN, prop_width: int):
+    net_state input order is ``[state | nodes | agg_states | agg_nodes |
+    agg_arcs]`` (gnn.py:221-231).  Node/graph focus prepends the propagated
+    state+output inside ``nodes`` (and therefore ``agg_nodes``); arc focus
+    prepends the state inside ``nodes`` and the output inside the ARC labels
+    (``agg_arcs``) — reference update_graph, LGNN.py:175-214.  net_output
+    input is ``[state | nodes]`` (gnn.py:239-242, dim_state>0) or
+    ``[src_ext | dst_ext | arc_label]`` for arc focus (gnn.py:317-330)."""
+
+    def __init__(self, lgnn: LGNN, prop_node: int, prop_arc: int, node_label_dim: Optional[int] = None):
         ds = lgnn.gnns[0].state_vect_dim
-        w0 = lgnn.gnns[0].net_output.input_dim[0] - ds  # layer-0 node width
-        self.prop = prop_width
-        # net_state: nodes slice starts at ds; after that insertion, agg_nodes
-        # starts at ds + (w0 + prop) + ds
-        self.state_positions = [ds, ds + w0 + prop_width + ds]
-        # net_output: nodes slice starts at ds
-        self.output_positions = [ds]
+        gnn1 = lgnn.gnns[-1]
+        s1 = gnn1.net_state.input_dim[0]  # 2·ds + 2·wn + da (full layout)
+        s0 = lgnn.gnns[0].net_state.input_dim[0]
+        assert s1 - s0 == 2 * prop_node + prop_arc, (s0, s1, prop_node, prop_arc)
+        if not lgnn._is_arc:
+            # node/graph focus: net_output input = [state | nodes] gives wn
+            wn = gnn1.net_output.input_dim[0] - ds
+            self.state_ins = [(ds, prop_node), (2 * ds + wn, prop_node)]
+            self.output_ins = [(ds, prop_node)]
+        else:
+            # arc focus: net_output input = 2·(ds+wn) + da — the same total as
+            # net_state, so MLP dims alone cannot split node vs arc widths;
+            # the raw t=0 node-label width must be given explicitly.
+            if node_label_dim is None:
+                raise ValueError(
+                    "arc-focused pipeline stacks need node_label_dim (the raw "
+                    "t=0 node-label width) to locate layer-0's padding rows"
+                )
+            wn = int(node_label_dim) + prop_node
+            ext = ds + wn
+            self.state_ins = [(ds, prop_node), (2 * ds + wn, prop_node), (2 * ds + 2 * wn, prop_arc)]
+            self.output_ins = [(ds, prop_node), (ext + ds, prop_node), (2 * ext, prop_arc)]
+        self.state_ins = [(at, w_) for (at, w_) in self.state_ins if w_ > 0]
+        self.output_ins = [(at, w_) for (at, w_) in self.output_ins if w_ > 0]
 
     def pad(self, leaf, net: str, target_rows: int):
-        positions = self.state_positions if net == "state" else self.output_positions
+        ins = self.state_ins if net == "state" else self.output_ins
         v = leaf
-        for at in positions:
+        for at, w_ in ins:
             if v.shape[0] == target_rows:
                 break
-            v = _insert_rows(v, at, self.prop)
-        assert v.shape[0] == target_rows, (leaf.shape, target_rows, positions)
+            v = _insert_rows(v, at, w_)
+        assert v.shape[0] == target_rows, (leaf.shape, target_rows, ins)
         return v
 
     def strip(self, leaf, net: str, target_rows: int):
-        positions = self.state_positions if net == "state" else self.output_positions
+        ins = self.state_ins if net == "state" else self.output_ins
         v = leaf
-        for at in reversed(positions):
+        for at, w_ in reversed(ins):
             if v.shape[0] == target_rows:
                 break
-            v = _strip_rows(v, at, self.prop)
-        assert v.shape[0] == target_rows, (leaf.shape, target_rows, positions)
+            v = _strip_rows(v, at, w_)
+        assert v.shape[0] == target_rows, (leaf.shape, target_rows, ins)
         return v
 
 
@@ -106,7 +131,13 @@ def _map_width_leaves(tree_a, tree_b, fn):
 class PipelineLGNN:
     """GPipe pipeline over an LGNN's layers (parallel training mode)."""
 
-    def __init__(self, lgnn: LGNN, mesh: Optional[Mesh] = None, axis: str = "stage"):
+    def __init__(
+        self,
+        lgnn: LGNN,
+        mesh: Optional[Mesh] = None,
+        axis: str = "stage",
+        node_label_dim: Optional[int] = None,
+    ):
         from gnnkeras_tpu.parallel.mesh import make_mesh
 
         if lgnn.gnns[0].state_vect_dim <= 0:
@@ -114,8 +145,6 @@ class PipelineLGNN:
                 "pipeline parallelism needs dim_state > 0 (dim_state==0 grows the "
                 "input width per layer, MLP.py:109-115, so stages cannot share shapes)"
             )
-        if lgnn._is_arc:
-            raise NotImplementedError("pipeline stages support node/graph-focused stacks")
         self.lgnn = lgnn
         self.axis = axis
         self.mesh = mesh if mesh is not None else make_mesh((axis,))
@@ -125,9 +154,14 @@ class PipelineLGNN:
                 f"mesh axis '{axis}' ({self.n_stages}) must equal LGNN layers ({lgnn.LAYERS})"
             )
         self.ds = lgnn.gnns[0].state_vect_dim
-        self.prop_width = self.ds * lgnn.get_state + lgnn.gnns[0].net_output.output_dim * lgnn.get_output
+        go = lgnn.gnns[0].net_output.output_dim * lgnn.get_output
+        # propagated features split by destination rows (update_graph,
+        # LGNN.py:175-214): state → node labels; output → node labels for
+        # node/graph focus, ARC labels for arc focus
+        self.prop_node = self.ds * lgnn.get_state + (0 if lgnn._is_arc else go)
+        self.prop_arc = go if lgnn._is_arc else 0
         self.proto = lgnn.gnns[-1]  # layers≥1 spec: every stage's compute shape
-        self._padding = _Layer0Padding(lgnn, self.prop_width)
+        self._padding = _Layer0Padding(lgnn, self.prop_node, self.prop_arc, node_label_dim)
         self._cache = {}
 
     # -- variables -------------------------------------------------------------
@@ -178,15 +212,21 @@ class PipelineLGNN:
         return {"params": {"gnns": out_p}, "state": {"gnns": out_s}}
 
     # -- device-local tick compute ---------------------------------------------
-    def _augment(self, batch: GraphBatch, prop: jax.Array, is_stage0) -> GraphBatch:
+    def _augment(self, batch: GraphBatch, prop: dict, is_stage0) -> GraphBatch:
         """Layer input: [prop | t=0 labels] with grown label dims
         (update_graph, LGNN.py:175-214); stage 0 sees zeros in the prop slot
-        (inert under its zero-padded kernels)."""
-        prop = jnp.where(is_stage0, 0.0, prop)
-        nodes = jnp.concatenate([prop, batch.nodes], axis=1)
-        dims = tuple(int(d) + self.prop_width for d in batch.dim_node_label)
-        # node features changed → drop the stale precomputed neighbor-label sum
-        return batch.replace(nodes=nodes, dim_node_label=dims, agg_node_labels=None)
+        (inert under its zero-padded kernels).  ``prop`` carries node-row and
+        arc-row parts (arc focus propagates the output onto the arc labels)."""
+        prop = jax.tree_util.tree_map(lambda p: jnp.where(is_stage0, 0.0, p), prop)
+        changes = {}
+        if self.prop_node:
+            changes["nodes"] = jnp.concatenate([prop["node"], batch.nodes], axis=1)
+            changes["dim_node_label"] = tuple(int(d) + self.prop_node for d in batch.dim_node_label)
+            changes["agg_node_labels"] = None
+        if self.prop_arc:
+            changes["arc_label"] = jnp.concatenate([prop["arc"], batch.arc_label], axis=1)
+            changes["agg_arc_labels"] = None
+        return batch.replace(**changes)
 
     def _layer_tick(self, vars_local, batch, prop_in, is_stage0, rng_loop, rng_out, training):
         lgnn, proto = self.lgnn, self.proto
@@ -196,13 +236,19 @@ class PipelineLGNN:
             vars_local, state, cur, training=training, rng=rng_out
         )
         out_loss = cur.readout(out) if lgnn._is_graph else out
-        # next stage's prop features (update_graph concat order: state first)
-        pieces = []
+        # next stage's prop features (update_graph concat order: state first;
+        # arc focus sends the masked output to the ARC rows)
+        node_pieces, arc_pieces = [], []
         if lgnn.get_state:
-            pieces.append(state)
+            node_pieces.append(state)
         if lgnn.get_output:
-            pieces.append(jnp.where(row_mask[:, None], out, 0.0))
-        prop_out = jnp.concatenate(pieces, axis=1)
+            scattered = jnp.where(row_mask[:, None], out, 0.0)
+            (arc_pieces if lgnn._is_arc else node_pieces).append(scattered)
+        n_nodes, n_arcs = batch.nodes.shape[0], batch.arc_label.shape[0]
+        prop_out = {
+            "node": jnp.concatenate(node_pieces, axis=1) if node_pieces else jnp.zeros((n_nodes, 0), floatx()),
+            "arc": jnp.concatenate(arc_pieces, axis=1) if arc_pieces else jnp.zeros((n_arcs, 0), floatx()),
+        }
         return k, out_loss, prop_out, {"net_state": bn_state, "net_output": bn_out}
 
     def _layer_reg(self, params) -> jax.Array:
@@ -231,6 +277,7 @@ class PipelineLGNN:
             my_rngs = rngs[0]  # (M, 2, key)
             s = jax.lax.axis_index(axis)
             n_nodes = batches.nodes.shape[1]
+            n_arcs = batches.arc_label.shape[1]
 
             def objective(p):
                 def tick(carry, t):
@@ -255,12 +302,18 @@ class PipelineLGNN:
                     k_sum = k_sum + act * k
                     bn = jax.tree_util.tree_map(lambda a, b: jnp.where(active, a, b), new_bn, bn)
                     # hand my output to the next stage for the next tick
-                    prop_next = jax.lax.ppermute(
-                        jnp.where(active, prop_out, jnp.zeros_like(prop_out)), axis, perm
+                    prop_next = jax.tree_util.tree_map(
+                        lambda p: jax.lax.ppermute(
+                            jnp.where(active, p, jnp.zeros_like(p)), axis, perm
+                        ),
+                        prop_out,
                     )
                     return (prop_next, loss_sum, k_sum, bn), None
 
-                prop0 = jnp.zeros((n_nodes, self.prop_width), floatx())
+                prop0 = {
+                    "node": jnp.zeros((n_nodes, self.prop_node), floatx()),
+                    "arc": jnp.zeros((n_arcs, self.prop_arc), floatx()),
+                }
                 (_, loss_sum, k_sum, bn_final), _ = jax.lax.scan(
                     tick,
                     (prop0, jnp.zeros((), floatx()), jnp.zeros((), floatx()), mstate),

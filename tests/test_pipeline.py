@@ -29,6 +29,10 @@ def graphs_batch(seed=0, n_graphs=12, dn=3, da=2, T=2, focus="g", dense_blocks=F
         if focus == "g":
             t = np.zeros((1, T))
             t[0, rng.integers(T)] = 1
+        elif focus == "a":
+            g_tmp = GraphObject(nodes=nodes, arcs=arcs, targets=np.ones((1, 1)), focus="g")
+            arcs = g_tmp.arcs
+            t = rng.normal(size=(arcs.shape[0], T))
         else:
             t = rng.normal(size=(n, T))
         graphs.append(GraphObject(nodes=nodes, arcs=arcs, targets=t, focus=focus, aggregation_mode="average"))
@@ -38,7 +42,9 @@ def graphs_batch(seed=0, n_graphs=12, dn=3, da=2, T=2, focus="g", dense_blocks=F
 
 
 def build_lgnn(layers=4, dn=3, da=2, T=2, focus="g", bn=True, get_state=True, get_output=True):
-    cls = GNNgraphBased if focus == "g" else GNNnodeBased
+    from gnnkeras_tpu.models.gnn import GNNarcBased
+
+    cls = {"g": GNNgraphBased, "n": GNNnodeBased, "a": GNNarcBased}[focus]
     gnns = []
     for i in range(layers):
         inp_s, layers_s = get_inout_dims("state", dn, da, T, focus, DS,
@@ -88,7 +94,10 @@ class TestPipelineStackUnstack:
              "state": lgnn.variables["state"]["gnns"][0]},
             batch, training=True, rng=rng_loop)
 
-        prop0 = jnp.zeros((batch.num_nodes, pp.prop_width))
+        prop0 = {
+            "node": jnp.zeros((batch.num_nodes, pp.prop_node)),
+            "arc": jnp.zeros((batch.arc_label.shape[0], pp.prop_arc)),
+        }
         cur = pp._augment(batch, prop0, True)
         k, state, _ = pp.proto.unfold(vars0_pad, cur, training=True, rng=rng_loop)
         assert float(k) == float(k_ref)
@@ -196,6 +205,41 @@ class TestPipelineStep:
         opt_state = jax.vmap(lgnn2.optimizer.init)(svp)
         _, _, _, logs2 = pp.train_step(svp, svs, opt_state, [batch], rng)
         assert float(logs2["loss"]) == pytest.approx(loss1, rel=1e-5)
+
+    def test_arc_focus_pipeline(self, mesh4):
+        """Arc-focused stacks: the propagated output rides the ARC labels
+        (update_graph, LGNN.py:211) — exact M=1 step parity incl. params."""
+        from gnnkeras_tpu.training.trainer import _get_train_step
+
+        batch = graphs_batch(seed=9, focus="a")
+        rng = jax.random.PRNGKey(23)
+
+        def fresh():
+            lgnn = build_lgnn(layers=4, focus="a")
+            lgnn.compile(optimizer="sgd:0.1", loss="mse", training_mode="parallel")
+            lgnn.build(seed=7)
+            return lgnn
+
+        lgnn1 = fresh()
+        lgnn1._opt_state = lgnn1.optimizer.init(lgnn1.variables["params"])
+        step1 = _get_train_step(lgnn1)
+        params1, _, _, logs1 = step1(
+            lgnn1.variables["params"], lgnn1.variables["state"], lgnn1._opt_state, batch, rng
+        )
+        loss1 = float(logs1["loss_sum"]) / float(logs1["count"])
+
+        lgnn2 = fresh()
+        pp = PipelineLGNN(lgnn2, mesh4, node_label_dim=3)
+        stacked = pp.stack_variables()
+        svp, svs = stacked["params"], stacked["state"]
+        opt_state = jax.vmap(lgnn2.optimizer.init)(svp)
+        svp, svs, _, logs2 = pp.train_step(svp, svs, opt_state, [batch], rng)
+        assert float(logs2["loss"]) == pytest.approx(loss1, rel=1e-5)
+        full2 = pp.unstack_variables({"params": svp, "state": svs})
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params1), jax.tree_util.tree_leaves(full2["params"])
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
 class TestPipelineAvgStGrads:
