@@ -56,13 +56,24 @@ def make_multihost_mesh(
     virtual-CPU simulation) it reshapes the flat device list, which preserves
     the same program and collective structure."""
     if jax.process_count() > 1:
-        from jax.experimental import mesh_utils
+        n_slices = len({getattr(d, "slice_index", 0) for d in jax.devices()})
+        if n_slices == n_hosts:
+            # multi-slice TPU: group by slice so the outer axis rides DCN
+            from jax.experimental import mesh_utils
 
-        devices = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(1, devices_per_host),
-            dcn_mesh_shape=(n_hosts, 1),
-        )
-        return Mesh(devices.reshape(n_hosts, devices_per_host), (dcn_axis, ici_axis))
+            devices = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(1, devices_per_host),
+                dcn_mesh_shape=(n_hosts, 1),
+            )
+            return Mesh(devices.reshape(n_hosts, devices_per_host), (dcn_axis, ici_axis))
+        # single slice spanning hosts (or CPU simulation): one mesh row per
+        # process — the outer axis maps to the inter-process transport
+        devices = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        if len(devices) != n_hosts * devices_per_host:
+            raise ValueError(
+                f"need {n_hosts * devices_per_host} devices, have {len(devices)}"
+            )
+        return Mesh(np.array(devices).reshape(n_hosts, devices_per_host), (dcn_axis, ici_axis))
     devices = np.array(jax.devices()[: n_hosts * devices_per_host])
     if devices.size < n_hosts * devices_per_host:
         raise ValueError(

@@ -1,0 +1,146 @@
+"""Two-PROCESS multi-host simulation of the hybrid data(DCN) x graph(ICI) step.
+
+The single-process ``TestMultiHost`` run shapes the mesh like a 2-host slice
+but all collectives stay in one runtime.  This script runs the REAL
+multi-process path: two OS processes, each owning 4 CPU devices, bootstrapped
+through ``jax.distributed`` (Gloo transport standing in for DCN), building the
+mesh via ``make_multihost_mesh``'s ``create_hybrid_device_mesh`` branch — the
+exact code a real 2-host TPU slice runs (parallel/multihost.py:46-72).  The
+per-step loss must match the single-process simulation bit-for-bit (same
+seeds, same program), which the test suite asserts
+(tests/test_parallel.py TestMultiHostProcess).
+
+Usage:
+  python scripts/multihost_sim.py --launch            # spawn both workers
+  python scripts/multihost_sim.py --process-id 0|1    # one worker (internal)
+
+No reference counterpart: the reference is single-process eager TF
+(SURVEY.md §2 "Parallelism statement").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+DEVICES_PER_HOST = 4
+N_HOSTS = 2
+STEPS = 3
+
+
+def build_problem():
+    """Deterministic model + 2 partitioned graphs (one per data shard)."""
+    import numpy as np
+
+    from gnnkeras_tpu.graph.graph import GraphObject
+    from gnnkeras_tpu.models.gnn import GNNnodeBased
+    from gnnkeras_tpu.models.mlp import MLP, get_inout_dims
+    from gnnkeras_tpu.parallel.hybrid import stack_partitioned
+    from gnnkeras_tpu.parallel.partition import partition_graph
+
+    def one_graph(seed):
+        r = np.random.default_rng(seed)
+        n = 32
+        src = np.repeat(np.arange(n), 2)
+        dst = (src + np.tile([1, 2], n)) % n
+        arcs = np.concatenate([np.stack([src, dst], 1), r.normal(size=(len(src), 2))], axis=1)
+        return GraphObject(
+            nodes=r.normal(size=(n, 3)), arcs=arcs, targets=r.normal(size=(n, 2)),
+            focus="n", aggregation_mode="average",
+        )
+
+    inp_s, layers_s = get_inout_dims("state", 3, 2, 2, "n", 0)
+    inp_o, layers_o = get_inout_dims("output", 3, 2, 2, "n", 0)
+    gnn = GNNnodeBased(
+        MLP(input_dim=inp_s[0], layers=layers_s, activations="tanh",
+            kernel_initializer="lecun_normal", bias_initializer="lecun_normal"),
+        MLP(input_dim=inp_o[0], layers=layers_o, activations="linear",
+            kernel_initializer="glorot_normal", bias_initializer="zeros"),
+        0, 6, 0.01,
+    )
+    gnn.compile(optimizer="sgd:0.1", loss="mse")
+    gnn.build(seed=1)
+    gnn._opt_state = gnn.optimizer.init(gnn.variables["params"])
+
+    pgs = [partition_graph(one_graph(s), DEVICES_PER_HOST) for s in range(N_HOSTS)]
+    return gnn, stack_partitioned(pgs)
+
+
+def run_steps(mesh, steps: int = STEPS):
+    """``steps`` hybrid train steps; returns (losses, |params| checksum)."""
+    import numpy as np
+
+    from gnnkeras_tpu.parallel.hybrid import make_hybrid_train_step
+    from gnnkeras_tpu.parallel.partition import PartitionedGNN
+
+    gnn, stacked = build_problem()
+    pgnn = PartitionedGNN(gnn, mesh)
+    step = make_hybrid_train_step(pgnn, mesh)
+    params, mstate, opt = gnn.variables["params"], gnn.variables["state"], gnn._opt_state
+    losses = []
+    for i in range(steps):
+        params, mstate, opt, logs = step(params, mstate, opt, stacked, jax.random.PRNGKey(i))
+        losses.append(float(np.asarray(logs["loss"].addressable_data(0))))
+    checksum = float(
+        sum(float(np.abs(np.asarray(x.addressable_data(0))).sum())
+            for x in jax.tree_util.tree_leaves(params))
+    )
+    return losses, checksum
+
+
+def worker(process_id: int, port: int) -> None:
+    jax.config.update("jax_num_cpu_devices", DEVICES_PER_HOST)
+    from gnnkeras_tpu.parallel.multihost import initialize_multihost, make_multihost_mesh
+
+    initialize_multihost(f"localhost:{port}", N_HOSTS, process_id)
+    assert jax.process_count() == N_HOSTS
+    assert jax.local_device_count() == DEVICES_PER_HOST
+    mesh = make_multihost_mesh(N_HOSTS, DEVICES_PER_HOST)
+    losses, checksum = run_steps(mesh)
+    print(json.dumps({"process": process_id, "losses": losses, "checksum": checksum}), flush=True)
+
+
+def launch(port: int):
+    """Spawn both workers; returns their parsed JSON reports."""
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--process-id", str(i), "--port", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+        )
+        for i in range(N_HOSTS)
+    ]
+    reports = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        if p.returncode != 0:
+            raise RuntimeError(f"worker failed rc={p.returncode}:\n{err[-3000:]}")
+        line = [l for l in out.splitlines() if l.startswith("{")][-1]
+        reports.append(json.loads(line))
+    return reports
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--port", type=int, default=12473)
+    ap.add_argument("--launch", action="store_true")
+    args = ap.parse_args()
+    if args.process_id is not None:
+        worker(args.process_id, args.port)
+        return
+    reports = launch(args.port)
+    print(json.dumps(reports, indent=2))
+    assert reports[0]["losses"] == reports[1]["losses"], "processes disagree"
+    print("2-process multi-host simulation: losses agree across processes")
+
+
+if __name__ == "__main__":
+    main()

@@ -552,6 +552,33 @@ class TestMultiHost:
         assert 0.0 < eff <= 1.0
 
 
+class TestMultiHostProcess:
+    """REAL multi-process path: two OS processes (4 CPU devices each) joined
+    through jax.distributed (Gloo standing in for DCN) must reproduce the
+    single-process 2x4 hybrid-step losses (scripts/multihost_sim.py)."""
+
+    def test_two_process_run_matches_single_process(self):
+        import os
+        import subprocess
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+        try:
+            import multihost_sim
+        finally:
+            sys.path.pop(0)
+
+        from gnnkeras_tpu.parallel.multihost import make_multihost_mesh
+
+        ref_losses, ref_checksum = multihost_sim.run_steps(make_multihost_mesh(2, 4))
+
+        port = 21000 + os.getpid() % 2000
+        reports = multihost_sim.launch(port)
+        for rep in reports:
+            np.testing.assert_allclose(rep["losses"], ref_losses, rtol=1e-6)
+            np.testing.assert_allclose(rep["checksum"], ref_checksum, rtol=1e-6)
+
+
 class TestPartitionedBcsr:
     """dense_blocks=True: the partitioned convergence loop aggregates on the
     BCSR/MXU einsum path (local + halo block operators) and must equal both
