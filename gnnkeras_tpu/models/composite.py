@@ -144,18 +144,22 @@ class CompositeGNNnodeBased(GNNnodeBased):
 
         if training:
             def step(carry, rngs_t):
-                k, state, state_old, bn_states = carry
-                run = unconverged(state, state_old, batch.node_mask, self.state_threshold)
+                # predicate refreshed from the just-computed operands, as in
+                # models/gnn.py step_body — no second full-state carry
+                k, state, running, bn_states = carry
                 new_state, new_bns = transition(state, bn_states, rngs_t)
-                state_next = jnp.where(run, new_state, state)
-                state_old_next = jnp.where(run, state, state_old)
-                bn_next = _select_tree(run, new_bns, bn_states)
-                return (k + run.astype(floatx()), state_next, state_old_next, bn_next), None
+                changed = unconverged(new_state, state, batch.node_mask, self.state_threshold)
+                state_next = jnp.where(running, new_state, state)
+                bn_next = _select_tree(running, new_bns, bn_states)
+                running_next = jnp.logical_and(running, changed)
+                return (k + running.astype(floatx()), state_next, running_next, bn_next), None
 
-            step = jax.checkpoint(step)
+            if self.remat:
+                step = jax.checkpoint(step)
+            running0 = unconverged(state0, state_old0, batch.node_mask, self.state_threshold)
             (k, state, _, bn_final), _ = jax.lax.scan(
                 step,
-                (jnp.zeros((), floatx()), state0, state_old0, bn0),
+                (jnp.zeros((), floatx()), state0, running0, bn0),
                 step_rngs,
                 length=self.max_iteration,
             )

@@ -578,27 +578,31 @@ class PartitionedGNN:
         peel = gnn.state_vect_dim == 0 and pg.agg_node_labels is not None and gnn.max_iteration >= 1
 
         def step_body(carry, step_rng, agg_states=None):
-            k, state, state_old, bn_state = carry
-            run = local_unconverged(state, state_old)
+            # predicate refreshed from the just-computed operands, as in
+            # models/gnn.py step_body — no second full-state carry
+            k, state, running, bn_state = carry
             new_state, new_bn = transition(state, bn_state, step_rng, agg_states)
+            changed = local_unconverged(new_state, state)
             return (
-                k + run.astype(floatx()),
-                jnp.where(run, new_state, state),
-                jnp.where(run, state, state_old),
-                jax.tree_util.tree_map(lambda a, b: jnp.where(run, a, b), new_bn, bn_state),
+                k + running.astype(floatx()),
+                jnp.where(running, new_state, state),
+                jnp.logical_and(running, changed),
+                jax.tree_util.tree_map(lambda a, b: jnp.where(running, a, b), new_bn, bn_state),
             )
 
         if training:
-            carry = (jnp.zeros((), floatx()), state0, state_old0, bn0)
+            maybe_remat = jax.checkpoint if gnn.remat else (lambda f: f)
+            running0 = local_unconverged(state0, state_old0)
+            carry = (jnp.zeros((), floatx()), state0, running0, bn0)
             rest, length = step_rngs, gnn.max_iteration
             if peel:
-                peeled = jax.checkpoint(
+                peeled = maybe_remat(
                     lambda c, r: step_body(c, r, agg_states=pg.agg_node_labels)
                 )
                 carry = peeled(carry, step_rngs[0])
                 rest, length = step_rngs[1:], gnn.max_iteration - 1
 
-            step = jax.checkpoint(lambda c, r: (step_body(c, r), None))
+            step = maybe_remat(lambda c, r: (step_body(c, r), None))
             (k, state, _, bn_final), _ = jax.lax.scan(step, carry, rest, length=length)
         else:
             def cond_fn(carry):

@@ -325,28 +325,32 @@ class TensorParallelGNN:
             )
 
         def step_body(carry, step_rng, aggregated_states=None):
-            k, state, state_old, bn_state = carry
-            run = unconverged(state, state_old, batch.node_mask, gnn.state_threshold)
+            # predicate refreshed from the just-computed operands, as in
+            # models/gnn.py step_body — no second full-state carry
+            k, state, running, bn_state = carry
             new_state, new_bn = transition(state, bn_state, step_rng, aggregated_states)
+            changed = unconverged(new_state, state, batch.node_mask, gnn.state_threshold)
             return (
-                k + run.astype(floatx()),
-                jnp.where(run, new_state, state),
-                jnp.where(run, state, state_old),
-                jax.tree_util.tree_map(lambda a, b: jnp.where(run, a, b), new_bn, bn_state),
+                k + running.astype(floatx()),
+                jnp.where(running, new_state, state),
+                jnp.logical_and(running, changed),
+                jax.tree_util.tree_map(lambda a, b: jnp.where(running, a, b), new_bn, bn_state),
             )
 
-        carry = (jnp.zeros((), floatx()), state0, state_old0, bn0)
+        maybe_remat = jax.checkpoint if gnn.remat else (lambda f: f)
+        running0 = unconverged(state0, state_old0, batch.node_mask, gnn.state_threshold)
+        carry = (jnp.zeros((), floatx()), state0, running0, bn0)
         rest, length = step_rngs, gnn.max_iteration
         # iteration-0 peel (models/gnn.py): at dim_state==0 the first
         # neighbor-state sum IS the precomputed label sum
         if gnn.state_vect_dim == 0 and batch.agg_node_labels is not None and gnn.max_iteration >= 1:
-            peeled = jax.checkpoint(
+            peeled = maybe_remat(
                 lambda c, r: step_body(c, r, aggregated_states=batch.agg_node_labels)
             )
             carry = peeled(carry, step_rngs[0])
             rest, length = step_rngs[1:], gnn.max_iteration - 1
 
-        step = jax.checkpoint(lambda c, r: (step_body(c, r), None))
+        step = maybe_remat(lambda c, r: (step_body(c, r), None))
         (k, state, _, bn_final), _ = jax.lax.scan(step, carry, rest, length=length)
 
         # replicated readout (reference apply_filters + net_output)
