@@ -53,20 +53,20 @@ def arcnode_weights(
     elif aggregation_mode == "normalized":
         w *= 1.0 / n_arcs
     elif aggregation_mode == "average":
-        _, inv, counts = np.unique(dst, return_inverse=True, return_counts=True)
-        w /= counts[inv]
+        if n_arcs:
+            counts = np.bincount(dst)  # integer indegrees — same values as
+            w /= counts[dst]  # the reference's per-unique-dst count
     elif aggregation_mode == "composite_average":
         if type_mask is None:
             raise ValueError("'composite_average' requires a type_mask")
         src = arcs[:, 0].astype(np.int64)
         for t in type_mask.T:
-            if not np.any(t):
-                continue
-            sel = np.isin(src, np.flatnonzero(t))
+            sel = t[src] if n_arcs else np.zeros(0, dtype=bool)
             if not np.any(sel):
                 continue
-            _, inv, counts = np.unique(dst[sel], return_inverse=True, return_counts=True)
-            w[sel] /= counts[inv]
+            sel_dst = dst[sel]
+            counts = np.bincount(sel_dst)
+            w[sel] /= counts[sel_dst]
     else:
         raise ValueError(f"Unknown aggregation mode: {aggregation_mode!r}")
     return w.astype(floatx())
@@ -94,13 +94,20 @@ class GraphObject:
         sample_weight=1,
         NodeGraph=None,
         aggregation_mode: str = "sum",
+        arcs_canonical: bool = False,
     ):
         self.dtype = floatx()
         self.focus = str(focus)
 
         self.nodes = np.asarray(nodes).astype(self.dtype)
         # dedup + lexicographic sort, as the reference does (graph_class.py:47).
-        self.arcs = np.unique(np.asarray(arcs), axis=0).astype(self.dtype)
+        # ``arcs_canonical=True`` skips the O(A log A) re-sort when the caller
+        # guarantees the rows are already unique and sorted (e.g. they came
+        # from another GraphObject unchanged — the serial-bake rebuild path).
+        if arcs_canonical:
+            self.arcs = np.array(arcs, dtype=self.dtype)
+        else:
+            self.arcs = np.unique(np.asarray(arcs), axis=0).astype(self.dtype)
         self.targets = np.atleast_2d(np.asarray(targets)).astype(self.dtype)
         self.sample_weight = (np.asarray(sample_weight) * np.ones(self.targets.shape[0])).astype(self.dtype)
 
@@ -147,7 +154,18 @@ class GraphObject:
 
     def _nodegraph_from_coo(self, NodeGraph):
         """Accept a scipy coo_matrix / (data,(row,col)) NodeGraph of shape
-        (N, G) and convert to (graph_of_node, weight)."""
+        (N, G) — or directly a ``(graph_of_node, weight)`` array pair (the
+        internal representation; no scipy round-trip)."""
+        if (
+            isinstance(NodeGraph, tuple)
+            and len(NodeGraph) == 2
+            and isinstance(NodeGraph[1], np.ndarray)
+            and NodeGraph[1].ndim == 1
+        ):
+            return (
+                np.asarray(NodeGraph[0], dtype=np.int64).copy(),
+                np.asarray(NodeGraph[1], dtype=self.dtype).copy(),
+            )
         try:
             ng = NodeGraph.tocoo()
         except AttributeError:

@@ -164,19 +164,22 @@ class CompositeGNNnodeBased(GNNnodeBased):
                 length=self.max_iteration,
             )
         else:
+            # carried ``changed`` flag instead of a second full-state copy,
+            # as in models/gnn.py's inference loop
             def cond_fn(carry):
-                k, state, state_old, _ = carry
-                c1 = unconverged(state, state_old, batch.node_mask, self.state_threshold)
-                return jnp.logical_and(c1, k < self.max_iteration)
+                k, state, changed, _ = carry
+                return jnp.logical_and(changed, k < self.max_iteration)
 
             def body_fn(carry):
-                k, state, state_old, bn_states = carry
+                k, state, changed, bn_states = carry
                 idx = jnp.minimum(k.astype(jnp.int32), self.max_iteration - 1)
                 new_state, new_bns = transition(state, bn_states, step_rngs[idx])
-                return (k + 1.0, new_state, state, new_bns)
+                changed = unconverged(new_state, state, batch.node_mask, self.state_threshold)
+                return (k + 1.0, new_state, changed, new_bns)
 
+            changed0 = unconverged(state0, state_old0, batch.node_mask, self.state_threshold)
             k, state, _, bn_final = jax.lax.while_loop(
-                cond_fn, body_fn, (jnp.zeros((), floatx()), state0, state_old0, bn0)
+                cond_fn, body_fn, (jnp.zeros((), floatx()), state0, changed0, bn0)
             )
 
         return k, state, bn_final

@@ -225,29 +225,31 @@ class GNNnodeBased(GraphModel):
             step = maybe_remat(lambda c, r: (step_body(c, r), None))
             (k, state, _, bn_final), _ = jax.lax.scan(step, carry, rest, length=length)
         else:
+            # the carried ``changed`` flag equals the reference's condition on
+            # (state_t, state_{t-1}) — computed in the body from the operands
+            # already in registers, so no second full-state carry
             def cond_fn(carry):
-                k, state, state_old, _ = carry
-                c1 = unconverged(state, state_old, batch.node_mask, self.state_threshold)
-                return jnp.logical_and(c1, k < self.max_iteration)
+                k, state, changed, _ = carry
+                return jnp.logical_and(changed, k < self.max_iteration)
 
-            def body_fn(carry):
-                k, state, state_old, bn_state = carry
+            def body_fn(carry, aggregated_states=None):
+                k, state, changed, bn_state = carry
                 idx = jnp.minimum(k.astype(jnp.int32), self.max_iteration - 1)
-                new_state, new_bn = transition(state, bn_state, step_rngs[idx])
-                return (k + 1.0, new_state, state, new_bn)
+                new_state, new_bn = transition(state, bn_state, step_rngs[idx], aggregated_states)
+                changed = unconverged(new_state, state, batch.node_mask, self.state_threshold)
+                return (k + 1.0, new_state, changed, new_bn)
 
-            carry = (jnp.zeros((), floatx()), state0, state_old0, bn0)
+            changed0 = unconverged(state0, state_old0, batch.node_mask, self.state_threshold)
+            carry = (jnp.zeros((), floatx()), state0, changed0, bn0)
             if self.state_vect_dim == 0 and batch.agg_node_labels is not None and self.max_iteration >= 1:
                 # same iteration-0 peel as the training path: the first
                 # neighbor-state sum IS the precomputed label sum
-                def peeled(c):
-                    k, state, state_old, bn_state = c
-                    new_state, new_bn = transition(
-                        state, bn_state, step_rngs[0], aggregated_states=batch.agg_node_labels
-                    )
-                    return (k + 1.0, new_state, state, new_bn)
-
-                carry = jax.lax.cond(cond_fn(carry), peeled, lambda c: c, carry)
+                carry = jax.lax.cond(
+                    cond_fn(carry),
+                    lambda c: body_fn(c, aggregated_states=batch.agg_node_labels),
+                    lambda c: c,
+                    carry,
+                )
 
             k, state, _, bn_final = jax.lax.while_loop(cond_fn, body_fn, carry)
 

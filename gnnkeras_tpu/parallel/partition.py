@@ -605,26 +605,28 @@ class PartitionedGNN:
             step = maybe_remat(lambda c, r: (step_body(c, r), None))
             (k, state, _, bn_final), _ = jax.lax.scan(step, carry, rest, length=length)
         else:
+            # carried ``changed`` flag instead of a second full-state copy,
+            # as in models/gnn.py's inference loop (mesh-global predicate)
             def cond_fn(carry):
-                k, state, state_old, _ = carry
-                return jnp.logical_and(local_unconverged(state, state_old), k < gnn.max_iteration)
+                k, state, changed, _ = carry
+                return jnp.logical_and(changed, k < gnn.max_iteration)
 
-            def body_fn(carry):
-                k, state, state_old, bn_state = carry
+            def body_fn(carry, agg_states=None):
+                k, state, changed, bn_state = carry
                 idx = jnp.minimum(k.astype(jnp.int32), gnn.max_iteration - 1)
-                new_state, new_bn = transition(state, bn_state, step_rngs[idx])
-                return (k + 1.0, new_state, state, new_bn)
+                new_state, new_bn = transition(state, bn_state, step_rngs[idx], agg_states)
+                changed = local_unconverged(new_state, state)
+                return (k + 1.0, new_state, changed, new_bn)
 
-            carry = (jnp.zeros((), floatx()), state0, state_old0, bn0)
+            changed0 = local_unconverged(state0, state_old0)
+            carry = (jnp.zeros((), floatx()), state0, changed0, bn0)
             if peel:
-                def peeled_fn(c):
-                    k, state, state_old, bn_state = c
-                    new_state, new_bn = transition(
-                        state, bn_state, step_rngs[0], agg_states=pg.agg_node_labels
-                    )
-                    return (k + 1.0, new_state, state, new_bn)
-
-                carry = jax.lax.cond(cond_fn(carry), peeled_fn, lambda c: c, carry)
+                carry = jax.lax.cond(
+                    cond_fn(carry),
+                    lambda c: body_fn(c, agg_states=pg.agg_node_labels),
+                    lambda c: c,
+                    carry,
+                )
 
             k, state, _, bn_final = jax.lax.while_loop(cond_fn, body_fn, carry)
 

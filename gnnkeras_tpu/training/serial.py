@@ -52,8 +52,12 @@ def _update_host_graph(model, g0: GraphObject, state: np.ndarray, out: np.ndarra
         set_mask=g0.set_mask.copy(),
         output_mask=g0.output_mask.copy(),
         sample_weight=g0.sample_weight.copy(),
-        NodeGraph=g0.NodeGraph_coo() if g0.focus == "g" else None,
+        NodeGraph=(g0.graph_of_node, g0.nodegraph_weight) if g0.focus == "g" else None,
         aggregation_mode=g0.aggregation_mode,
+        # node/graph focus leaves the (already canonical) t=0 arc rows
+        # untouched — skip the constructor's re-sort; arc focus inserts
+        # label columns that can reorder rows, so it re-canonicalizes
+        arcs_canonical=not arcplus,
     )
     if isinstance(g0, CompositeGraphObject):
         return CompositeGraphObject(
