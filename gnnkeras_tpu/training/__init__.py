@@ -1,6 +1,14 @@
 from gnnkeras_tpu.training import losses, metrics, optimizers
 from gnnkeras_tpu.training.trainer import fit, evaluate, predict
-from gnnkeras_tpu.training.callbacks import Callback, EarlyStopping, History
+from gnnkeras_tpu.training.callbacks import (
+    Callback,
+    CSVLogger,
+    EarlyStopping,
+    History,
+    LambdaCallback,
+    ReduceLROnPlateau,
+    TerminateOnNaN,
+)
 
 __all__ = [
     "losses",
@@ -10,6 +18,10 @@ __all__ = [
     "evaluate",
     "predict",
     "Callback",
+    "CSVLogger",
     "EarlyStopping",
     "History",
+    "LambdaCallback",
+    "ReduceLROnPlateau",
+    "TerminateOnNaN",
 ]

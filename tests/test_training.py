@@ -270,3 +270,53 @@ class TestPredictRowOrder:
                                        batch_size=1, shuffle=False)
             want = predict(gnn, seq1)
             np.testing.assert_allclose(got[i], want[0], rtol=1e-5, atol=1e-6)
+
+
+class TestNewCallbacks:
+    def test_inject_hyperparams_update_matches_plain(self):
+        """The hyperparams-carrying named optimizers must apply the exact
+        same updates as the plain optax transformations."""
+        import optax
+        from gnnkeras_tpu.training.optimizers import get_optimizer
+
+        params = {"w": jnp.asarray([1.0, -2.0, 3.0])}
+        grads = {"w": jnp.asarray([0.5, 0.1, -0.3])}
+        for spec, plain in [("sgd:0.1", optax.sgd(0.1)),
+                            ("adam:0.01", optax.adam(0.01, b1=0.9, b2=0.999, eps=1e-7))]:
+            opt = get_optimizer(spec)
+            s1, s2 = opt.init(params), plain.init(params)
+            u1, _ = opt.update(grads, s1, params)
+            u2, _ = plain.update(grads, s2, params)
+            np.testing.assert_allclose(np.asarray(u1["w"]), np.asarray(u2["w"]), rtol=1e-7)
+
+    def test_reduce_lr_on_plateau(self):
+        from gnnkeras_tpu.training.callbacks import ReduceLROnPlateau
+        from gnnkeras_tpu.training.optimizers import current_learning_rate
+
+        gnn = toy_model()
+        seq = MultiGraphSequencer(toy_graphs(), "g", "average", batch_size=6, shuffle=False, pad_multiple=16)
+        rl = ReduceLROnPlateau(monitor="loss", factor=0.5, patience=0, min_delta=10.0)
+        gnn.fit(seq, epochs=4, callbacks=[rl], verbose=0)
+        # impossible improvement -> halved every epoch after the first
+        lr = current_learning_rate(gnn._opt_state)
+        assert lr == pytest.approx(0.01 * 0.5 ** 3, rel=1e-6)
+
+    def test_terminate_on_nan(self):
+        from gnnkeras_tpu.training.callbacks import TerminateOnNaN
+
+        cb = TerminateOnNaN()
+        cb.on_epoch_end(0, {"loss": 1.0})
+        assert not cb.stop_training
+        cb.on_epoch_end(1, {"loss": float("nan")})
+        assert cb.stop_training
+
+    def test_csv_logger(self, tmp_path):
+        from gnnkeras_tpu.training.callbacks import CSVLogger
+
+        gnn = toy_model()
+        seq = MultiGraphSequencer(toy_graphs(), "g", "average", batch_size=6, shuffle=False, pad_multiple=16)
+        path = tmp_path / "log.csv"
+        gnn.fit(seq, epochs=3, callbacks=[CSVLogger(str(path))], verbose=0)
+        lines = path.read_text().strip().splitlines()
+        assert lines[0].startswith("epoch,")
+        assert len(lines) == 4  # header + 3 epochs
