@@ -184,6 +184,11 @@ class CompositeGNNnodeBased(GNNnodeBased):
 
         return k, state, bn_final
 
+    def fold_transition(self, variables: dict):
+        """Composite state nets are per-type MLP lists — the single-Dense
+        whole-unfold fusion (models/gnn.py fold_transition) does not apply."""
+        return None
+
     def readout_input(self, state: jax.Array, batch: GraphBatch) -> Tuple[jax.Array, jax.Array]:
         """Composite node readout: converged state only — the reference's
         composite apply_filters ignores node labels even when dim_state==0

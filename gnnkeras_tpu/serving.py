@@ -71,6 +71,7 @@ class Predictor:
         fused: object = False,
         tiles_per_step: int = 8,
         dims: Optional[Tuple[int, int, int]] = None,
+        warmup_graph: Optional[GraphObject] = None,
     ) -> None:
         model.build()
         self.model = model
@@ -83,6 +84,7 @@ class Predictor:
         self.max_graphs = int(max_graphs)
         self.tiles_per_step = int(tiles_per_step)
         self.dims = dims  # (dim_node_label, dim_arc_label, dim_target), for warmup
+        self._warmup_graph = warmup_graph  # a real sample (composite models need one)
 
         self._folded = None
         if fused:
@@ -116,13 +118,16 @@ class Predictor:
         agg = kwargs.pop("aggregation_mode", sample_graphs[0].aggregation_mode)
         g0 = sample_graphs[0]
         dims = kwargs.pop("dims", (g0.nodes.shape[1], g0.DIM_ARC_LABEL, g0.DIM_TARGET))
+        kwargs.setdefault("warmup_graph", g0)
         return cls(model, n, a, batch_size, aggregation_mode=agg, dims=dims, **kwargs)
 
     # -- request batching ------------------------------------------------------
     def _merge(self, graphs: Sequence[GraphObject]) -> GraphObject:
         if len(graphs) > self.max_graphs:
             raise ValueError(f"request has {len(graphs)} graphs > template {self.max_graphs}")
-        merged = GraphObject.merge(list(graphs), focus=self.focus, aggregation_mode=self.aggregation_mode)
+        # dispatch on the request's class: CompositeGraphObject.merge keeps
+        # the type_mask the composite models' forward requires
+        merged = type(graphs[0]).merge(list(graphs), focus=self.focus, aggregation_mode=self.aggregation_mode)
         n, a = merged.nodes.shape[0], merged.arcs.shape[0]
         if n > self.max_nodes or a > self.max_arcs:
             raise ValueError(
@@ -138,9 +143,11 @@ class Predictor:
             model = self.model
             lgnn = _is_lgnn(model)
 
-            def step(params, mstate, batch):
+            def step(params, mstate, batch, rng):
                 variables = {"params": params, "state": mstate}
-                _, _, out, out_mask, _ = model.forward(variables, batch, training=False, rng=None)
+                # dim_state>0 draws the random state init from ``rng``
+                # (reference GNN.py:257); dim_state==0 ignores it
+                _, _, out, out_mask, _ = model.forward(variables, batch, training=False, rng=rng)
                 if lgnn:  # LGNN forward returns per-layer outputs; serve the last
                     out = out[-1]
                 return out, out_mask
@@ -189,7 +196,10 @@ class Predictor:
             merged, pad_nodes=self.max_nodes, pad_arcs=self.max_arcs,
             pad_graphs=self.max_graphs if self.focus == "g" else None,
         )
-        out, _ = self._xla()(self.model.variables["params"], self.model.variables["state"], batch)
+        out, _ = self._xla()(
+            self.model.variables["params"], self.model.variables["state"], batch,
+            self.model.next_rng(),
+        )
         return np.asarray(out)[batch.host_pred_rows]
 
     def _predict_fused(self, merged: GraphObject) -> Optional[np.ndarray]:
@@ -220,7 +230,15 @@ class Predictor:
     # -- warmup ------------------------------------------------------------------
     def warmup(self) -> "Predictor":
         """Trigger compilation for the template shape with a synthetic
-        request, so the first real request pays no compile latency."""
+        request, so the first real request pays no compile latency.  A
+        ``warmup_graph`` (auto-set by ``for_graphs``) is used when
+        available — composite models need one for the type layout."""
+        if self._warmup_graph is not None:
+            self([self._warmup_graph])
+            return self
+        named = self.model.gnns[0] if hasattr(self.model, "gnns") else self.model
+        if isinstance(named.net_state, list):
+            raise ValueError("composite Predictor warmup needs warmup_graph (use for_graphs)")
         if self.dims is None:
             raise ValueError("warmup needs dims=(dn, da, dt) — or build via for_graphs")
         dn, da, dt = self.dims

@@ -174,3 +174,84 @@ class TestPredictorLGNN:
                                   batch_size=len(graphs), shuffle=False)
         want = predict(lgnn, seq)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+class TestPredictorComposite:
+    def test_composite_matches_trainer_predict(self):
+        from gnnkeras_tpu.data.sequencers import CompositeMultiGraphSequencer
+        from gnnkeras_tpu.graph.graph import CompositeGraphObject
+        from gnnkeras_tpu.models.composite import CompositeGNNgraphBased
+
+        rng = np.random.default_rng(4)
+        DS = 5
+        graphs = []
+        for _ in range(10):
+            n = int(rng.integers(5, 20))
+            nodes = np.eye(6, dtype=np.float32)[rng.integers(0, 6, n)]
+            a = max(int(rng.integers(n, 2 * n)), 1)
+            src, dst = rng.integers(0, n, a), rng.integers(0, n, a)
+            keep = src != dst
+            if not np.any(keep):
+                src, dst, keep = np.array([0]), np.array([1 % n]), np.array([True])
+            arcs = np.concatenate(
+                [np.stack([src[keep], dst[keep]], 1),
+                 np.eye(2, dtype=np.float32)[rng.integers(0, 2, int(keep.sum()))]], 1)
+            tm = np.zeros((n, 2), dtype=bool)
+            tm[np.arange(n), rng.integers(0, 2, n)] = True
+            graphs.append(CompositeGraphObject(
+                nodes=nodes, arcs=arcs, targets=np.eye(2, dtype=np.float32)[rng.integers(0, 2, 1)],
+                type_mask=tm, dim_node_label=(6, 6), focus="g", aggregation_mode="average"))
+
+        state_mlps = []
+        for _ in range(2):
+            inp = 6 + DS + DS + (6 + 6 + 2)  # labels_t | state | agg_state | agg_component
+            state_mlps.append(MLP(input_dim=(inp,), layers=[DS], activations="tanh",
+                                  kernel_initializer="lecun_normal", bias_initializer="lecun_normal"))
+        out_mlp = MLP(input_dim=(DS,), layers=[2], activations="softmax",
+                      kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+        cgnn = CompositeGNNgraphBased(state_mlps, out_mlp, DS, 3, 0.0)
+        cgnn.build(seed=3)
+
+        import jax as _jax
+
+        p = Predictor.for_graphs(cgnn, graphs, batch_size=len(graphs)).warmup()
+        # dim_state>0 draws the random state init from the model's rng chain;
+        # pin it and reproduce the endpoint's exact batch + key to verify the
+        # contract (padding changes the draw, so a sequencer path would see
+        # different random init values)
+        key = _jax.random.PRNGKey(77)
+        cgnn._rng = key
+        expected_key = _jax.random.split(key)[1]  # next_rng's sub-key
+        got = p(graphs)
+
+        merged = CompositeGraphObject.merge(
+            [g.copy() for g in graphs], focus="g", aggregation_mode="average")
+        batch = from_graph_object(
+            merged, pad_nodes=p.max_nodes, pad_arcs=p.max_arcs, pad_graphs=p.max_graphs)
+        _, _, out, _, _ = cgnn.forward(cgnn.variables, batch, training=False, rng=expected_key)
+        want = np.asarray(out)[batch.host_pred_rows]
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_composite_fused_auto_falls_back(self):
+        """fused='auto' on a composite model must silently use the XLA path
+        (fold_transition returns None), not crash."""
+        from gnnkeras_tpu.graph.graph import CompositeGraphObject
+        from gnnkeras_tpu.models.composite import CompositeGNNgraphBased
+
+        DS = 4
+        st = [MLP(input_dim=(3 + DS + DS + (3 + 1),), layers=[DS], activations="tanh",
+                  kernel_initializer="lecun_normal", bias_initializer="lecun_normal")]
+        ot = MLP(input_dim=(DS,), layers=[2], activations="softmax",
+                 kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+        cgnn = CompositeGNNgraphBased(st, ot, DS, 2, 0.0)
+        cgnn.build(seed=1)
+        nodes = np.eye(3, dtype=np.float32)[[0, 1, 2, 0]]
+        arcs = np.array([[0, 1, 1.0], [1, 2, 1.0], [2, 3, 1.0]], dtype=np.float32)
+        g = CompositeGraphObject(nodes=nodes, arcs=arcs, targets=np.array([[1.0, 0.0]]),
+                                 type_mask=np.ones((4, 1), dtype=bool), dim_node_label=(3,),
+                                 focus="g", aggregation_mode="average")
+        p = Predictor.for_graphs(cgnn, [g], batch_size=1, fused="auto")
+        assert not p.fused
+        out = p([g])
+        assert out.shape == (1, 2)
