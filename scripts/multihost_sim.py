@@ -95,7 +95,39 @@ def run_steps(mesh, steps: int = STEPS):
     return losses, checksum
 
 
-def worker(process_id: int, port: int) -> None:
+def time_steps(mesh, data_shards: int, n_timed: int = 10):
+    """Median wall-clock of one hybrid step (after warmup) on ``mesh``; the
+    scaling-efficiency measurement path of the BASELINE 1→2-host target —
+    per-host work is constant (one partitioned graph per data shard), so
+    perfect scaling is equal step time at 1 and N hosts."""
+    import time
+
+    import numpy as np
+
+    from gnnkeras_tpu.parallel.hybrid import make_hybrid_train_step
+    from gnnkeras_tpu.parallel.partition import PartitionedGNN
+
+    gnn, stacked1 = build_problem()
+    if data_shards == 1:
+        stacked = jax.tree_util.tree_map(lambda x: x[:1], stacked1)
+    else:
+        stacked = stacked1
+    pgnn = PartitionedGNN(gnn, mesh)
+    step = make_hybrid_train_step(pgnn, mesh)
+    params, mstate, opt = gnn.variables["params"], gnn.variables["state"], gnn._opt_state
+    for i in range(3):  # warmup + compile
+        params, mstate, opt, logs = step(params, mstate, opt, stacked, jax.random.PRNGKey(i))
+    _ = np.asarray(logs["loss"].addressable_data(0))
+    times = []
+    for i in range(n_timed):
+        t0 = time.perf_counter()
+        params, mstate, opt, logs = step(params, mstate, opt, stacked, jax.random.PRNGKey(i))
+        _ = np.asarray(logs["loss"].addressable_data(0))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def worker(process_id: int, port: int, bench: bool = False) -> None:
     jax.config.update("jax_num_cpu_devices", DEVICES_PER_HOST)
     from gnnkeras_tpu.parallel.multihost import initialize_multihost, make_multihost_mesh
 
@@ -103,16 +135,22 @@ def worker(process_id: int, port: int) -> None:
     assert jax.process_count() == N_HOSTS
     assert jax.local_device_count() == DEVICES_PER_HOST
     mesh = make_multihost_mesh(N_HOSTS, DEVICES_PER_HOST)
+    if bench:
+        dt = time_steps(mesh, data_shards=N_HOSTS)
+        print(json.dumps({"process": process_id, "step_seconds": dt}), flush=True)
+        return
     losses, checksum = run_steps(mesh)
     print(json.dumps({"process": process_id, "losses": losses, "checksum": checksum}), flush=True)
 
 
-def launch(port: int):
+def launch(port: int, bench: bool = False):
     """Spawn both workers; returns their parsed JSON reports."""
     env = dict(os.environ)
+    extra = ["--bench"] if bench else []
     procs = [
         subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--process-id", str(i), "--port", str(port)],
+            [sys.executable, os.path.abspath(__file__), "--process-id", str(i), "--port", str(port)]
+            + extra,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
         )
         for i in range(N_HOSTS)
@@ -132,9 +170,28 @@ def main():
     ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--port", type=int, default=12473)
     ap.add_argument("--launch", action="store_true")
+    ap.add_argument("--bench", action="store_true",
+                    help="measure 1-host vs 2-host step time (weak scaling: "
+                         "one partitioned graph per host) and report the "
+                         "scaling efficiency — the BASELINE 1→2-host metric's "
+                         "measurement path, here over CPU+Gloo")
     args = ap.parse_args()
     if args.process_id is not None:
-        worker(args.process_id, args.port)
+        worker(args.process_id, args.port, bench=args.bench)
+        return
+    if args.bench:
+        jax.config.update("jax_num_cpu_devices", DEVICES_PER_HOST)
+        from gnnkeras_tpu.parallel.multihost import make_multihost_mesh
+
+        t1 = time_steps(make_multihost_mesh(1, DEVICES_PER_HOST), data_shards=1)
+        reports = launch(args.port, bench=True)
+        t2 = max(r["step_seconds"] for r in reports)
+        print(json.dumps({
+            "one_host_step_s": t1,
+            "two_host_step_s": t2,
+            "weak_scaling_efficiency": t1 / t2,
+            "transport": "gloo-cpu (stands in for DCN)",
+        }, indent=2))
         return
     reports = launch(args.port)
     print(json.dumps(reports, indent=2))
