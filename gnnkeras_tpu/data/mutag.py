@@ -71,10 +71,11 @@ def load_mutag(
     gid_dst = np.searchsorted(bounds_arr, edges_ids[:, 1], side="left") - 1
     # an edge belongs to graph k iff BOTH endpoints fall in k's range — same
     # predicate as the reference's per-range AND; cross-graph rows (none in
-    # valid TU data) belong to no graph there too.
+    # valid TU data) match no range and are dropped, as the reference does.
     gid = np.where(gid_src == gid_dst, gid_src, len(bounds))
     order = np.argsort(gid, kind="stable")  # per-graph global sort order kept
     counts = np.bincount(gid[order], minlength=len(bounds))[: len(bounds) - 1]
+    order = order[: int(counts.sum())]  # invalid rows sorted last — drop them
     splits = np.cumsum(counts)[:-1]
     edges = []
     for rows in np.split(order, splits):

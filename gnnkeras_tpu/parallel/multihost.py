@@ -57,6 +57,13 @@ def make_multihost_mesh(
     the same program and collective structure."""
     if jax.process_count() > 1:
         n_slices = len({getattr(d, "slice_index", 0) for d in jax.devices()})
+        if n_slices > 1 and n_slices != n_hosts:
+            raise ValueError(
+                f"{n_slices} device slices but n_hosts={n_hosts}: the outer "
+                "mesh axis must align with the DCN (slice) boundary — pass "
+                "n_hosts == number of slices (devices_per_host = devices per "
+                "slice), or build the mesh explicitly"
+            )
         if n_slices == n_hosts:
             # multi-slice TPU: group by slice so the outer axis rides DCN
             from jax.experimental import mesh_utils

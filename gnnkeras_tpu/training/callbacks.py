@@ -139,11 +139,16 @@ class ReduceLROnPlateau(Callback):
         opt_state = getattr(self.model, "_opt_state", None)
         lr = current_learning_rate(opt_state) if opt_state is not None else None
         if lr is None:
-            raise RuntimeError(
-                "ReduceLROnPlateau needs an optimizer whose state carries the "
-                "learning rate — compile with a named optimizer ('adam:0.01') "
-                "or wrap yours in optax.inject_hyperparams"
-            )
+            # a raw optax transformation carries no tunable rate — warn once
+            # and keep training rather than destroying the run mid-fit
+            if not getattr(self, "_warned", False):
+                self._warned = True
+                print(
+                    "ReduceLROnPlateau: optimizer state carries no learning "
+                    "rate (compile with a named optimizer like 'adam:0.01' or "
+                    "wrap yours in optax.inject_hyperparams) — no-op"
+                )
+            return
         new_lr = max(lr * self.factor, self.min_lr)
         if new_lr < lr:
             set_learning_rate(opt_state, new_lr)
@@ -164,7 +169,11 @@ class TerminateOnNaN(Callback):
 
 
 class CSVLogger(Callback):
-    """Append per-epoch logs to a CSV file (Keras equivalent)."""
+    """Append per-epoch logs to a CSV file (Keras equivalent).
+
+    As in Keras, ``append=False`` (the default) truncates the file at
+    ``on_train_begin`` — pass ``append=True`` with ``fit(resume=True)`` so a
+    resumed run keeps the earlier epochs' rows."""
 
     def __init__(self, filename: str, append: bool = False):
         self.filename = filename
@@ -173,14 +182,20 @@ class CSVLogger(Callback):
         self._keys = None
 
     def on_train_begin(self, logs=None):
+        import os
+
+        write_header = not (self.append and os.path.exists(self.filename)
+                            and os.path.getsize(self.filename) > 0)
         self._file = open(self.filename, "a" if self.append else "w")
         self._keys = None
+        self._write_header = write_header
 
     def on_epoch_end(self, epoch, logs=None):
         logs = logs or {}
         if self._keys is None:
             self._keys = sorted(logs)
-            self._file.write(",".join(["epoch"] + self._keys) + "\n")
+            if self._write_header:
+                self._file.write(",".join(["epoch"] + self._keys) + "\n")
         row = [str(epoch)] + [f"{float(logs.get(k, float('nan'))):.6g}" for k in self._keys]
         self._file.write(",".join(row) + "\n")
         self._file.flush()

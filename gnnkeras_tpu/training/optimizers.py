@@ -51,8 +51,10 @@ def rmsprop(learning_rate: float = 0.001):
     return _named("rmsprop", learning_rate)
 
 
-def adamw(learning_rate: float = 0.001):
-    return _named("adamw", learning_rate)
+def adamw(learning_rate: float = 0.001, weight_decay: float = 0.004):
+    return optax.inject_hyperparams(_adamw)(
+        learning_rate=learning_rate, weight_decay=weight_decay
+    )
 
 
 def get_optimizer(spec):

@@ -4,8 +4,10 @@ The single-process ``TestMultiHost`` run shapes the mesh like a 2-host slice
 but all collectives stay in one runtime.  This script runs the REAL
 multi-process path: two OS processes, each owning 4 CPU devices, bootstrapped
 through ``jax.distributed`` (Gloo transport standing in for DCN), building the
-mesh via ``make_multihost_mesh``'s ``create_hybrid_device_mesh`` branch — the
-exact code a real 2-host TPU slice runs (parallel/multihost.py:46-72).  The
+mesh via ``make_multihost_mesh``'s process-grouped branch (CPU devices carry
+no slice topology; a real multi-SLICE TPU run takes the
+``create_hybrid_device_mesh`` branch instead, parallel/multihost.py:46-80).
+The
 per-step loss must match the single-process simulation bit-for-bit (same
 seeds, same program), which the test suite asserts
 (tests/test_parallel.py TestMultiHostProcess).
@@ -25,6 +27,10 @@ import json
 import os
 import subprocess
 import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 import jax
 
@@ -146,6 +152,10 @@ def worker(process_id: int, port: int, bench: bool = False) -> None:
 def launch(port: int, bench: bool = False):
     """Spawn both workers; returns their parsed JSON reports."""
     env = dict(os.environ)
+    # the workers run this file as a script (sys.path[0] = scripts/), so the
+    # package root must ride PYTHONPATH explicitly
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     extra = ["--bench"] if bench else []
     procs = [
         subprocess.Popen(
@@ -156,12 +166,17 @@ def launch(port: int, bench: bool = False):
         for i in range(N_HOSTS)
     ]
     reports = []
-    for p in procs:
-        out, err = p.communicate(timeout=600)
-        if p.returncode != 0:
-            raise RuntimeError(f"worker failed rc={p.returncode}:\n{err[-3000:]}")
-        line = [l for l in out.splitlines() if l.startswith("{")][-1]
-        reports.append(json.loads(line))
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            if p.returncode != 0:
+                raise RuntimeError(f"worker failed rc={p.returncode}:\n{err[-3000:]}")
+            line = [l for l in out.splitlines() if l.startswith("{")][-1]
+            reports.append(json.loads(line))
+    finally:
+        for p in procs:  # a dead peer must not leave the other blocked on the rendezvous
+            if p.poll() is None:
+                p.kill()
     return reports
 
 

@@ -470,6 +470,10 @@ class TestTULoader:
                 s, d = rng.integers(lo, hi + 1, size=2)
                 if s != d:
                     edges.append((s, d))
+        # a few CROSS-graph rows: the reference's per-range AND assigns them
+        # to no graph (dropped); the fast path must agree
+        for k in range(3):
+            edges.append((int(bounds[k]) + 1, int(bounds[k + 1]) + 1))
         # TU dumps carry no duplicate edge rows (the global np.unique at
         # load_MUTAG.py:29 only re-sorts); keep the synthetic data that way
         # or the label rows would desynchronize from the sorted edge rows.
