@@ -32,6 +32,7 @@ from gnnkeras_tpu.data.sequencers import (
     CompositeMultiGraphSequencer,
     CompositeSingleGraphSequencer,
 )
+from gnnkeras_tpu.data.prefetch import PrefetchSequencer
 from gnnkeras_tpu.data.transductive import (
     TransductiveMultiGraphSequencer,
     TransductiveSingleGraphSequencer,
@@ -61,6 +62,7 @@ __all__ = [
     "SingleGraphSequencer",
     "CompositeMultiGraphSequencer",
     "CompositeSingleGraphSequencer",
+    "PrefetchSequencer",
     "TransductiveMultiGraphSequencer",
     "TransductiveSingleGraphSequencer",
     "GNNConfig",

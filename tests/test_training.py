@@ -320,3 +320,30 @@ class TestNewCallbacks:
         lines = path.read_text().strip().splitlines()
         assert lines[0].startswith("epoch,")
         assert len(lines) == 4  # header + 3 epochs
+
+
+class TestPrefetch:
+    def test_prefetched_training_is_identical(self):
+        from gnnkeras_tpu.data.prefetch import PrefetchSequencer
+
+        def run(wrap):
+            gnn = toy_model()
+            seq = MultiGraphSequencer(toy_graphs(), "g", "average",
+                                      batch_size=6, shuffle=False, pad_multiple=16)
+            if wrap:
+                seq = PrefetchSequencer(seq, lookahead=2)
+            h = gnn.fit(seq, epochs=3, verbose=0, seed=5)
+            return h.history["loss"]
+
+        np.testing.assert_allclose(run(False), run(True), rtol=0, atol=0)
+
+    def test_cache_cleared_on_epoch_end(self):
+        from gnnkeras_tpu.data.prefetch import PrefetchSequencer
+
+        seq = MultiGraphSequencer(toy_graphs(), "g", "average",
+                                  batch_size=3, shuffle=True, pad_multiple=16)
+        p = PrefetchSequencer(seq, lookahead=4)
+        _ = p[0]
+        assert len(p._cache) > 0
+        p.on_epoch_end()
+        assert len(p._cache) == 0
