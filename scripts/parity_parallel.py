@@ -1,5 +1,5 @@
-"""End-to-end PARALLEL-mode LGNN training parity: this framework vs the
-reference.
+"""End-to-end PARALLEL/RESIDUAL-mode LGNN training parity: this framework
+vs the reference.
 
 Completes the training-parity matrix (single GNN: parity_mutag.py, exact;
 serial stack: parity_serial.py): a 3-layer graph-focused LGNN trained in the
@@ -20,6 +20,10 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # exact f32 parity (TPU matmuls default bf16-ish)
+
 import numpy as np
 
 
@@ -27,6 +31,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=5)
     parser.add_argument("--layers", type=int, default=3)
+    parser.add_argument("--mode", choices=["parallel", "residual"], default="parallel",
+                        help="parallel: mean of per-layer losses (LGNN.py:262); "
+                             "residual: loss of the mean of layer outputs (LGNN.py:263)")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--skip-reference", action="store_true")
     args = parser.parse_args()
@@ -63,7 +70,7 @@ def main():
         gnns.append(GNNgraphBased(st, ot, 0, 5, 0.01))
     ours = LGNN(gnns, get_state=True, get_output=True)
     ours.compile(optimizer="adam:0.01", loss="categorical_crossentropy",
-                 metrics=["accuracy"], training_mode="parallel")
+                 metrics=["accuracy"], training_mode=args.mode)
     ours.build(seed=7)
     init_vars = jax.tree_util.tree_map(lambda x: np.asarray(x), ours.variables)
 
@@ -160,7 +167,10 @@ def main():
             inputs = ref_lgnn.process_inputs(x)
             with tf.GradientTape() as tape:
                 k, state, outs = ref_lgnn.Loop(*inputs, training=True)
-                loss = tf.reduce_mean([tf.reduce_mean(cce(y, o)) for o in outs])
+                if args.mode == "parallel":  # LGNN.py:262
+                    loss = tf.reduce_mean([tf.reduce_mean(cce(y, o)) for o in outs])
+                else:  # residual: loss of the MEAN output (LGNN.py:263)
+                    loss = tf.reduce_mean(cce(y, tf.reduce_mean(tf.stack(outs, 0), 0)))
             # LGNN.py:270-278: per-layer variable lists, flattened
             wS = [g.net_state.trainable_variables for g in ref_lgnn.gnns]
             wO = [g.net_output.trainable_variables for g in ref_lgnn.gnns]
