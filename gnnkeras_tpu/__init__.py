@@ -38,7 +38,7 @@ from gnnkeras_tpu.data.transductive import (
     TransductiveSingleGraphSequencer,
 )
 from gnnkeras_tpu.config import GNNConfig
-from gnnkeras_tpu.data.mutag import load_mutag
+from gnnkeras_tpu.data.mutag import load_mutag, load_tu_dataset
 from gnnkeras_tpu.serving import Predictor, export_forward, load_exported
 
 __version__ = "0.2.0"
@@ -67,6 +67,7 @@ __all__ = [
     "TransductiveSingleGraphSequencer",
     "GNNConfig",
     "load_mutag",
+    "load_tu_dataset",
     "Predictor",
     "export_forward",
     "load_exported",

@@ -1,4 +1,4 @@
-"""Mutagenicity (TU 'MUTAG' dump) loader.
+"""TU-format dataset loaders (Mutagenicity + any standard TU dump).
 
 Parses the 6-file TU format into per-graph GraphObjects /
 CompositeGraphObjects with one-hot node(14)/edge(3)/target(2) labels,
@@ -22,8 +22,12 @@ _DEFAULT_PATHS = ("MUTAG_raw", "/root/reference/MUTAG_raw")
 
 
 def _one_hot(labels: np.ndarray) -> np.ndarray:
-    out = np.zeros((labels.shape[0], len(np.unique(labels))), dtype=int)
-    out[np.arange(out.shape[0]), labels] = 1
+    # rank-based, so 1-based or signed TU label alphabets (PROTEINS, -1/1
+    # dumps, ...) one-hot correctly; identical to the reference's direct
+    # indexing for 0-based contiguous labels like Mutagenicity's
+    unique, inv = np.unique(labels, return_inverse=True)
+    out = np.zeros((labels.shape[0], len(unique)), dtype=int)
+    out[np.arange(out.shape[0]), inv] = 1
     return out
 
 
@@ -41,14 +45,35 @@ def load_mutag(
                 break
         else:
             raise FileNotFoundError(f"MUTAG_raw not found in {_DEFAULT_PATHS}")
+    return load_tu_dataset(path, prefix="Mutagenicity", composite=composite, verbose=verbose)
+
+
+def load_tu_dataset(
+    path: str,
+    prefix: str,
+    composite: bool = False,
+    verbose: bool = False,
+) -> List[GraphObject]:
+    """Load ANY TU-format graph-classification dump (the standard 5/6-file
+    layout used by Mutagenicity, ENZYMES, PROTEINS, NCI1, ...:
+    ``{prefix}_edges.txt``, ``{prefix}_edge_labels.txt`` (optional),
+    ``{prefix}_node_labels.txt``, ``{prefix}_graph_indicator.txt``,
+    ``{prefix}_graph_labels.txt``) into graph-focused GraphObjects with
+    one-hot node/edge/target labels, following the reference loader's
+    procedure (load_MUTAG.py:1-60).  Datasets without edge labels get a
+    constant single-column edge feature."""
     if path[-1] != "/":
         path += "/"
 
-    edges_ids = np.loadtxt(path + "Mutagenicity_edges.txt", dtype=int, delimiter=",")
-    edges_labels = np.loadtxt(path + "Mutagenicity_edge_labels.txt", dtype=int)
-    node_labels = np.loadtxt(path + "Mutagenicity_node_labels.txt", dtype=int)
-    graph_of_node = np.loadtxt(path + "Mutagenicity_graph_indicator.txt", dtype=int)
-    graph_targets = np.loadtxt(path + "Mutagenicity_graph_labels.txt", dtype=int)
+    edges_ids = np.loadtxt(path + f"{prefix}_edges.txt", dtype=int, delimiter=",")
+    node_labels = np.loadtxt(path + f"{prefix}_node_labels.txt", dtype=int)
+    graph_of_node = np.loadtxt(path + f"{prefix}_graph_indicator.txt", dtype=int)
+    graph_targets = np.loadtxt(path + f"{prefix}_graph_labels.txt", dtype=int)
+    el_path = path + f"{prefix}_edge_labels.txt"
+    if os.path.exists(el_path):
+        edges_labels = np.loadtxt(el_path, dtype=int)
+    else:
+        edges_labels = np.zeros(edges_ids.shape[0], dtype=int)
 
     # per-graph node-index boundaries (graph_indicator is sorted).
     _, first = np.unique(graph_of_node, return_index=True)
@@ -107,7 +132,7 @@ def load_mutag(
         else:
             graphs.append(GraphObject(arcs=e, nodes=n, targets=t[np.newaxis, ...], focus="g"))
     if verbose:
-        print(f"Loaded {len(graphs)} Mutagenicity graphs from {path}")
+        print(f"Loaded {len(graphs)} {prefix} graphs from {path}")
     return graphs
 
 

@@ -505,3 +505,20 @@ class TestTULoader:
             ids = np.vectorize(remap.get)(ids) if ids.size else ids.reshape(0, 2)
             expected = np.unique(np.concatenate([ids, edge_oh[sel]], axis=1).astype(g.dtype), axis=0)
             assert np.array_equal(expected, g.arcs), k
+
+    def test_generic_tu_dataset(self, tmp_path):
+        """load_tu_dataset: optional edge labels, signed/1-based alphabets."""
+        from gnnkeras_tpu.data.mutag import load_tu_dataset
+
+        p = tmp_path / "TU2"
+        p.mkdir()
+        np.savetxt(p / "Toy_edges.txt", np.array([[1, 2], [2, 1], [3, 4], [4, 3]]), fmt="%d", delimiter=", ")
+        np.savetxt(p / "Toy_node_labels.txt", np.array([1, 2, 1, 3]), fmt="%d")
+        np.savetxt(p / "Toy_graph_indicator.txt", np.array([1, 1, 2, 2]), fmt="%d")
+        np.savetxt(p / "Toy_graph_labels.txt", np.array([-1, 1]), fmt="%d")
+        graphs = load_tu_dataset(str(p), "Toy")
+        assert len(graphs) == 2
+        assert graphs[0].nodes.shape == (2, 3)   # 3 distinct node labels
+        assert graphs[0].DIM_ARC_LABEL == 1      # constant edge feature
+        assert graphs[0].DIM_TARGET == 2         # {-1, 1}
+        np.testing.assert_array_equal(graphs[1].targets, [[0, 1]])
