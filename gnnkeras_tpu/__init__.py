@@ -39,7 +39,7 @@ from gnnkeras_tpu.data.transductive import (
 )
 from gnnkeras_tpu.config import GNNConfig
 from gnnkeras_tpu.data.mutag import load_mutag, load_tu_dataset
-from gnnkeras_tpu.serving import Predictor, export_forward, load_exported
+from gnnkeras_tpu.serving import MicroBatcher, Predictor, export_forward, load_exported
 
 __version__ = "0.2.0"
 
@@ -68,6 +68,7 @@ __all__ = [
     "GNNConfig",
     "load_mutag",
     "load_tu_dataset",
+    "MicroBatcher",
     "Predictor",
     "export_forward",
     "load_exported",

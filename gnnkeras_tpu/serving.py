@@ -324,3 +324,128 @@ def load_exported(path: str) -> ExportedForward:
     z = np.load(os.path.join(path, "params.npz"))
     params = [z[f"p{i}"] for i in range(meta["n_params"])]
     return ExportedForward(exported, params, meta)
+
+
+# -----------------------------------------------------------------------------
+# Request coalescing (micro-batching)
+# -----------------------------------------------------------------------------
+
+
+class MicroBatcher:
+    """Coalesces CONCURRENT requests in front of a :class:`Predictor`.
+
+    Production serving sends many small independent requests; dispatching each
+    as its own device launch wastes the accelerator (per-program dispatch
+    dominates at small sizes — see BASELINE.md serving-latency table).  A
+    background worker drains the request queue, merges up to ``max_graphs``
+    graphs (never splitting a request) or waits at most ``max_delay_ms`` after
+    the first queued request, and serves the whole micro-batch in ONE
+    compiled launch; each caller gets back exactly its own rows.
+
+    Thread-safe: call :meth:`submit` (returns a ``Future``) or ``__call__``
+    (blocks) from any number of client threads.  Requests that overflow the
+    predictor template individually still fail with their own exception
+    without poisoning the rest of the batch.
+    """
+
+    def __init__(self, predictor: Predictor, max_delay_ms: float = 2.0,
+                 max_graphs: Optional[int] = None):
+        import queue
+        import threading
+
+        self.predictor = predictor
+        self.max_delay = float(max_delay_ms) / 1e3
+        self.max_graphs = int(max_graphs or predictor.max_graphs)
+        self._queue: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self.launches = 0  # served micro-batches (telemetry / tests)
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # -- client side -----------------------------------------------------------
+    def submit(self, graphs):
+        """Enqueue a request (one GraphObject or a list); returns a Future
+        resolving to the per-entity output rows in the request's order."""
+        from concurrent.futures import Future
+
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
+        if isinstance(graphs, GraphObject):
+            graphs = [graphs]
+        fut: Future = Future()
+        self._queue.put((list(graphs), fut))
+        return fut
+
+    def __call__(self, graphs):
+        return self.submit(graphs).result()
+
+    def close(self) -> None:
+        self._closed = True
+        self._queue.put(None)
+        self._worker.join(timeout=10)
+
+    # -- worker side -----------------------------------------------------------
+    def _collect(self):
+        """One micro-batch: [(graphs, future), ...] within the size budget."""
+        import queue as _q
+        import time
+
+        item = self._queue.get()
+        if item is None:
+            return None
+        batch = [item]
+        total = len(item[0])
+        deadline = time.monotonic() + self.max_delay
+        while total < self.max_graphs:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                item = self._queue.get(timeout=timeout)
+            except _q.Empty:
+                break
+            if item is None:
+                self._queue.put(None)  # keep the shutdown signal
+                break
+            if total + len(item[0]) > self.max_graphs:
+                self._queue.put(item)  # doesn't fit — next micro-batch
+                break
+            batch.append(item)
+            total += len(item[0])
+        return batch
+
+    def _rows_per_request(self, batch):
+        focus = self.predictor.focus
+        counts = []
+        for graphs, _ in batch:
+            if focus == "g":
+                counts.append(sum(g.targets.shape[0] for g in graphs))
+            else:
+                counts.append(int(sum(
+                    np.logical_and(g.set_mask, g.output_mask).sum() for g in graphs
+                )))
+        return counts
+
+    def _run(self) -> None:
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            all_graphs = [g for graphs, _ in batch for g in graphs]
+            try:
+                out = self.predictor(all_graphs)
+                self.launches += 1
+                counts = self._rows_per_request(batch)
+                off = 0
+                for (graphs, fut), n in zip(batch, counts):
+                    fut.set_result(out[off: off + n])
+                    off += n
+            except Exception:
+                # one oversized/bad request must not poison the others:
+                # serve each request alone, failing only its own future
+                for graphs, fut in batch:
+                    try:
+                        fut.set_result(self.predictor(graphs))
+                        self.launches += 1
+                    except Exception as exc:  # noqa: BLE001
+                        fut.set_exception(exc)

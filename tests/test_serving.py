@@ -255,3 +255,43 @@ class TestPredictorComposite:
         assert not p.fused
         out = p([g])
         assert out.shape == (1, 2)
+
+
+class TestMicroBatcher:
+    def _predictor(self, graphs):
+        gnn = _gnn()
+        gnn.build(seed=3)
+        return Predictor.for_graphs(gnn, graphs, batch_size=len(graphs)), gnn
+
+    def test_coalesced_results_match_individual(self):
+        from gnnkeras_tpu.serving import MicroBatcher
+
+        graphs = _random_graphs(n_graphs=12, seed=21)
+        p, _ = self._predictor(graphs)
+        want = [p([g]) for g in graphs]
+
+        mb = MicroBatcher(p, max_delay_ms=100.0)
+        futs = [mb.submit(g) for g in graphs]
+        got = [f.result(timeout=60) for f in futs]
+        mb.close()
+        for w, g in zip(want, got):
+            np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+        # requests were coalesced into far fewer launches than requests
+        assert mb.launches < len(graphs)
+
+    def test_oversized_request_fails_alone(self):
+        from gnnkeras_tpu.serving import MicroBatcher
+
+        graphs = _random_graphs(n_graphs=6, seed=22)
+        p, _ = self._predictor(graphs[:3])  # small template
+        mb = MicroBatcher(p, max_delay_ms=50.0)
+        ok = mb.submit(graphs[0])
+        too_big = mb.submit(graphs)  # 6 graphs > template 3
+        ok2 = mb.submit(graphs[1])
+        r1 = ok.result(timeout=60)
+        r2 = ok2.result(timeout=60)
+        with pytest.raises(Exception):
+            too_big.result(timeout=60)
+        mb.close()
+        np.testing.assert_allclose(r1, p([graphs[0]]), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(r2, p([graphs[1]]), rtol=1e-5, atol=1e-6)
