@@ -82,20 +82,26 @@ class MultiGraphSequencer:
             for i in range(len(self))
         ]
         # monotonic sequencer-wide pads: one compiled step for all epochs.
-        compact = self.tile_pack and self.focus == "g"
+        # the compact readout engages only when node pads stay 128-aligned
+        # (from_graph_object requires N % 128 == 0) — otherwise keep the
+        # uniform _pad_graphs so batch shapes never vary.
+        compact = self.tile_pack and self.focus == "g" and self.pad_multiple % 128 == 0
         if self.tile_pack:
             from gnnkeras_tpu.graph.packing import packed_graph_slots, packed_node_positions
 
             needed = max(packed_node_positions(g.graph_of_node)[1] for g in merged)
             if compact:
                 # uniform compact-readout slot width (graph rows = tile·Gmax+rank)
-                g_max = max(
-                    packed_graph_slots(
+                # and span-slot count: both are STATIC batch metadata
+                g_max, n_span = 0, 1
+                for g in merged:
+                    slots = packed_graph_slots(
                         np.bincount(g.graph_of_node.astype(np.int64), minlength=g.num_graphs)
-                    )[3]
-                    for g in merged
-                )
+                    )
+                    g_max = max(g_max, slots[3])
+                    n_span = max(n_span, int(np.sum(slots[4])) + 1)
                 self._compact_gmax = max(getattr(self, "_compact_gmax", 0), g_max)
+                self._compact_nspan = max(getattr(self, "_compact_nspan", 0), n_span)
         else:
             needed = max(g.nodes.shape[0] for g in merged)
         self._pad_nodes = max(self._pad_nodes, _round_up(needed, self.pad_multiple))
@@ -109,9 +115,44 @@ class MultiGraphSequencer:
                 None if compact else self._pad_graphs,
                 agg_dtype=self.agg_dtype, tile_pack=self.tile_pack,
                 compact_gmax=self._compact_gmax if compact else None,
+                compact_nspan=self._compact_nspan if compact else None,
             )
             for g in merged
         ]
+        self._uniform_block_counts()
+
+    def _uniform_block_counts(self) -> None:
+        """BCSR block counts are data-dependent STATIC shapes; pad them to a
+        sequencer-wide (monotonic) maximum so every batch shares one pytree
+        structure — stacking for data parallelism and the compile-once step
+        both require it.  Mixed present/absent operators (the band-factor
+        fallback) degrade ALL batches to the consistent scatter path."""
+        from gnnkeras_tpu.ops.bcsr import pad_bcsr
+
+        def replace_keep_host(b, **kw):
+            # batch.replace rebuilds the dataclass; re-attach the host-only
+            # caller-order row index that predict/serving consume
+            rows = getattr(b, "host_pred_rows", None)
+            nb = b.replace(**kw)
+            if rows is not None:
+                object.__setattr__(nb, "host_pred_rows", rows)
+            return nb
+
+        for name, attr in (("bcsr", "_pad_blocks"), ("nodegraph_bcsr", "_pad_ng_blocks")):
+            ops = [getattr(b, name) for b in self.batches]
+            if any(op is None for op in ops):
+                if any(op is not None for op in ops):
+                    self.batches = [replace_keep_host(b, **{name: None}) for b in self.batches]
+                continue
+            need = max(int(op.blocks.shape[0]) for op in ops)
+            need = max(need, getattr(self, attr, 0))
+            setattr(self, attr, need)
+            if all(int(op.blocks.shape[0]) == need for op in ops):
+                continue  # already uniform — keep the original batch objects
+            self.batches = [
+                replace_keep_host(b, **{name: pad_bcsr(getattr(b, name), need)})
+                for b in self.batches
+            ]
 
     def __len__(self) -> int:
         return int(np.ceil(len(self.data) / self.batch_size))

@@ -267,6 +267,7 @@ def from_graph_object(
     agg_dtype: Optional[str] = None,
     tile_pack: bool = False,
     compact_gmax: Optional[int] = None,
+    compact_nspan: Optional[int] = None,
 ) -> GraphBatch:
     """Convert a (possibly merged) host graph into a padded device batch.
 
@@ -297,7 +298,7 @@ def from_graph_object(
     # compact tile-wise readout: graph rows become packing slots tile·Gmax+rank
     compact_info = None
     if (
-        tile_pack and dense_blocks and g.focus == "g" and n_graphs > 1 and n > 0
+        tile_pack and dense_blocks and g.focus == "g" and n_graphs >= 1 and n > 0
         and pad_graphs is None and N % 128 == 0
     ):
         from gnnkeras_tpu.graph.packing import packed_graph_slots
@@ -405,7 +406,11 @@ def from_graph_object(
                 g_of_n = g.graph_of_node.astype(np.int64)
                 sel[pos // 128, rank[g_of_n], pos % 128] = g.nodegraph_weight
                 span_ids = np.flatnonzero(spanning)
-                n_span_pad = len(span_ids) + 1
+                # sequencer/endpoint-uniform span slots: the spanning-graph
+                # count is STATIC metadata, so it must not vary per batch or
+                # every composition recompiles (and stack_batches rejects
+                # mixed treedefs)
+                n_span_pad = max(len(span_ids) + 1, int(compact_nspan or 0))
                 span_tile_sel = np.zeros(T_n, dtype=dtype)
                 span_group = np.full(T_n, n_span_pad - 1, np.int32)
                 span_rows = np.full(n_span_pad, G, np.int32)  # dummy → dropped

@@ -104,9 +104,11 @@ def load_graph_tensor(graph_npz_path: str, focus: str, verify: bool = True, **kw
         focus=focus,
     )
     if "type_mask" in data:
-        tm = data["type_mask"].astype(bool)
-        if tm.shape[0] != data["nodes"].shape[0]:  # stored transposed (T, N)
-            tm = tm.transpose()
+        # the GraphTensor form ALWAYS stores type_mask transposed (T, N):
+        # fromGraphObject transposes it in and fromGraphTensor back out
+        # (composite_graph_class.py:210,263) — so transpose unconditionally
+        # (a shape heuristic would misfire when T == N)
+        tm = data["type_mask"].astype(bool).transpose()
         g = CompositeGraphObject(
             type_mask=tm,
             dim_node_label=tuple(int(d) for d in np.ravel(data["dim_node_label"])),

@@ -152,3 +152,29 @@ def transpose_bcsr(m: BcsrMatrix) -> BcsrMatrix:
         n_dst_tiles=m.n_src_tiles,
         tile=m.tile,
     )
+
+
+def pad_bcsr(m: Optional[BcsrMatrix], n_blocks: int) -> Optional[BcsrMatrix]:
+    """Zero-pad the block list to a uniform static count.
+
+    Exact: all-zero blocks contribute nothing to the einsum + segment-sum.
+    The block count is data-dependent STATIC shape, so batches of one
+    sequencer must share it or stacking (data parallelism) and compile-once
+    break; padding targets the last destination tile to preserve the
+    sorted-by-dst layout."""
+    if m is None:
+        return None
+    B = int(m.blocks.shape[0])
+    if B >= n_blocks:
+        return m
+    extra = n_blocks - B
+    return dataclasses.replace(
+        m,
+        blocks=jnp.concatenate(
+            [m.blocks, jnp.zeros((extra,) + m.blocks.shape[1:], m.blocks.dtype)]
+        ),
+        src_tile=jnp.concatenate([m.src_tile, jnp.zeros(extra, m.src_tile.dtype)]),
+        dst_tile=jnp.concatenate(
+            [m.dst_tile, jnp.full(extra, m.n_dst_tiles - 1, m.dst_tile.dtype)]
+        ),
+    )

@@ -37,9 +37,16 @@ from gnnkeras_tpu.utils.dtypes import floatx
 
 
 def _check_same_program(mlps) -> None:
+    def _reg_key(r):
+        # named regularizers compare by value; callables by identity, except
+        # that DISTINCT callables are tolerated (separately constructed
+        # lambdas/partials repr to different addresses while being
+        # semantically identical — only the presence pattern must agree)
+        return r if isinstance(r, (str, type(None))) else "<callable>"
+
     progs = [
         [
-            (l[0],) + ((l[1], l[2], repr(l[5]), repr(l[6])) if l[0] == "dense" else ())
+            (l[0],) + ((l[1], l[2], _reg_key(l[5]), _reg_key(l[6])) if l[0] == "dense" else ())
             for l in m.program
         ]
         for m in mlps
@@ -173,6 +180,10 @@ class ExpertParallelCompositeGNN:
         per-type buffers materialized per device."""
         gnn, axis, proto = self.cgnn, self.axis, self.proto
         n = batch.num_nodes
+        # the composite forward's key chain (models/base + composite.unfold):
+        # rng splits into (loop, out) so the state init, per-step dropout AND
+        # the output head's dropout all see the wrapped model's exact keys
+        rng, rng_out = jax.random.split(rng)
         agg_component = gnn._aggregated_component(batch)
         t_local = self.types_pad // self.n_devices
 
@@ -197,13 +208,12 @@ class ExpertParallelCompositeGNN:
             local_inputs = jnp.concatenate(
                 [local_nodes, jnp.broadcast_to(tail[None], (t_local,) + tail.shape)], axis=2
             )
-            # per-expert rngs: the same split the single-device composite
-            # model draws (composite.py per-type rngs), sliced to this
-            # device's experts — distinct across devices, parity-preserving
+            # per-expert rngs: EXACTLY the single-device composite's split
+            # layout (composite.py: split(rng, n_steps*n_types) reshaped per
+            # step), sliced to this device's experts — dropout masks match
+            # the wrapped model bit-for-bit
             e = jax.lax.axis_index(axis)
-            rngs = jax.lax.dynamic_slice_in_dim(
-                jax.random.split(step_rng, self.types_pad), e * t_local, t_local, axis=0
-            )
+            rngs = jax.lax.dynamic_slice_in_dim(step_rng, e * t_local, t_local, axis=0)
             outs, new_bn = vapply(sparams, bn_states, local_inputs, local_masks, rngs)
             partial = jnp.sum(jnp.where(local_masks[:, :, None], outs, 0.0), axis=0)
             new_state = jax.lax.psum(partial, axis)
@@ -211,7 +221,13 @@ class ExpertParallelCompositeGNN:
 
         bn0 = sstate
         n_steps = max(gnn.max_iteration, 1)
-        step_rngs = jax.random.split(rng, n_steps)
+        # (n_steps, types_pad, key): real types use the composite model's own
+        # key layout; padded experts get inert zero keys (outputs masked)
+        n_types = len(gnn.net_state)
+        key_shape = jax.random.PRNGKey(0).shape
+        typed = jax.random.split(rng, n_steps * n_types).reshape((n_steps, n_types) + key_shape)
+        pad_keys = jnp.zeros((n_steps, self.types_pad - n_types) + key_shape, dtype=typed.dtype)
+        step_rngs = jnp.concatenate([typed, pad_keys], axis=1)
 
         def step_body(carry, step_rng, agg_states=None):
             k, state, state_old, bn_states = carry
@@ -239,7 +255,7 @@ class ExpertParallelCompositeGNN:
         out, out_mask, bn_out = gnn.apply_output(
             {"params": {"net_state": None, "net_output": out_params},
              "state": {"net_state": None, "net_output": out_state}},
-            state, batch, training=training, rng=None,
+            state, batch, training=training, rng=rng_out,
         )
         return k, state, out, out_mask, bn_final, bn_out
 

@@ -35,11 +35,15 @@ def initialize_multihost(
     """Bootstrap ``jax.distributed`` for a real multi-host run (no-op when
     already initialized or single-process).  Returns the process count."""
     if num_processes is not None and num_processes > 1:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        except RuntimeError as exc:  # the documented no-op on re-bootstrap
+            if "already initialized" not in str(exc):
+                raise
     return jax.process_count()
 
 

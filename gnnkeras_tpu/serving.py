@@ -160,10 +160,10 @@ class Predictor:
             from gnnkeras_tpu.ops.fused import FusedDiagOperator, fused_unfold
 
             model = self.model
-            w_state, w_agg, w_arc, bias, act = self._folded
+            act = self._folded[4]  # architecture-static; weights ride as args
             tps = self.tiles_per_step
 
-            def step(params, mstate, batch, blocks):
+            def step(params, mstate, batch, blocks, w_state, w_agg, w_arc, bias):
                 variables = {"params": params, "state": mstate}
                 op = FusedDiagOperator(blocks=blocks, tile=128)
                 const = batch.agg_arc_labels @ w_arc + bias
@@ -194,7 +194,9 @@ class Predictor:
     def _predict_xla(self, merged: GraphObject) -> np.ndarray:
         batch = from_graph_object(
             merged, pad_nodes=self.max_nodes, pad_arcs=self.max_arcs,
-            pad_graphs=self.max_graphs if self.focus == "g" else None,
+            # always the TEMPLATE graph count: per-request counts would vary
+            # the padded shapes and recompile the step per request size
+            pad_graphs=self.max_graphs,
         )
         out, _ = self._xla()(
             self.model.variables["params"], self.model.variables["state"], batch,
@@ -210,6 +212,11 @@ class Predictor:
                 merged, pad_nodes=self.max_nodes, pad_arcs=self.max_arcs,
                 pad_graphs=None,  # compact slot rows when tile-packing applies
                 tile_pack=True,
+                # template-uniform compact metadata: without these the slot
+                # width / span count (STATIC shapes) vary per request mix and
+                # every new composition pays a fresh XLA compile
+                compact_gmax=self.max_graphs,
+                compact_nspan=self.max_nodes // 128 + 1,
             )
         except ValueError:  # packing gaps overflow the template → XLA path
             return None
@@ -221,8 +228,12 @@ class Predictor:
         )
         if op is None:  # an edge crosses tiles → XLA fallback (same contract)
             return None
+        # re-fold per request so weight updates after construction are served
+        # (the XLA path reads live variables; this path must too)
+        w_state, w_agg, w_arc, bias, _ = self.model.fold_transition(self.model.variables)
         out, _ = self._fused()(
-            self.model.variables["params"], self.model.variables["state"], batch, op.blocks
+            self.model.variables["params"], self.model.variables["state"], batch, op.blocks,
+            w_state, w_agg, w_arc, bias,
         )
         # host_pred_rows undoes the tile-pack permutation (graph/batch.py)
         return np.asarray(out)[batch.host_pred_rows]

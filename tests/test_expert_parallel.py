@@ -211,3 +211,44 @@ class TestExpertParallelTraining:
         )
         for a, b in zip(jax.tree_util.tree_leaves(restacked), jax.tree_util.tree_leaves(sparams)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+class TestExpertDropoutParity:
+    def test_dropout_masks_match_wrapped_model(self):
+        """Training-mode forward with ACTIVE dropout must equal the wrapped
+        composite model bit-for-bit: the EP engine reproduces the composite's
+        exact rng chain (state init, per-step per-type keys, output head)."""
+        from gnnkeras_tpu.graph.batch import from_graph_object
+        from gnnkeras_tpu.graph.graph import CompositeGraphObject
+        from gnnkeras_tpu.models.composite import CompositeGNNnodeBased
+        from gnnkeras_tpu.models.mlp import MLP
+        from gnnkeras_tpu.parallel.expert import ExpertParallelCompositeGNN
+        from gnnkeras_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(3)
+        n, T, DS = 24, 2, 4
+        nodes = rng.normal(size=(n, 5)).astype(np.float32)
+        src, dst = rng.integers(0, n, 40), rng.integers(0, n, 40)
+        keep = src != dst
+        arcs = np.concatenate(
+            [np.stack([src[keep], dst[keep]], 1), rng.normal(size=(int(keep.sum()), 2))], 1)
+        tm = np.zeros((n, T), bool)
+        tm[np.arange(n), rng.integers(0, T, n)] = True
+        g = CompositeGraphObject(
+            nodes=nodes, arcs=arcs, targets=rng.normal(size=(n, 2)).astype(np.float32),
+            type_mask=tm, dim_node_label=(5, 5), focus="n", aggregation_mode="average")
+        batch = from_graph_object(g)
+
+        sts = [MLP(input_dim=(5 + DS + DS + (5 + 5 + 2),), layers=[DS], activations="tanh",
+                   kernel_initializer="lecun_normal", bias_initializer="lecun_normal",
+                   dropout_rate=0.3, dropout_pos=1) for _ in range(T)]
+        ot = MLP(input_dim=(DS,), layers=[2], activations="linear",
+                 kernel_initializer="glorot_normal", bias_initializer="zeros")
+        cgnn = CompositeGNNnodeBased(sts, ot, DS, 3, 0.0)
+        cgnn.build(seed=2)
+        k = jax.random.PRNGKey(9)
+        _, _, out_ref, _, _ = cgnn.forward(cgnn.variables, batch, training=True, rng=k)
+
+        ep = ExpertParallelCompositeGNN(cgnn, make_mesh(("expert",), devices=jax.devices()[:2]))
+        out_ep = ep.forward(batch, training=True, rng=k)[2]
+        np.testing.assert_allclose(np.asarray(out_ep), np.asarray(out_ref), rtol=1e-5, atol=1e-6)

@@ -522,3 +522,53 @@ class TestTULoader:
         assert graphs[0].DIM_ARC_LABEL == 1      # constant edge feature
         assert graphs[0].DIM_TARGET == 2         # {-1, 1}
         np.testing.assert_array_equal(graphs[1].targets, [[0, 1]])
+
+
+class TestCompactStaticShapes:
+    """Compact-readout metadata (slot width, span-slot count) is STATIC
+    pytree structure — it must be uniform across a sequencer's batches or
+    stacking/compile-once breaks (round-2 review finding)."""
+
+    def _graphs(self, sizes, seed=0):
+        rng = np.random.default_rng(seed)
+        out = []
+        for n in sizes:
+            arcs = np.stack([np.arange(n - 1), np.arange(1, n)], 1).astype(float)
+            arcs = np.concatenate([arcs, rng.normal(size=(n - 1, 2))], axis=1)
+            t = np.zeros((1, 2)); t[0, 0] = 1
+            out.append(GraphObject(nodes=rng.normal(size=(n, 3)), arcs=arcs, targets=t,
+                                   focus="g", aggregation_mode="average"))
+        return out
+
+    def test_mixed_span_batches_stack(self):
+        from gnnkeras_tpu.data.sequencers import MultiGraphSequencer
+        from gnnkeras_tpu.parallel.data_parallel import stack_batches
+
+        # batch 0 holds a 200-node (tile-spanning) graph, batch 1 only small
+        graphs = self._graphs([200, 10, 12, 9])
+        seq = MultiGraphSequencer(graphs, "g", "average", batch_size=2, shuffle=False)
+        assert len(seq) == 2
+        b0, b1 = seq[0], seq[1]
+        stacked = stack_batches([b0, b1])  # raises on mismatched treedefs
+        assert stacked.nodes.shape[0] == 2
+        if b0.compact_readout is not None:
+            assert b0.compact_readout.n_span_pad == b1.compact_readout.n_span_pad
+
+    def test_single_graph_batch_compact(self):
+        """A trailing 1-graph batch must keep the same batch structure."""
+        from gnnkeras_tpu.data.sequencers import MultiGraphSequencer
+        from gnnkeras_tpu.parallel.data_parallel import stack_batches
+
+        graphs = self._graphs([11, 9, 13])
+        seq = MultiGraphSequencer(graphs, "g", "average", batch_size=2, shuffle=False)
+        assert len(seq) == 2  # batches of 2 and 1 graphs
+        stack_batches([seq[0], seq[1]])
+
+    def test_non_128_pad_multiple_keeps_uniform_graph_pad(self):
+        from gnnkeras_tpu.data.sequencers import MultiGraphSequencer
+
+        graphs = self._graphs([8, 9, 10, 11, 12])
+        seq = MultiGraphSequencer(graphs, "g", "average", batch_size=4,
+                                  shuffle=False, pad_multiple=16)
+        b0, b1 = seq[0], seq[1]  # 4 graphs and 1 graph
+        assert b0.targets.shape == b1.targets.shape
