@@ -438,25 +438,21 @@ def from_graph_object(
                 bcsr = cast_bcsr(bcsr, jnp.dtype(agg_dtype))
                 nodegraph_bcsr = cast_bcsr(nodegraph_bcsr, jnp.dtype(agg_dtype))
 
-    # batch-constant neighbor-label sums (f64 host accumulation)
-    agg_arc = np.zeros((N, g.DIM_ARC_LABEL), np.float64)
-    np.add.at(agg_arc, dst[:a], arc_label[:a].astype(np.float64) * w[:a, None].astype(np.float64))
-    agg_node = np.zeros((N, nodes.shape[1]), np.float64)
-    np.add.at(agg_node, dst[:a], nodes[src[:a]].astype(np.float64) * w[:a, None].astype(np.float64))
+    # batch-constant neighbor-label sums (f64 host accumulation; single-pass
+    # C++ when the native tier is available, bit-identical np.add.at fallback)
+    from gnnkeras_tpu import native
+
+    agg_arc, agg_node = native.agg_label_sums(
+        src[:a], dst[:a], w[:a], arc_label[:a], nodes, N
+    )
     agg_component = None
     if type_mask is not None:
         # per-type neighbor-label sums gated by the SOURCE node's type,
         # concat + the arc sum (reference CompositeGNN.py:251-253)
-        parts = []
-        src_np = src[:a].astype(np.int64)
-        dst_np = dst[:a].astype(np.int64)
-        w64 = w[:a].astype(np.float64)
-        for t, d_t in enumerate(dims):
-            gate = type_mask[src_np, t].astype(np.float64)
-            part = np.zeros((N, int(d_t)), np.float64)
-            np.add.at(part, dst_np, nodes[src_np, : int(d_t)].astype(np.float64) * (w64 * gate)[:, None])
-            parts.append(part)
-        agg_component = np.concatenate(parts + [agg_arc], axis=1)
+        per_type = native.agg_component_sums(
+            src[:a], dst[:a], w[:a], nodes, type_mask, [int(d) for d in dims], N
+        )
+        agg_component = np.concatenate([per_type, agg_arc], axis=1)
 
     batch = GraphBatch(
         nodes=jnp.asarray(nodes),

@@ -1,0 +1,181 @@
+"""Native host tier: ctypes bindings over the C++ kernels in ``src/``.
+
+Compiled on demand with the system ``g++`` into a content-hashed shared
+library cached next to the source (or in ``$GNNKERAS_TPU_CACHE``), so the
+package needs no build step and no pybind11.  Every entry point has a NumPy
+fallback — ``available()`` reports whether the native path is active, and
+``GNNKERAS_TPU_NO_NATIVE=1`` disables it outright (used by tests to compare
+both paths).
+
+The reference has no native code (SURVEY.md §2); this tier is the new-build
+native data-loader/runtime mandated for the framework, covering the host hot
+paths measured in graph/batch.py (scatter accumulations) and data/mutag.py
+(TU text parsing).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+import threading
+from typing import Optional
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "src", "host_ops.cpp")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+
+def _cache_dir() -> str:
+    path = os.environ.get("GNNKERAS_TPU_CACHE")
+    if path:
+        return path
+    return os.path.join(tempfile.gettempdir(), "gnnkeras_tpu_native")
+
+
+def _build() -> Optional[str]:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    out_dir = _cache_dir()
+    os.makedirs(out_dir, exist_ok=True)
+    so_path = os.path.join(out_dir, f"host_ops-{digest}.so")
+    if os.path.exists(so_path):
+        return so_path
+    tmp = so_path + f".tmp{os.getpid()}"
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, so_path)
+        return so_path
+    except (subprocess.SubprocessError, OSError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        return None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("GNNKERAS_TPU_NO_NATIVE"):
+            return None
+        so_path = _build()
+        if so_path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(so_path)
+        except OSError:
+            return None
+        lib.agg_label_sums.restype = None
+        lib.agg_label_sums.argtypes = [
+            _i32p, _i32p, _f32p, ctypes.c_int64,
+            _f32p, ctypes.c_int64, _f32p, ctypes.c_int64, _f64p, _f64p,
+        ]
+        lib.agg_component_sums.restype = None
+        lib.agg_component_sums.argtypes = [
+            _i32p, _i32p, _f32p, ctypes.c_int64,
+            _f32p, ctypes.c_int64, _i32p, _i64p, _i64p, ctypes.c_int64, _f64p,
+        ]
+        lib.parse_ints.restype = ctypes.c_int64
+        lib.parse_ints.argtypes = [ctypes.c_char_p, _i64p, ctypes.c_int64]
+        lib.count_ints.restype = ctypes.c_int64
+        lib.count_ints.argtypes = [ctypes.c_char_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def agg_label_sums(src, dst, w, arc_label, nodes, n_rows):
+    """(agg_arc, agg_node) f64 accumulations of the batch-constant neighbor
+    sums (graph/batch.py).  src/dst int32 (A,), w f32 (A,), arc_label f32
+    (A, da), nodes f32 (N, dn); returns ((n_rows, da), (n_rows, dn)) f64."""
+    lib = _load()
+    da, dn = arc_label.shape[1], nodes.shape[1]
+    if lib is None:
+        acc_arc = np.zeros((n_rows, da), np.float64)
+        np.add.at(acc_arc, dst, arc_label.astype(np.float64) * w[:, None].astype(np.float64))
+        acc_node = np.zeros((n_rows, dn), np.float64)
+        np.add.at(acc_node, dst, nodes[src].astype(np.float64) * w[:, None].astype(np.float64))
+        return acc_arc, acc_node
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    w = np.ascontiguousarray(w, np.float32)
+    arc_label = np.ascontiguousarray(arc_label, np.float32)
+    nodes = np.ascontiguousarray(nodes, np.float32)
+    acc_arc = np.zeros((n_rows, da), np.float64)
+    acc_node = np.zeros((n_rows, dn), np.float64)
+    lib.agg_label_sums(src, dst, w, len(src), arc_label, da, nodes, dn, acc_arc, acc_node)
+    return acc_arc, acc_node
+
+
+def agg_component_sums(src, dst, w, nodes, type_mask, dims, n_rows):
+    """Concatenated per-type gated neighbor-label sums (composite batches,
+    reference CompositeGNN.py:251-253).  ``type_mask`` bool (N, T) source-node
+    types, ``dims`` per-type widths; returns (n_rows, sum(dims)) f64.
+
+    The C++ path assumes at most one type per node (the reference's
+    invariant); multi-hot masks take the general NumPy gate path, where a
+    node contributes under every flagged type as the reference's per-type
+    boolean_mask loop does."""
+    dims = np.asarray(dims, np.int64)
+    offsets = np.concatenate([[0], np.cumsum(dims)[:-1]]).astype(np.int64)
+    width = int(dims.sum())
+    lib = _load()
+    one_hot = not np.any(np.count_nonzero(type_mask, axis=1) > 1)
+    if lib is None or not one_hot:
+        acc = np.zeros((n_rows, width), np.float64)
+        w64 = w.astype(np.float64)
+        for t, (d_t, off) in enumerate(zip(dims, offsets)):
+            gate = type_mask[src, t].astype(np.float64)
+            part = np.zeros((n_rows, int(d_t)), np.float64)
+            np.add.at(part, dst, nodes[src, : int(d_t)].astype(np.float64) * (w64 * gate)[:, None])
+            acc[:, off : off + int(d_t)] = part
+        return acc
+    type_of = np.where(type_mask.any(axis=1), np.argmax(type_mask, axis=1), -1).astype(np.int32)
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    w = np.ascontiguousarray(w, np.float32)
+    nodes = np.ascontiguousarray(nodes, np.float32)
+    type_of = np.ascontiguousarray(type_of, np.int32)
+    acc = np.zeros((n_rows, width), np.float64)
+    lib.agg_component_sums(
+        src, dst, w, len(src), nodes, nodes.shape[1],
+        type_of, dims, np.ascontiguousarray(offsets), len(dims), acc,
+    )
+    return acc
+
+
+def load_ints(path: str) -> Optional[np.ndarray]:
+    """All integers in a TU-format text file as one int64 vector, or None
+    when the native library is unavailable (caller falls back to np.loadtxt)."""
+    lib = _load()
+    if lib is None:
+        return None
+    encoded = os.fsencode(path)
+    n = lib.count_ints(encoded)
+    if n < 0:
+        raise FileNotFoundError(path)
+    out = np.empty(n, np.int64)
+    got = lib.parse_ints(encoded, out, n)
+    if got < 0:
+        raise ValueError(f"malformed integer file: {path} (code {got})")
+    return out[:got]

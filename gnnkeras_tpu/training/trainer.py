@@ -91,6 +91,90 @@ def _get_train_step(model):
     return cache["train_step"]
 
 
+def _get_epoch_step(model):
+    """One XLA launch per EPOCH: ``lax.scan`` of the train step over a stacked
+    batch axis.  Per-step host dispatch+sync (~30 ms each through a tunneled
+    runtime, still µs-scale locally) collapses to one round-trip per epoch.
+    Requires every batch in the sequencer to share one pytree structure —
+    which the sequencers guarantee via monotonic pads + uniform block counts."""
+    cache = getattr(model, "_compiled_cache", None)
+    if cache is None:
+        model._compiled_cache = cache = {}
+    if "epoch_step" not in cache:
+
+        def body(carry, xs):
+            params, mstate, opt_state = carry
+            batch, rng = xs
+            (loss, aux), grads = jax.value_and_grad(
+                lambda p: _objective(model, p, mstate, batch, rng, training=True), has_aux=True
+            )(params)
+            if model.average_st_grads:
+                grads = model.scale_state_grads(grads, aux["k"])
+            updates, opt_state = model.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            count = jnp.maximum(jnp.sum(batch.target_mask.astype(jnp.float32)), 1.0)
+            logs = {"loss_sum": loss * count, "count": count}
+            for name, (s, c) in _metric_sums(model, aux["y_pred"], batch).items():
+                logs[f"{name}_sum"] = s
+                logs[f"{name}_count"] = c
+            return (params, aux["new_state"], opt_state), logs
+
+        def epoch(params, mstate, opt_state, stacked, rngs):
+            (params, mstate, opt_state), logs = jax.lax.scan(
+                body, (params, mstate, opt_state), (stacked, rngs)
+            )
+            return params, mstate, opt_state, logs
+
+        cache["epoch_step"] = jax.jit(epoch, donate_argnums=(0, 1, 2))
+    return cache["epoch_step"]
+
+
+def _get_eval_epoch(model):
+    """Scanned evaluate: all batches of a sequencer in one launch."""
+    cache = getattr(model, "_compiled_cache", None)
+    if cache is None:
+        model._compiled_cache = cache = {}
+    if "eval_epoch" not in cache:
+
+        def body(carry, xs):
+            batch, rng = xs
+            loss, aux = _objective(model, carry["params"], carry["state"], batch, rng, training=False)
+            count = jnp.maximum(jnp.sum(batch.target_mask.astype(jnp.float32)), 1.0)
+            logs = {"loss_sum": loss * count, "count": count}
+            for name, (s, c) in _metric_sums(model, aux["y_pred"], batch).items():
+                logs[f"{name}_sum"] = s
+                logs[f"{name}_count"] = c
+            return carry, logs
+
+        def epoch(params, mstate, stacked, rngs):
+            _, logs = jax.lax.scan(body, {"params": params, "state": mstate}, (stacked, rngs))
+            return logs
+
+        cache["eval_epoch"] = jax.jit(epoch)
+    return cache["eval_epoch"]
+
+
+def _try_stack(batches):
+    """Stack same-structure batches for the scanned paths; None if the
+    sequencer emitted mixed pytree structures (fall back to per-step)."""
+    from gnnkeras_tpu.parallel.data_parallel import stack_batches
+
+    if len(batches) < 2:
+        return None
+    try:
+        if len({jax.tree_util.tree_structure(b) for b in batches}) != 1:
+            return None
+        return stack_batches(batches)
+    except (ValueError, TypeError):
+        return None
+
+
+def _unstack_logs(logs) -> list:
+    host = {k: np.asarray(v) for k, v in logs.items()}
+    n = next(iter(host.values())).shape[0] if host else 0
+    return [{k: v[i] for k, v in host.items()} for i in range(n)]
+
+
 def _get_eval_step(model):
     cache = getattr(model, "_compiled_cache", None)
     if cache is None:
@@ -134,13 +218,19 @@ def fit(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 1,
     resume: bool = False,
+    scan_batches: Optional[bool] = None,
 ):
     """Keras-like fit loop over a graph sequencer.  Returns a History.
 
     With ``checkpoint_dir`` every ``checkpoint_every`` epochs a full resumable
     checkpoint (params + BN state + optimizer state + PRNG) is written;
     ``resume=True`` restores the latest one and continues from the following
-    epoch — interrupted runs pick up where they stopped."""
+    epoch — interrupted runs pick up where they stopped.
+
+    ``scan_batches`` (default: auto) runs the whole epoch as ONE compiled
+    launch — ``lax.scan`` of the train step over the stacked batches — instead
+    of one dispatch per batch; it engages automatically when the sequencer's
+    batches share a pytree structure and falls back silently otherwise."""
     if model.optimizer is None:
         raise RuntimeError("call compile() before fit()")
     model.build(seed=seed)
@@ -170,11 +260,21 @@ def fit(
     params, mstate, opt_state = model.variables["params"], model.variables["state"], model._opt_state
     for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()
-        accum = []
-        for i in range(len(sequencer)):
-            batch = sequencer[i]
-            params, mstate, opt_state, logs = train_step(params, mstate, opt_state, batch, model.next_rng())
-            accum.append(logs)
+        batches = [sequencer[i] for i in range(len(sequencer))]
+        stacked = _try_stack(batches) if scan_batches in (None, True) else None
+        if stacked is not None:
+            rngs = jnp.stack([model.next_rng() for _ in batches])
+            params, mstate, opt_state, logs = _get_epoch_step(model)(
+                params, mstate, opt_state, stacked, rngs
+            )
+            accum = _unstack_logs(logs)
+        else:
+            accum = []
+            for batch in batches:
+                params, mstate, opt_state, logs = train_step(
+                    params, mstate, opt_state, batch, model.next_rng()
+                )
+                accum.append(logs)
         sequencer.on_epoch_end()
         logs = _reduce_logs(accum)
 
@@ -202,16 +302,30 @@ def fit(
     return history
 
 
-def evaluate(model, sequencer, verbose: int = 0, prefix: str = "", _return_raw: bool = False):
-    """Loss + metrics over a sequencer (reference ``Model.evaluate``)."""
+def evaluate(
+    model, sequencer, verbose: int = 0, prefix: str = "", _return_raw: bool = False,
+    scan_batches: Optional[bool] = None,
+):
+    """Loss + metrics over a sequencer (reference ``Model.evaluate``).
+    ``scan_batches`` as in ``fit``: all batches in one compiled launch when
+    the sequencer's batches share a pytree structure."""
     if model.loss is None:
         raise RuntimeError("call compile() before evaluate() (loaded models need recompiling, as in the reference)")
     model.build()
-    eval_step = _get_eval_step(model)
-    accum = []
-    for i in range(len(sequencer)):
-        batch = sequencer[i]
-        accum.append(eval_step(model.variables["params"], model.variables["state"], batch, model.next_rng()))
+    batches = [sequencer[i] for i in range(len(sequencer))]
+    stacked = _try_stack(batches) if scan_batches in (None, True) else None
+    if stacked is not None:
+        rngs = jnp.stack([model.next_rng() for _ in batches])
+        logs = _get_eval_epoch(model)(
+            model.variables["params"], model.variables["state"], stacked, rngs
+        )
+        accum = _unstack_logs(logs)
+    else:
+        eval_step = _get_eval_step(model)
+        accum = [
+            eval_step(model.variables["params"], model.variables["state"], batch, model.next_rng())
+            for batch in batches
+        ]
     logs = _reduce_logs(accum, prefix=prefix)
     if verbose:
         print(" - ".join(f"{k}: {v:.4f}" for k, v in logs.items()))

@@ -347,3 +347,39 @@ class TestPrefetch:
         assert len(p._cache) > 0
         p.on_epoch_end()
         assert len(p._cache) == 0
+
+
+class TestScanBatches:
+    """Epoch-in-one-launch path: lax.scan over the stacked sequencer batches
+    must reproduce the per-step dispatch loop exactly (same rng sequence,
+    same optimizer trajectory)."""
+
+    def _run(self, scan):
+        from gnnkeras_tpu.training import trainer
+
+        np.random.seed(3)
+        model = toy_model()
+        model.compile(optimizer="sgd:0.05", loss="categorical_crossentropy", metrics=["accuracy"])
+        seq = MultiGraphSequencer(toy_graphs(12), "g", "average", batch_size=4, shuffle=False)
+        hist = trainer.fit(model, seq, epochs=2, verbose=0, seed=11, scan_batches=scan)
+        ev = trainer.evaluate(model, seq, scan_batches=scan)
+        return hist.history, ev, model.variables
+
+    def test_scan_equals_per_step(self):
+        h_ref, ev_ref, v_ref = self._run(False)
+        h_scan, ev_scan, v_scan = self._run(True)
+        for key in h_ref:
+            np.testing.assert_allclose(h_scan[key], h_ref[key], rtol=0, atol=0)
+        for key in ev_ref:
+            assert ev_scan[key] == ev_ref[key]
+        for a, b in zip(jax.tree_util.tree_leaves(v_ref), jax.tree_util.tree_leaves(v_scan)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_single_batch_falls_back(self):
+        from gnnkeras_tpu.training import trainer
+
+        np.random.seed(3)
+        model = toy_model()
+        seq = MultiGraphSequencer(toy_graphs(6), "g", "average", batch_size=6, shuffle=False)
+        hist = trainer.fit(model, seq, epochs=1, verbose=0, scan_batches=True)
+        assert len(hist.history["loss"]) == 1
