@@ -112,21 +112,27 @@ def load_tu_dataset(
     counts = np.bincount(gid[order], minlength=len(bounds))[: len(bounds) - 1]
     order = order[: int(counts.sum())]  # invalid rows sorted last — drop them
     splits = np.cumsum(counts)[:-1]
-    edges = []
-    for rows in np.split(order, splits):
-        ids = edges_ids[rows]
-        if ids.size:
-            # relabel by rank among the node ids present in this graph's
-            # edges, as the reference's per-graph np.unique remap does
-            unique = np.unique(ids)
-            ids = np.searchsorted(unique, ids)
-        else:
-            ids = ids.reshape(0, 2)
-        edges.append(np.concatenate([ids, edge_oh[rows]], axis=1))
+
+    # relabel endpoints by rank among the node ids present in each graph's
+    # edges (the reference's per-graph np.unique remap, load_MUTAG.py:36-38)
+    # — computed in ONE vectorized pass: graphs own disjoint 1-based id
+    # ranges, so rank(v in graph k) = #present ids in (bounds[k], v] − 1,
+    # read off a global presence prefix-sum.  Identical to per-graph
+    # np.unique + searchsorted, without 2·G small sorts.
+    present = np.zeros(len(graph_of_node) + 1, dtype=np.int64)
+    present[edges_ids[order].ravel()] = 1
+    csum = np.cumsum(present)
+    base = csum[bounds_arr[gid[order]]]
+    new_ids = csum[edges_ids[order]] - base[:, None] - 1
+    rows_all = np.concatenate([new_ids, edge_oh[order]], axis=1)
+    edges = [rows_all[i:j] for i, j in zip(np.r_[0, splits], np.r_[splits, len(rows_all)])]
 
     targets = _one_hot(graph_targets)
 
     graphs: List[GraphObject] = []
+    # rows are already unique (global pair dedup) and lexicographically
+    # sorted per graph (monotonic relabel of the globally sorted pairs), so
+    # the constructors can skip their O(A log A) canonicalisation
     for e, n, t in zip(edges, nodes_per_graph, targets):
         if composite:
             graphs.append(
@@ -137,10 +143,13 @@ def load_tu_dataset(
                     focus="g",
                     type_mask=np.ones((n.shape[0], 1), dtype=bool),
                     dim_node_label=(n.shape[1],),
+                    arcs_canonical=True,
                 )
             )
         else:
-            graphs.append(GraphObject(arcs=e, nodes=n, targets=t[np.newaxis, ...], focus="g"))
+            graphs.append(
+                GraphObject(arcs=e, nodes=n, targets=t[np.newaxis, ...], focus="g", arcs_canonical=True)
+            )
     if verbose:
         print(f"Loaded {len(graphs)} {prefix} graphs from {path}")
     return graphs
