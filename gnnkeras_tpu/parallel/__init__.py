@@ -3,6 +3,7 @@ from gnnkeras_tpu.parallel.data_parallel import (
     stack_batches,
     shard_batches,
     make_dp_train_step,
+    make_dp_epoch_step,
     DataParallelTrainer,
 )
 from gnnkeras_tpu.parallel.partition import partition_graph, PartitionedGraph, PartitionedGNN
@@ -20,6 +21,7 @@ __all__ = [
     "stack_batches",
     "shard_batches",
     "make_dp_train_step",
+    "make_dp_epoch_step",
     "DataParallelTrainer",
     "partition_graph",
     "PartitionedGraph",

@@ -35,15 +35,9 @@ def shard_batches(stacked: GraphBatch, mesh: Mesh, axis: str = "data") -> GraphB
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), stacked)
 
 
-def make_dp_train_step(model, mesh: Mesh, axis: str = "data"):
-    """Build a jitted data-parallel train step.
-
-    Signature: ``(params, mstate, opt_state, stacked_batch, rngs) ->
-    (params, mstate, opt_state, logs)`` where ``stacked_batch`` has a leading
-    device axis of size ``mesh.shape[axis]`` and ``rngs`` one PRNG key per
-    device.  Params/opt-state are replicated; the loss/grads/BN updates are
-    mesh-averaged so every replica applies the identical update.
-    """
+def _make_dp_sharded_step(model, mesh: Mesh, axis: str = "data"):
+    """The un-jitted shard_map DP step (shared by the per-step and the
+    scanned whole-epoch entry points)."""
     from gnnkeras_tpu.training.trainer import _metric_sums, _objective
 
     def device_step(params, mstate, opt_state, batch, rng):
@@ -79,7 +73,40 @@ def make_dp_train_step(model, mesh: Mesh, axis: str = "data"):
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=(0, 1, 2))
+    return sharded
+
+
+def make_dp_train_step(model, mesh: Mesh, axis: str = "data"):
+    """Build a jitted data-parallel train step.
+
+    Signature: ``(params, mstate, opt_state, stacked_batch, rngs) ->
+    (params, mstate, opt_state, logs)`` where ``stacked_batch`` has a leading
+    device axis of size ``mesh.shape[axis]`` and ``rngs`` one PRNG key per
+    device.  Params/opt-state are replicated; the loss/grads/BN updates are
+    mesh-averaged so every replica applies the identical update.
+    """
+    return jax.jit(_make_dp_sharded_step(model, mesh, axis), donate_argnums=(0, 1, 2))
+
+
+def make_dp_epoch_step(model, mesh: Mesh, axis: str = "data"):
+    """Whole DP epoch in one launch: ``lax.scan`` of the sharded step over a
+    steps axis stacked AHEAD of the device axis — one dispatch + one host
+    sync per epoch (mirrors training/trainer.py's scan_batches path)."""
+    sharded_step = _make_dp_sharded_step(model, mesh, axis)
+
+    def epoch(params, mstate, opt_state, stacked_groups, rngs):
+        def body(carry, xs):
+            p, m, o = carry
+            group, rng = xs
+            p, m, o, logs = sharded_step(p, m, o, group, rng)
+            return (p, m, o), logs
+
+        (params, mstate, opt_state), logs = jax.lax.scan(
+            body, (params, mstate, opt_state), (stacked_groups, rngs)
+        )
+        return params, mstate, opt_state, logs
+
+    return jax.jit(epoch, donate_argnums=(0, 1, 2))
 
 
 class DataParallelTrainer:
@@ -94,6 +121,7 @@ class DataParallelTrainer:
         self.axis = axis
         self.n_devices = self.mesh.shape[axis]
         self._step = None
+        self._epoch_step = None
 
     def _device_groups(self, sequencer) -> List[GraphBatch]:
         batches = [sequencer[i] for i in range(len(sequencer))]
@@ -121,11 +149,17 @@ class DataParallelTrainer:
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 1,
         resume: bool = False,
+        scan_batches: Optional[bool] = None,
     ):
         """Data-parallel fit with the full single-device surface: validation
         data, callbacks (History/EarlyStopping), and resumable checkpointing —
         scaling up must not cost early stopping or resume (mirrors
-        training/trainer.py fit)."""
+        training/trainer.py fit).
+
+        ``scan_batches`` (default auto): run the whole epoch — every
+        per-device step group — as one scanned launch instead of one dispatch
+        per group; exact same trajectory, silent fallback on mixed batch
+        structures."""
         import time
 
         from gnnkeras_tpu.training.callbacks import History
@@ -169,11 +203,34 @@ class DataParallelTrainer:
         params, mstate, opt_state = to_rep((params, mstate, opt_state))
         for epoch in range(start_epoch, epochs):
             t0 = time.perf_counter()
-            accum = []
-            for stacked in self._device_groups(sequencer):
-                rngs = jax.random.split(model.next_rng(), self.n_devices)
-                params, mstate, opt_state, logs = self._step(params, mstate, opt_state, stacked, rngs)
-                accum.append(logs)
+            groups = self._device_groups(sequencer)
+            stacked_epoch = None
+            if scan_batches in (None, True) and len(groups) > 1:
+                try:
+                    if len({jax.tree_util.tree_structure(g) for g in groups}) == 1:
+                        sharding = NamedSharding(self.mesh, P(None, self.axis))
+                        stacked_epoch = jax.tree_util.tree_map(
+                            lambda *xs: jax.device_put(jnp.stack(xs, axis=0), sharding), *groups
+                        )
+                except (ValueError, TypeError):
+                    stacked_epoch = None
+            if stacked_epoch is not None:
+                if self._epoch_step is None:
+                    self._epoch_step = make_dp_epoch_step(model, self.mesh, self.axis)
+                rngs = jnp.stack(
+                    [jax.random.split(model.next_rng(), self.n_devices) for _ in groups]
+                )
+                params, mstate, opt_state, logs = self._epoch_step(
+                    params, mstate, opt_state, stacked_epoch, rngs
+                )
+                host = {k: np.asarray(v) for k, v in logs.items()}
+                accum = [{k: v[i] for k, v in host.items()} for i in range(len(groups))]
+            else:
+                accum = []
+                for stacked in groups:
+                    rngs = jax.random.split(model.next_rng(), self.n_devices)
+                    params, mstate, opt_state, logs = self._step(params, mstate, opt_state, stacked, rngs)
+                    accum.append(logs)
             sequencer.on_epoch_end()
             logs = _reduce_logs(accum)
 

@@ -712,9 +712,11 @@ class PartitionedGNN:
         }
 
     # -- public jitted entry points -------------------------------------------
-    def make_train_step(self):
-        if "train" in self._cache:
-            return self._cache["train"]
+    def _make_sharded_step(self):
+        """The un-jitted shard_map train step (shared by the single-step and
+        the scanned multi-step entry points)."""
+        if "sharded_train" in self._cache:
+            return self._cache["sharded_train"]
         gnn, axis = self.gnn, self.axis
         loss_fn = gnn.loss
         if loss_fn is None:
@@ -744,8 +746,38 @@ class PartitionedGNN:
             out_specs=(P(), P(), P(), P()),
             check_vma=False,
         )
-        step = jax.jit(sharded, donate_argnums=(0, 1, 2))
+        self._cache["sharded_train"] = sharded
+        return sharded
+
+    def make_train_step(self):
+        if "train" in self._cache:
+            return self._cache["train"]
+        step = jax.jit(self._make_sharded_step(), donate_argnums=(0, 1, 2))
         self._cache["train"] = step
+        return step
+
+    def make_multi_step(self):
+        """K train steps in ONE launch: ``lax.scan`` of the sharded step over
+        a (K, 2) rng stack.  Full-batch partitioned training runs one step
+        per epoch, so ``fit(steps_per_launch=K)`` turns K epochs into one
+        dispatch + one host sync (~30 ms each through a tunneled runtime)."""
+        if "train_multi" in self._cache:
+            return self._cache["train_multi"]
+        sharded = self._make_sharded_step()
+
+        def multi(params, mstate, opt_state, pg, rngs):
+            def body(carry, rng):
+                p, m, o = carry
+                p, m, o, logs = sharded(p, m, o, pg, rng)
+                return (p, m, o), logs
+
+            (params, mstate, opt_state), logs = jax.lax.scan(
+                body, (params, mstate, opt_state), rngs
+            )
+            return params, mstate, opt_state, logs
+
+        step = jax.jit(multi, donate_argnums=(0, 1, 2))
+        self._cache["train_multi"] = step
         return step
 
     def make_forward(self, training: bool = False):
@@ -823,10 +855,15 @@ class PartitionedGNN:
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 1,
         resume: bool = False,
+        steps_per_launch: int = 1,
     ):
         """Full-batch training of the partitioned graph, with the same
         resumable checkpointing surface as the single-device fit (params +
-        BN state + optimizer state + PRNG via Orbax)."""
+        BN state + optimizer state + PRNG via Orbax).
+
+        ``steps_per_launch > 1`` scans that many epochs inside one compiled
+        launch (exact same trajectory; per-epoch losses still recorded) —
+        checkpoints then land at launch-chunk boundaries."""
         import time
 
         gnn = self.gnn
@@ -858,19 +895,35 @@ class PartitionedGNN:
             lambda x: jax.device_put(x, rep), (params, mstate, opt_state)
         )
         history = {"loss": []}
-        for epoch in range(start_epoch, epochs):
+        multi = self.make_multi_step() if steps_per_launch > 1 else None
+        epoch = start_epoch
+        while epoch < epochs:
             t0 = time.perf_counter()
-            params, mstate, opt_state, logs = step(params, mstate, opt_state, pg, gnn.next_rng())
-            history["loss"].append(float(logs["loss"]))
+            n = min(steps_per_launch, epochs - epoch)
+            if multi is not None and n > 1:
+                rngs = jnp.stack([gnn.next_rng() for _ in range(n)])
+                params, mstate, opt_state, logs = multi(params, mstate, opt_state, pg, rngs)
+                losses = np.asarray(logs["loss"]).tolist()
+                ks = np.asarray(logs["k"])
+            else:
+                params, mstate, opt_state, logs = step(params, mstate, opt_state, pg, gnn.next_rng())
+                losses = [float(logs["loss"])]
+                ks = np.asarray([logs["k"]])
+            history["loss"].extend(losses)
             if verbose:
-                print(
-                    f"Epoch {epoch + 1}/{epochs} [{time.perf_counter() - t0:.2f}s] "
-                    f"loss: {float(logs['loss']):.4f} k: {float(logs['k']):.0f}"
-                )
-            if manager is not None and (epoch + 1) % checkpoint_every == 0:
+                dt = time.perf_counter() - t0
+                for i, l in enumerate(losses):
+                    print(
+                        f"Epoch {epoch + 1 + i}/{epochs} "
+                        f"[{dt / n:.2f}s] loss: {l:.4f} k: {float(ks[i]):.0f}"
+                    )
+            epoch += n
+            if manager is not None and (
+                epoch % checkpoint_every == 0 or (n > 1 and epoch >= epochs)
+            ):
                 gnn.variables = {"params": params, "state": mstate}
                 gnn._opt_state = opt_state
-                manager.save(epoch, gnn, {"epoch": epoch, "loss": history["loss"][-1]})
+                manager.save(epoch - 1, gnn, {"epoch": epoch - 1, "loss": history["loss"][-1]})
         gnn.variables = {"params": params, "state": mstate}
         gnn._opt_state = opt_state
         return history

@@ -786,3 +786,72 @@ class TestPartitionedCheckpoint:
         h2 = p2.fit(pg, epochs=5, verbose=0, checkpoint_dir=ckpt, resume=True)
         assert len(h2["loss"]) == 2  # epochs 0-2 restored, 3-4 run
         assert h2["loss"][-1] < h1["loss"][0]
+
+
+class TestMultiStepLaunch:
+    """fit(steps_per_launch=K): the scanned K-epoch launch must reproduce the
+    per-epoch dispatch loop exactly (same rng sequence, same trajectory)."""
+
+    def test_scanned_epochs_match_single_steps(self, mesh8):
+        g = big_graph(seed=23)
+
+        def run(steps_per_launch):
+            gnn = build_gnn(GNNnodeBased, "n")
+            gnn.compile(optimizer="sgd:0.05", loss="mse")
+            gnn._rng = jax.random.PRNGKey(31)
+            pg = partition_graph(g, 8)
+            pgnn = PartitionedGNN(gnn, mesh8)
+            h = pgnn.fit(pg, epochs=6, verbose=0, steps_per_launch=steps_per_launch)
+            return h["loss"], gnn.variables
+
+        loss_ref, v_ref = run(1)
+        loss_scan, v_scan = run(3)
+        np.testing.assert_allclose(loss_scan, loss_ref, rtol=0, atol=0)
+        # params bit-identical; BN moving stats may differ by ~1 ULP (XLA
+        # fuses the moving-average update differently under scan)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(v_ref["params"]), jax.tree_util.tree_leaves(v_scan["params"])
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(v_ref["state"]), jax.tree_util.tree_leaves(v_scan["state"])
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-6)
+
+    def test_partial_final_chunk(self, mesh8):
+        g = big_graph(seed=24)
+        gnn = build_gnn(GNNnodeBased, "n")
+        gnn.compile(optimizer="sgd:0.05", loss="mse")
+        pg = partition_graph(g, 8)
+        pgnn = PartitionedGNN(gnn, mesh8)
+        h = pgnn.fit(pg, epochs=5, verbose=0, steps_per_launch=3)  # 3 + 2
+        assert len(h["loss"]) == 5
+
+
+class TestDataParallelScan:
+    """DP fit's scanned whole-epoch launch must equal the per-group loop."""
+
+    def test_dp_scan_matches_per_step(self):
+        from gnnkeras_tpu.data.sequencers import MultiGraphSequencer
+        from gnnkeras_tpu.parallel.data_parallel import DataParallelTrainer
+
+        mesh = make_mesh(("data",), shape=(2,), devices=jax.devices()[:2])
+        graphs = [big_graph(seed=s, n=10, a=30) for s in range(8)]
+
+        def run(scan):
+            gnn = build_gnn(GNNnodeBased, "n")
+            gnn.compile(optimizer="sgd:0.05", loss="mse")
+            gnn._rng = jax.random.PRNGKey(5)
+            seq = MultiGraphSequencer(graphs, "n", "average", batch_size=2, shuffle=False)
+            tr = DataParallelTrainer(gnn, mesh)
+            h = tr.fit(seq, epochs=2, verbose=0, scan_batches=scan)
+            return h.history, gnn.variables
+
+        h_ref, v_ref = run(False)
+        h_scan, v_scan = run(True)
+        for key in h_ref:
+            np.testing.assert_allclose(h_scan[key], h_ref[key], rtol=0, atol=0)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(v_ref["params"]), jax.tree_util.tree_leaves(v_scan["params"])
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
