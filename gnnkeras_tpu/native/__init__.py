@@ -37,17 +37,36 @@ _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 
 
 def _cache_dir() -> str:
+    # per-user, 0700: a world-writable shared dir with a predictable .so name
+    # would let another local user plant a library that ctypes would load
     path = os.environ.get("GNNKERAS_TPU_CACHE")
     if path:
         return path
-    return os.path.join(tempfile.gettempdir(), "gnnkeras_tpu_native")
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
+    if not os.path.isabs(base):  # no resolvable home
+        base = os.path.join(tempfile.gettempdir(), f"gnnkeras_tpu-uid{os.getuid()}")
+    return os.path.join(base, "gnnkeras_tpu_native")
+
+
+def _secure_dir(path: str) -> bool:
+    os.makedirs(path, mode=0o700, exist_ok=True)
+    st = os.stat(path)
+    if st.st_uid != os.getuid():
+        return False
+    if st.st_mode & 0o022:  # group/other-writable: refuse to trust it
+        os.chmod(path, st.st_mode & ~0o022)
+    return True
 
 
 def _build() -> Optional[str]:
     with open(_SRC, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
     out_dir = _cache_dir()
-    os.makedirs(out_dir, exist_ok=True)
+    try:
+        if not _secure_dir(out_dir):
+            return None
+    except OSError:
+        return None
     so_path = os.path.join(out_dir, f"host_ops-{digest}.so")
     if os.path.exists(so_path):
         return so_path
@@ -110,7 +129,13 @@ def agg_label_sums(src, dst, w, arc_label, nodes, n_rows):
     (A, da), nodes f32 (N, dn); returns ((n_rows, da), (n_rows, dn)) f64."""
     lib = _load()
     da, dn = arc_label.shape[1], nodes.shape[1]
-    if lib is None:
+    # the C++ kernel is f32-in/f64-accumulate; under floatx='float64' the
+    # inputs must NOT be downcast (it would silently change the sums vs the
+    # documented bit-identical contract) — take the NumPy path instead
+    f32_inputs = all(
+        np.asarray(x).dtype == np.float32 for x in (w, arc_label, nodes)
+    )
+    if lib is None or not f32_inputs:
         acc_arc = np.zeros((n_rows, da), np.float64)
         np.add.at(acc_arc, dst, arc_label.astype(np.float64) * w[:, None].astype(np.float64))
         acc_node = np.zeros((n_rows, dn), np.float64)
@@ -135,13 +160,16 @@ def agg_component_sums(src, dst, w, nodes, type_mask, dims, n_rows):
     The C++ path assumes at most one type per node (the reference's
     invariant); multi-hot masks take the general NumPy gate path, where a
     node contributes under every flagged type as the reference's per-type
-    boolean_mask loop does."""
+    boolean_mask loop does.  Note: with NON-FINITE node labels the gate
+    path's 0·NaN spreads NaN into every type slice while the C++ selection
+    only taints the matching slice — identical on finite inputs."""
     dims = np.asarray(dims, np.int64)
     offsets = np.concatenate([[0], np.cumsum(dims)[:-1]]).astype(np.int64)
     width = int(dims.sum())
     lib = _load()
     one_hot = not np.any(np.count_nonzero(type_mask, axis=1) > 1)
-    if lib is None or not one_hot:
+    f32_inputs = all(np.asarray(x).dtype == np.float32 for x in (w, nodes))
+    if lib is None or not one_hot or not f32_inputs:
         acc = np.zeros((n_rows, width), np.float64)
         w64 = w.astype(np.float64)
         for t, (d_t, off) in enumerate(zip(dims, offsets)):
@@ -166,16 +194,21 @@ def agg_component_sums(src, dst, w, nodes, type_mask, dims, n_rows):
 
 def load_ints(path: str) -> Optional[np.ndarray]:
     """All integers in a TU-format text file as one int64 vector, or None
-    when the native library is unavailable (caller falls back to np.loadtxt)."""
+    when the native library is unavailable (caller falls back to np.loadtxt).
+
+    Single read pass: the buffer is sized from the file size (an integer
+    token needs ≥2 bytes incl. its separator) rather than a counting
+    pre-pass, which would double the I/O and race against concurrent file
+    changes."""
     lib = _load()
     if lib is None:
         return None
-    encoded = os.fsencode(path)
-    n = lib.count_ints(encoded)
-    if n < 0:
+    try:
+        size = os.stat(path).st_size
+    except OSError:
         raise FileNotFoundError(path)
-    out = np.empty(n, np.int64)
-    got = lib.parse_ints(encoded, out, n)
+    out = np.empty(size // 2 + 2, np.int64)
+    got = lib.parse_ints(os.fsencode(path), out, len(out))
     if got < 0:
         raise ValueError(f"malformed integer file: {path} (code {got})")
-    return out[:got]
+    return out[:got].copy()

@@ -36,7 +36,7 @@ void agg_label_sums(
 {
     for (int64_t e = 0; e < n_arcs; ++e) {
         const double we = (double)w[e];
-        if (we == 0.0) continue;
+        // no zero-weight skip: 0*NaN must propagate exactly as np.add.at does
         double* oa = acc_arc + (int64_t)dst[e] * da;
         const float* la = arc_label + e * da;
         for (int64_t j = 0; j < da; ++j) oa[j] += we * (double)la[j];
@@ -63,7 +63,6 @@ void agg_component_sums(
     const int64_t width = offsets[n_types - 1] + dims[n_types - 1];
     for (int64_t e = 0; e < n_arcs; ++e) {
         const double we = (double)w[e];
-        if (we == 0.0) continue;
         const int64_t s = (int64_t)src[e];
         const int32_t t = type_of[s];
         if (t < 0 || t >= n_types) continue;

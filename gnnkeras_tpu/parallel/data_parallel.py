@@ -123,7 +123,10 @@ class DataParallelTrainer:
         self._step = None
         self._epoch_step = None
 
-    def _device_groups(self, sequencer) -> List[GraphBatch]:
+    def _device_groups(self, sequencer, place: bool = True) -> List[GraphBatch]:
+        """Per-device step groups.  ``place=False`` skips the per-group mesh
+        placement (the scanned epoch path re-places the whole stacked epoch
+        once — placing twice would transfer the dataset twice)."""
         batches = [sequencer[i] for i in range(len(sequencer))]
         groups = []
         for i in range(0, len(batches), self.n_devices):
@@ -135,7 +138,8 @@ class DataParallelTrainer:
                     sample_weight=jnp.zeros_like(group[-1].sample_weight),
                 )
                 group.append(filler)
-            groups.append(shard_batches(stack_batches(group), self.mesh, self.axis))
+            stacked = stack_batches(group)
+            groups.append(shard_batches(stacked, self.mesh, self.axis) if place else stacked)
         return groups
 
     def fit(
@@ -201,33 +205,34 @@ class DataParallelTrainer:
         to_rep = lambda t: jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), t)
         to_dev0 = lambda t: jax.tree_util.tree_map(lambda x: jax.device_put(x, dev0), t)
         params, mstate, opt_state = to_rep((params, mstate, opt_state))
+        from gnnkeras_tpu.training.trainer import _try_stack, _unstack_logs
+
         for epoch in range(start_epoch, epochs):
             t0 = time.perf_counter()
-            groups = self._device_groups(sequencer)
             stacked_epoch = None
-            if scan_batches in (None, True) and len(groups) > 1:
-                try:
-                    if len({jax.tree_util.tree_structure(g) for g in groups}) == 1:
-                        sharding = NamedSharding(self.mesh, P(None, self.axis))
-                        stacked_epoch = jax.tree_util.tree_map(
-                            lambda *xs: jax.device_put(jnp.stack(xs, axis=0), sharding), *groups
-                        )
-                except (ValueError, TypeError):
-                    stacked_epoch = None
+            n_steps = 0
+            if scan_batches in (None, True):
+                groups = self._device_groups(sequencer, place=False)
+                n_steps = len(groups)
+                stacked_epoch = _try_stack(groups) if n_steps > 1 else None
+                if stacked_epoch is not None:
+                    sharding = NamedSharding(self.mesh, P(None, self.axis))
+                    stacked_epoch = jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x, sharding), stacked_epoch
+                    )
             if stacked_epoch is not None:
                 if self._epoch_step is None:
                     self._epoch_step = make_dp_epoch_step(model, self.mesh, self.axis)
                 rngs = jnp.stack(
-                    [jax.random.split(model.next_rng(), self.n_devices) for _ in groups]
+                    [jax.random.split(model.next_rng(), self.n_devices) for _ in range(n_steps)]
                 )
                 params, mstate, opt_state, logs = self._epoch_step(
                     params, mstate, opt_state, stacked_epoch, rngs
                 )
-                host = {k: np.asarray(v) for k, v in logs.items()}
-                accum = [{k: v[i] for k, v in host.items()} for i in range(len(groups))]
+                accum = _unstack_logs(logs)
             else:
                 accum = []
-                for stacked in groups:
+                for stacked in self._device_groups(sequencer):
                     rngs = jax.random.split(model.next_rng(), self.n_devices)
                     params, mstate, opt_state, logs = self._step(params, mstate, opt_state, stacked, rngs)
                     accum.append(logs)

@@ -917,9 +917,15 @@ class PartitionedGNN:
                         f"Epoch {epoch + 1 + i}/{epochs} "
                         f"[{dt / n:.2f}s] loss: {l:.4f} k: {float(ks[i]):.0f}"
                     )
+            prev_epoch = epoch
             epoch += n
+            # save whenever the chunk CROSSED a checkpoint_every boundary (a
+            # K-step launch may jump past several), not only when it lands
+            # exactly on one — otherwise steps_per_launch>1 silently thins
+            # the requested cadence to lcm(K, checkpoint_every)
             if manager is not None and (
-                epoch % checkpoint_every == 0 or (n > 1 and epoch >= epochs)
+                prev_epoch // checkpoint_every != epoch // checkpoint_every
+                or (n > 1 and epoch >= epochs)
             ):
                 gnn.variables = {"params": params, "state": mstate}
                 gnn._opt_state = opt_state

@@ -154,19 +154,33 @@ def _get_eval_epoch(model):
     return cache["eval_epoch"]
 
 
-def _try_stack(batches):
+def _try_stack(batches, cache_host=None):
     """Stack same-structure batches for the scanned paths; None if the
-    sequencer emitted mixed pytree structures (fall back to per-step)."""
-    from gnnkeras_tpu.parallel.data_parallel import stack_batches
+    sequencer emitted mixed pytree structures (fall back to per-step).
 
+    With ``cache_host`` (the sequencer), the stacked tree is reused across
+    epochs while the sequencer serves the same batch objects in the same
+    order (shuffle=False / between rebuilds) — skipping a full re-stack and
+    device copy of the dataset per epoch.  The cache keeps references to the
+    source batches so the id-tuple key stays valid."""
     if len(batches) < 2:
         return None
+    key = tuple(id(b) for b in batches)
+    if cache_host is not None:
+        cached = getattr(cache_host, "_scan_stack_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+    from gnnkeras_tpu.parallel.data_parallel import stack_batches
+
     try:
         if len({jax.tree_util.tree_structure(b) for b in batches}) != 1:
             return None
-        return stack_batches(batches)
+        stacked = stack_batches(batches)
     except (ValueError, TypeError):
         return None
+    if cache_host is not None:
+        cache_host._scan_stack_cache = (key, stacked, list(batches))
+    return stacked
 
 
 def _unstack_logs(logs) -> list:
@@ -261,7 +275,7 @@ def fit(
     for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()
         batches = [sequencer[i] for i in range(len(sequencer))]
-        stacked = _try_stack(batches) if scan_batches in (None, True) else None
+        stacked = _try_stack(batches, cache_host=sequencer) if scan_batches in (None, True) else None
         if stacked is not None:
             rngs = jnp.stack([model.next_rng() for _ in batches])
             params, mstate, opt_state, logs = _get_epoch_step(model)(
@@ -313,7 +327,7 @@ def evaluate(
         raise RuntimeError("call compile() before evaluate() (loaded models need recompiling, as in the reference)")
     model.build()
     batches = [sequencer[i] for i in range(len(sequencer))]
-    stacked = _try_stack(batches) if scan_batches in (None, True) else None
+    stacked = _try_stack(batches, cache_host=sequencer) if scan_batches in (None, True) else None
     if stacked is not None:
         rngs = jnp.stack([model.next_rng() for _ in batches])
         logs = _get_eval_epoch(model)(

@@ -112,3 +112,31 @@ class TestNativeTier:
         an = g.ArcNode_coo().toarray()
         want = an.T @ np.asarray(g.arcs[:, 2:], np.float64)
         np.testing.assert_allclose(agg[: want.shape[0]], want, rtol=1e-6)
+
+    def test_f64_inputs_not_downcast(self):
+        # under floatx='float64' the wrapper must not squeeze inputs through
+        # f32 — values below f32 resolution must survive
+        rng = np.random.default_rng(5)
+        n, a = 50, 200
+        src = rng.integers(0, n, a).astype(np.int32)
+        dst = rng.integers(0, n, a).astype(np.int32)
+        w = (1.0 + rng.random(a) * 1e-9).astype(np.float64)  # f32 would round
+        arc_label = rng.normal(size=(a, 2)).astype(np.float64)
+        nodes = rng.normal(size=(n, 3)).astype(np.float64)
+        got_arc, got_node = native.agg_label_sums(src, dst, w, arc_label, nodes, n)
+        want_arc = np.zeros((n, 2))
+        np.add.at(want_arc, dst, arc_label * w[:, None])
+        want_node = np.zeros((n, 3))
+        np.add.at(want_node, dst, nodes[src] * w[:, None])
+        np.testing.assert_array_equal(got_arc, want_arc)
+        np.testing.assert_array_equal(got_node, want_node)
+
+    def test_zero_weight_nan_label_propagates(self):
+        # 0*NaN must produce NaN exactly as np.add.at does (no zero skip)
+        src = np.array([0], np.int32)
+        dst = np.array([1], np.int32)
+        w = np.zeros(1, np.float32)
+        arc_label = np.full((1, 1), np.nan, np.float32)
+        nodes = np.ones((2, 1), np.float32)
+        acc_arc, _ = native.agg_label_sums(src, dst, w, arc_label, nodes, 2)
+        assert np.isnan(acc_arc[1, 0])

@@ -855,3 +855,22 @@ class TestDataParallelScan:
             jax.tree_util.tree_leaves(v_ref["params"]), jax.tree_util.tree_leaves(v_scan["params"])
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_checkpoint_cadence_with_chunked_launches(self, mesh8, tmp_path):
+        # steps_per_launch must not thin the checkpoint cadence to
+        # lcm(K, checkpoint_every): every chunk that CROSSES a boundary saves
+        import glob
+        import os
+
+        g = big_graph(seed=25)
+        gnn = build_gnn(GNNnodeBased, "n")
+        gnn.compile(optimizer="sgd:0.05", loss="mse")
+        pg = partition_graph(g, 8)
+        pgnn = PartitionedGNN(gnn, mesh8)
+        ckdir = str(tmp_path / "ck")
+        pgnn.fit(pg, epochs=12, verbose=0, steps_per_launch=3,
+                 checkpoint_dir=ckdir, checkpoint_every=2)
+        # every 3-epoch chunk crosses a boundary of 2 → a save per chunk
+        # (the manager retains 3 payloads; the metadata sidecars record all)
+        saves = glob.glob(os.path.join(ckdir, "extra_*.json"))
+        assert len(saves) >= 4, sorted(os.path.basename(s) for s in saves)
