@@ -1,0 +1,198 @@
+"""Command-line entry point: train / evaluate / predict / export / bench a
+GNN experiment from a ``GNNConfig`` JSON file and a dataset spec.
+
+The reference has no CLI (its "entry scripts" are hand-edited starter
+modules, README.md:30); this is the framework-grade equivalent of that
+surface, driven by the same typed config the starters use:
+
+    gnnkeras-tpu train  --dataset mutag --save model_dir/ --epochs 10
+    gnnkeras-tpu train  --config exp.json --dataset tu:/data:PROTEINS \\
+                        --checkpoint-dir ck/ --resume
+    gnnkeras-tpu evaluate --model model_dir/ --config exp.json --dataset mutag
+    gnnkeras-tpu predict  --model model_dir/ --config exp.json --dataset mutag \\
+                          --out preds.npy
+    gnnkeras-tpu export   --model model_dir/ --config exp.json --dataset mutag \\
+                          --out artifact/
+    gnnkeras-tpu bench
+
+Dataset specs: ``mutag`` (the reference Mutagenicity dump, auto-located),
+``mutag-composite``, or ``tu:<path>:<prefix>[:composite]`` for any TU-format
+dump.  Splits follow the reference starters (shuffle + 2837/750/750,
+``--split-seed``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _load_dataset(spec: str, verbose: bool = True):
+    from gnnkeras_tpu.data.mutag import load_mutag, load_tu_dataset
+
+    if spec in ("mutag", "mutag-composite"):
+        return load_mutag(composite=spec.endswith("composite"), verbose=verbose)
+    if spec.startswith("tu:"):
+        parts = spec.split(":")
+        if len(parts) not in (3, 4) or (len(parts) == 4 and parts[3] != "composite"):
+            raise SystemExit(f"bad dataset spec {spec!r} (want tu:<path>:<prefix>[:composite])")
+        return load_tu_dataset(parts[1], parts[2], composite=len(parts) == 4, verbose=verbose)
+    raise SystemExit(f"unknown dataset {spec!r} (mutag | mutag-composite | tu:<path>:<prefix>)")
+
+
+def _config(args) -> "GNNConfig":
+    from gnnkeras_tpu.config import GNNConfig
+
+    if args.config:
+        with open(args.config) as f:
+            cfg = GNNConfig.from_json(f.read())
+    else:
+        cfg = GNNConfig()
+    if getattr(args, "epochs", None) is not None:
+        cfg.epochs = args.epochs
+    return cfg
+
+
+def _splits(graphs, cfg, seed: Optional[int]):
+    from gnnkeras_tpu.data.mutag import mutag_splits
+
+    for g in graphs:
+        g.setAggregation(cfg.aggregation_mode)
+    return mutag_splits(graphs, seed=seed)
+
+
+def _dims(graphs):
+    g = graphs[0]
+    dims = tuple(int(d) for d in g.DIM_NODE_LABEL)
+    node_dim = dims if len(dims) > 1 or hasattr(g, "type_mask") else dims[0]
+    return node_dim, int(g.DIM_ARC_LABEL), int(g.DIM_TARGET)
+
+
+def _load_model(model_dir: str):
+    """Generic loader: dispatch on the ``model_class`` recorded in
+    config.json (models/base.py save format)."""
+    import os
+
+    from gnnkeras_tpu import models as M
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        name = json.load(f).get("model_class")
+    cls = getattr(M, name, None)
+    if cls is None:
+        raise SystemExit(f"unknown model_class {name!r} in {model_dir}/config.json")
+    return cls.load(model_dir)
+
+
+def cmd_train(args) -> int:
+    cfg = _config(args)
+    graphs = _load_dataset(args.dataset, verbose=args.verbose > 0)
+    tr, te, va = _splits(graphs, cfg, args.split_seed)
+    node_dim, arc_dim, t_dim = _dims(graphs)
+    model = cfg.build_model(node_dim, arc_dim, t_dim)
+    history = model.fit(
+        cfg.build_sequencer(tr),
+        epochs=cfg.epochs,
+        validation_data=cfg.build_sequencer(va, shuffle=False),
+        verbose=args.verbose,
+        checkpoint_dir=args.checkpoint_dir,
+        resume=args.resume,
+    )
+    logs = model.evaluate(cfg.build_sequencer(te, shuffle=False), verbose=args.verbose)
+    print(json.dumps({"test": logs, "final_train": {k: v[-1] for k, v in history.history.items()}}))
+    if args.save:
+        model.save(args.save)
+        print(f"saved model to {args.save}", file=sys.stderr)
+    return 0
+
+
+def _restore(args):
+    cfg = _config(args)
+    graphs = _load_dataset(args.dataset, verbose=args.verbose > 0)
+    tr, te, va = _splits(graphs, cfg, args.split_seed)
+    model = _load_model(args.model)
+    model.compile(optimizer=cfg.optimizer, loss=cfg.loss, metrics=list(cfg.metrics))
+    return cfg, model, (tr, te, va)
+
+
+def cmd_evaluate(args) -> int:
+    cfg, model, (_, te, _) = _restore(args)
+    print(json.dumps(model.evaluate(cfg.build_sequencer(te, shuffle=False), verbose=args.verbose)))
+    return 0
+
+
+def cmd_predict(args) -> int:
+    cfg, model, (_, te, _) = _restore(args)
+    preds = model.predict(cfg.build_sequencer(te, shuffle=False))
+    if args.out:
+        np.save(args.out, preds)
+        print(f"wrote {preds.shape} predictions to {args.out}", file=sys.stderr)
+    else:
+        np.savetxt(sys.stdout, preds, fmt="%.6g")
+    return 0
+
+
+def cmd_export(args) -> int:
+    from gnnkeras_tpu.serving import export_forward
+
+    cfg, model, (tr, _, _) = _restore(args)
+    seq = cfg.build_sequencer(tr[: cfg.batch_size], shuffle=False)
+    export_forward(model, seq[0], args.out)
+    print(f"exported StableHLO artifact to {args.out}", file=sys.stderr)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import runpy
+    import os
+
+    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "bench.py"), run_name="__main__")
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(prog="gnnkeras-tpu", description=__doc__.split("\n")[0])
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    def common(p, model=False, needs_out=False):
+        p.add_argument("--config", help="GNNConfig JSON file (defaults: starter surface)")
+        p.add_argument("--dataset", default="mutag", help="mutag | mutag-composite | tu:<path>:<prefix>[:composite]")
+        p.add_argument("--split-seed", type=int, default=42, help="reference starter split shuffle seed")
+        p.add_argument("--verbose", type=int, default=1)
+        if model:
+            p.add_argument("--model", required=True, help="saved model directory")
+        if needs_out:
+            p.add_argument("--out", required=needs_out == "required", help="output path")
+
+    p = sub.add_parser("train", help="train from a config, print test metrics as JSON")
+    common(p)
+    p.add_argument("--epochs", type=int, default=None, help="override config epochs")
+    p.add_argument("--save", help="save the trained model to this directory")
+    p.add_argument("--checkpoint-dir", help="resumable Orbax checkpoints")
+    p.add_argument("--resume", action="store_true", help="resume from --checkpoint-dir")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("evaluate", help="evaluate a saved model on the test split")
+    common(p, model=True)
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("predict", help="predictions for the test split (npy or stdout)")
+    common(p, model=True, needs_out=True)
+    p.set_defaults(fn=cmd_predict)
+
+    p = sub.add_parser("export", help="export a StableHLO serving artifact")
+    common(p, model=True, needs_out="required")
+    p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("bench", help="run the repo benchmark (one JSON line)")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

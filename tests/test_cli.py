@@ -1,0 +1,76 @@
+"""CLI entry point (gnnkeras_tpu.cli): train/evaluate/predict/export over a
+tiny synthetic TU-format dump."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gnnkeras_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def tu_dump(tmp_path_factory):
+    """A 1530-graph TU dataset, reference file layout (6 txt files)."""
+    root = tmp_path_factory.mktemp("tu")
+    rng = np.random.default_rng(0)
+    edges, e_labels, n_labels, g_of_n, g_labels = [], [], [], [], []
+    nid = 0
+    for g in range(1530):
+        n = int(rng.integers(4, 8))
+        for v in range(n):
+            n_labels.append(int(rng.integers(0, 3)))
+            g_of_n.append(g + 1)
+        for _ in range(int(rng.integers(6, 12))):
+            a, b = rng.integers(0, n, 2)
+            edges.append((nid + 1 + int(a), nid + 1 + int(b)))
+            e_labels.append(int(rng.integers(0, 2)))
+        nid += n
+        g_labels.append(int(rng.integers(0, 2)))
+    p = str(root) + "/"
+    with open(p + "TOY_edges.txt", "w") as f:
+        f.writelines(f"{a}, {b}\n" for a, b in edges)
+    for name, vals in [("edge_labels", e_labels), ("node_labels", n_labels),
+                       ("graph_indicator", g_of_n), ("graph_labels", g_labels)]:
+        with open(p + f"TOY_{name}.txt", "w") as f:
+            f.writelines(f"{v}\n" for v in vals)
+    return str(root)
+
+
+class TestCli:
+    def test_train_evaluate_predict_export(self, tu_dump, tmp_path, capsys):
+        cfg = tmp_path / "cfg.json"
+        cfg.write_text(json.dumps({"batch_size": 256, "epochs": 2, "max_iter": 2}))
+        model_dir = str(tmp_path / "model") + "/"
+        dataset = f"tu:{tu_dump}:TOY"
+
+        rc = main(["train", "--config", str(cfg), "--dataset", dataset,
+                   "--save", model_dir, "--verbose", "0"])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        metrics = json.loads(out)
+        assert "test" in metrics and "loss" in metrics["test"]
+        assert os.path.exists(os.path.join(model_dir, "config.json"))
+
+        rc = main(["evaluate", "--config", str(cfg), "--dataset", dataset,
+                   "--model", model_dir, "--verbose", "0"])
+        assert rc == 0
+        ev = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert np.isfinite(ev["loss"])
+
+        preds = tmp_path / "preds.npy"
+        rc = main(["predict", "--config", str(cfg), "--dataset", dataset,
+                   "--model", model_dir, "--out", str(preds), "--verbose", "0"])
+        assert rc == 0
+        assert np.load(preds).shape == (750, 2)  # starter split test size
+
+        art = str(tmp_path / "artifact")
+        rc = main(["export", "--config", str(cfg), "--dataset", dataset,
+                   "--model", model_dir, "--out", art, "--verbose", "0"])
+        assert rc == 0
+        assert os.path.isdir(art)
+
+    def test_bad_dataset_spec(self):
+        with pytest.raises(SystemExit):
+            main(["train", "--dataset", "nope"])
