@@ -295,3 +295,81 @@ class TestMicroBatcher:
         mb.close()
         np.testing.assert_allclose(r1, p([graphs[0]]), rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(r2, p([graphs[1]]), rtol=1e-5, atol=1e-6)
+
+
+class TestHttpServer:
+    """HTTP endpoint (serving_http.GraphServer): JSON protocol, concurrent
+    clients through the MicroBatcher, outputs equal the in-process Predictor."""
+
+    def _server(self, focus="g"):
+        from gnnkeras_tpu.serving_http import GraphServer
+
+        cls = GNNgraphBased if focus == "g" else GNNnodeBased
+        graphs = _random_graphs(8, seed=3, focus=focus)
+        gnn = _gnn(cls, focus)
+        p = Predictor.for_graphs(gnn, graphs, batch_size=len(graphs)).warmup()
+        server = GraphServer(p, port=0).start()  # ephemeral port
+        return server, p, graphs
+
+    @staticmethod
+    def _post(addr, payload):
+        import json as _json
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"http://{addr[0]}:{addr[1]}/predict",
+            data=_json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return _json.loads(resp.read())
+
+    def test_predict_matches_inprocess(self):
+        server, p, graphs = self._server()
+        try:
+            payload = {"graphs": [
+                {"nodes": g.nodes.tolist(), "arcs": g.arcs.tolist()} for g in graphs[:3]
+            ]}
+            got = self._post(server.address, payload)["outputs"]
+            want = p(graphs[:3])
+            flat = np.concatenate([np.asarray(o) for o in got], axis=0)
+            np.testing.assert_allclose(flat, want, rtol=1e-5, atol=1e-6)
+            assert len(got) == 3 and all(len(o) == 1 for o in got)  # one row per graph
+        finally:
+            server.close()
+
+    def test_health_metadata_and_errors(self):
+        import json as _json
+        import urllib.error
+        import urllib.request
+
+        server, p, graphs = self._server()
+        try:
+            addr = server.address
+            with urllib.request.urlopen(f"http://{addr[0]}:{addr[1]}/healthz", timeout=10) as r:
+                assert _json.loads(r.read())["status"] == "ok"
+            with urllib.request.urlopen(f"http://{addr[0]}:{addr[1]}/metadata", timeout=10) as r:
+                meta = _json.loads(r.read())
+            assert meta["focus"] == "g" and meta["max_graphs"] == 8
+            with pytest.raises(urllib.error.HTTPError) as e:
+                self._post(addr, {"grphs": []})
+            assert e.value.code == 400
+        finally:
+            server.close()
+
+    def test_concurrent_clients_coalesce(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        server, p, graphs = self._server()
+        try:
+            payloads = [
+                {"graphs": [{"nodes": g.nodes.tolist(), "arcs": g.arcs.tolist()}]}
+                for g in graphs
+            ]
+            with ThreadPoolExecutor(8) as pool:
+                results = list(pool.map(lambda pl: self._post(server.address, pl), payloads))
+            for g, res in zip(graphs, results):
+                want = p([g])
+                np.testing.assert_allclose(np.asarray(res["outputs"][0]), want, rtol=1e-5, atol=1e-6)
+        finally:
+            server.close()
