@@ -134,6 +134,32 @@ def bcsr_aggregate(state: jax.Array, m: BcsrMatrix) -> jax.Array:
     return agg.reshape(m.n_dst_tiles * m.tile, d).astype(out_dtype)
 
 
+@jax.custom_vjp
+def bcsr_aggregate_cvjp(state: jax.Array, m: BcsrMatrix) -> jax.Array:
+    """``bcsr_aggregate`` with an explicit transpose-operator backward.
+
+    Autodiff of the forward turns the tile gather into a tile scatter-add in
+    reverse; here the state cotangent is instead ``M·ct`` evaluated as one
+    more forward pass through ``transpose_bcsr(m)`` — the same
+    gather → einsum → sorted-segment-sum formulation as the forward.  The
+    operator itself is treated as a constant (cotangent None), matching the
+    reference where Adjacency/ArcNode are data, not parameters
+    (GNN/Models/GNN.py:228)."""
+    return bcsr_aggregate(state, m)
+
+
+def _bcsr_cvjp_fwd(state, m):
+    return bcsr_aggregate(state, m), (m,)
+
+
+def _bcsr_cvjp_bwd(res, ct):
+    (m,) = res
+    return bcsr_aggregate(ct, transpose_bcsr(m)), None
+
+
+bcsr_aggregate_cvjp.defvjp(_bcsr_cvjp_fwd, _bcsr_cvjp_bwd)
+
+
 def cast_bcsr(m: Optional[BcsrMatrix], dtype) -> Optional[BcsrMatrix]:
     if m is None:
         return None

@@ -158,3 +158,54 @@ class TestTilePacking:
                 assert s // 128 == (s + size - 1) // 128, "small graph must not straddle tiles"
             else:
                 assert s % 128 == 0, "large graph must start tile-aligned"
+
+
+class TestCustomVjp:
+    """bcsr_aggregate_cvjp: the transpose-operator backward must equal the
+    autodiff backward of the plain forward."""
+
+    def test_grad_matches_autodiff(self):
+        import jax
+        import jax.numpy as jnp
+        from gnnkeras_tpu.ops.bcsr import bcsr_aggregate, bcsr_aggregate_cvjp, build_bcsr
+
+        rng = np.random.default_rng(7)
+        n_src, n_dst, a = 512, 256, 4000
+        src = rng.integers(0, 500, a)
+        dst = rng.integers(0, 250, a)
+        w = rng.normal(size=a)
+        w[::11] = 0.0
+        m = build_bcsr(src, dst, w, n_src, n_dst, max_band_factor=64)
+        assert m is not None
+        state = jnp.asarray(rng.normal(size=(n_src, 14)).astype(np.float32))
+        ct_seed = jnp.asarray(rng.normal(size=(n_dst, 14)).astype(np.float32))
+
+        def loss_plain(s):
+            return jnp.sum(bcsr_aggregate(s, m) * ct_seed)
+
+        def loss_cvjp(s):
+            return jnp.sum(bcsr_aggregate_cvjp(s, m) * ct_seed)
+
+        out1 = bcsr_aggregate(state, m)
+        out2 = bcsr_aggregate_cvjp(state, m)
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+        g1 = jax.grad(loss_plain)(state)
+        g2 = jax.grad(loss_cvjp)(state)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-5)
+
+    def test_second_application_rectangular(self):
+        # transpose of a rectangular operator: shapes and values round-trip
+        import jax.numpy as jnp
+        from gnnkeras_tpu.ops.bcsr import bcsr_aggregate, build_bcsr, transpose_bcsr
+
+        rng = np.random.default_rng(8)
+        src = rng.integers(0, 384, 900)
+        dst = rng.integers(0, 128, 900)
+        w = rng.normal(size=900)
+        m = build_bcsr(src, dst, w, 384, 128, max_band_factor=64)
+        x = jnp.asarray(rng.normal(size=(128, 6)).astype(np.float32))
+        got = bcsr_aggregate(x, transpose_bcsr(m))  # M·x: (384, 6)
+        import scipy.sparse as sp
+
+        dense = sp.coo_matrix((w, (src, dst)), shape=(384, 128)).toarray()
+        np.testing.assert_allclose(np.asarray(got), dense @ np.asarray(x), rtol=1e-4, atol=1e-4)
