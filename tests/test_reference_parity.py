@@ -531,3 +531,43 @@ def test_serial_bake_cycle_parity():
             ours_baked.nodes, np.asarray(n_new), rtol=2e-4, atol=1e-5
         )
         np.testing.assert_allclose(ours_baked.arcs, np.asarray(a_new), rtol=2e-4, atol=1e-5)
+
+
+def test_transduction_matches_reference():
+    """get_transduction bit-parity: with the same global np.random state, our
+    transduced composite graph equals the reference's
+    (TransductiveGraphSequencers.py:62-95) field for field."""
+    from GNN.Sequencers.TransductiveGraphSequencers import (
+        TransductiveMultiGraphSequencer as RefTransSeq,
+    )
+
+    from gnnkeras_tpu.data.transductive import get_transduction as our_transduction
+    from gnnkeras_tpu.graph.graph import GraphObject as OurGO
+
+    rng = np.random.default_rng(13)
+    n, a = 30, 80
+    nodes = rng.normal(size=(n, 4)).astype(np.float32)
+    arcs = np.unique(
+        np.concatenate([rng.integers(0, n, (a, 2)).astype(np.float32),
+                        rng.normal(size=(a, 2)).astype(np.float32)], axis=1), axis=0)
+    targets = np.eye(2, dtype=np.float32)[rng.integers(0, 2, n)]
+    set_mask = rng.random(n) < 0.8
+    output_mask = rng.random(n) < 0.9
+
+    g_ref = make_ref_graph(nodes, arcs, targets[output_mask], "n", "average")
+    g_ref.set_mask, g_ref.output_mask = set_mask.copy(), output_mask.copy()
+    g_our = OurGO(nodes=nodes.copy(), arcs=arcs.copy(), targets=targets[output_mask].copy(),
+                  focus="n", aggregation_mode="average",
+                  set_mask=set_mask.copy(), output_mask=output_mask.copy())
+
+    np.random.seed(99)
+    t_ref = RefTransSeq.get_transduction(g_ref, 0.5, "n", np.float32)
+    np.random.seed(99)
+    t_our = our_transduction(g_our, 0.5, "n")
+
+    np.testing.assert_array_equal(np.asarray(t_our.type_mask), np.asarray(t_ref.type_mask))
+    np.testing.assert_array_equal(t_our.nodes, np.asarray(t_ref.nodes))
+    np.testing.assert_array_equal(t_our.targets, np.asarray(t_ref.targets))
+    np.testing.assert_array_equal(t_our.output_mask, np.asarray(t_ref.output_mask))
+    np.testing.assert_array_equal(t_our.set_mask, np.asarray(t_ref.set_mask))
+    assert tuple(int(d) for d in t_our.DIM_NODE_LABEL) == tuple(int(d) for d in np.ravel(t_ref.DIM_NODE_LABEL))
