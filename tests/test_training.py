@@ -383,3 +383,34 @@ class TestScanBatches:
         seq = MultiGraphSequencer(toy_graphs(6), "g", "average", batch_size=6, shuffle=False)
         hist = trainer.fit(model, seq, epochs=1, verbose=0, scan_batches=True)
         assert len(hist.history["loss"]) == 1
+
+
+class TestRecalibrateBatchnorm:
+    """Stats-only finalization pass: weights untouched, moving statistics
+    converge, eval loss drops toward the train-mode loss."""
+
+    def test_weights_untouched_and_loss_improves(self):
+        from gnnkeras_tpu.training import trainer
+        from gnnkeras_tpu.training.calibrate import recalibrate_batchnorm
+
+        np.random.seed(5)
+        model = toy_model()
+        seq = MultiGraphSequencer(toy_graphs(16), "g", "average", batch_size=8, shuffle=False)
+        trainer.fit(model, seq, epochs=5, verbose=0, seed=3)
+        before_eval = trainer.evaluate(model, seq)
+        params_before = jax.tree_util.tree_map(np.asarray, model.variables["params"])
+        state_before = jax.tree_util.tree_map(np.asarray, model.variables["state"])
+
+        recalibrate_batchnorm(model, seq, passes=80)
+
+        for a, b in zip(jax.tree_util.tree_leaves(params_before),
+                        jax.tree_util.tree_leaves(model.variables["params"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        moved = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree_util.tree_leaves(state_before),
+                            jax.tree_util.tree_leaves(model.variables["state"]))
+        )
+        assert moved, "moving statistics should have been updated"
+        after_eval = trainer.evaluate(model, seq)
+        assert after_eval["loss"] < before_eval["loss"]
