@@ -74,6 +74,8 @@ class GNNnodeBased(GraphModel):
         state_vect_dim: int,
         max_iteration: int,
         state_threshold: float,
+        *,
+        per_iteration_bn: bool = False,
     ) -> None:
         assert state_vect_dim >= 0
         assert max_iteration >= 0
@@ -84,6 +86,15 @@ class GNNnodeBased(GraphModel):
         self.state_vect_dim = int(state_vect_dim)
         self.max_iteration = int(max_iteration)
         self.state_threshold = float(state_threshold)
+        # BEYOND-REFERENCE OPTION (default off = reference semantics): give
+        # every unfolding iteration its OWN BatchNorm statistics, as in
+        # Recurrent Batch Normalization (Cooijmans et al., 2017).  The
+        # reference shares one set of moving moments across all iterations,
+        # so evaluation applies a single moment set to per-iteration state
+        # distributions that genuinely differ — the measured eval/train-mode
+        # accuracy gap (BASELINE.md).  Per-iteration statistics remove that
+        # mismatch at the cost of K× the (tiny) BN state.
+        self.per_iteration_bn = bool(per_iteration_bn)
         # rematerialize the unfolding steps in the backward pass.  The scan
         # residuals are k·(N·d + transition activations) — tens of MB for
         # typical graph batches, so storing them (remat=False, measured 24%
@@ -95,6 +106,11 @@ class GNNnodeBased(GraphModel):
     def init(self, rng: jax.Array) -> dict:
         k1, k2 = jax.random.split(rng)
         vs, vo = self.net_state.init(k1), self.net_output.init(k2)
+        if self.per_iteration_bn:
+            k_iters = max(self.max_iteration, 1)
+            vs["state"] = jax.tree_util.tree_map(
+                lambda x: jnp.stack([x] * k_iters), vs["state"]
+            )
         return {
             "params": {"net_state": vs["params"], "net_output": vo["params"]},
             "state": {"net_state": vs["state"], "net_output": vo["state"]},
@@ -202,6 +218,12 @@ class GNNnodeBased(GraphModel):
             running_next = jnp.logical_and(running, changed)
             return (k + running.astype(floatx()), state_next, running_next, bn_next)
 
+        if self.per_iteration_bn and self.max_iteration >= 1:
+            return self._unfold_per_iter_bn(
+                batch, state0, state_old0, aggregated_nodes, aggregated_arcs,
+                bn0, step_rngs, training, rng, net_state_params,
+            )
+
         if training or self.max_iteration == 0:
             # scan to the static bound; once converged every further step is a
             # pass-through (identity in the reverse pass), so gradients flow
@@ -255,6 +277,85 @@ class GNNnodeBased(GraphModel):
 
         return k, state, bn_final
 
+    def _unfold_per_iter_bn(
+        self, batch, state0, state_old0, aggregated_nodes, aggregated_arcs,
+        bn_stack, step_rngs, training, rng, net_state_params,
+    ):
+        """Unfolding with per-iteration BatchNorm statistics (see __init__).
+
+        ``bn_stack`` leaves carry a leading K axis; training scans the
+        iterations WITH their statistics slice as scan xs/ys (slice i is only
+        updated while the convergence predicate still runs); inference
+        indexes the stack by the dynamic iteration counter."""
+
+        def transition(state, bn_state, step_rng, aggregated_states=None):
+            if aggregated_states is None:
+                aggregated_states = batch.aggregate(state)
+            inp = self._transition_input(state, batch, aggregated_states, aggregated_nodes, aggregated_arcs)
+            return self.net_state.apply(
+                {"params": net_state_params, "state": bn_state},
+                inp, training=training, mask=batch.node_mask,
+                rng=step_rng if rng is not None else None,
+            )
+
+        take = lambda tree, i: jax.tree_util.tree_map(lambda x: x[i], tree)
+
+        if training:
+            def step_body(carry, xs, aggregated_states=None):
+                k, state, running = carry
+                step_rng, bn_i = xs
+                new_state, new_bn = transition(state, bn_i, step_rng, aggregated_states)
+                changed = unconverged(new_state, state, batch.node_mask, self.state_threshold)
+                state_next = jnp.where(running, new_state, state)
+                bn_out = _select_tree(running, new_bn, bn_i)
+                return (k + running.astype(floatx()), state_next, jnp.logical_and(running, changed)), bn_out
+
+            maybe_remat = jax.checkpoint if self.remat else (lambda f: f)
+            running0 = unconverged(state0, state_old0, batch.node_mask, self.state_threshold)
+            carry = (jnp.zeros((), floatx()), state0, running0)
+            peel = self.state_vect_dim == 0 and batch.agg_node_labels is not None
+            if peel:
+                peeled = maybe_remat(
+                    lambda c, x: step_body(c, x, aggregated_states=batch.agg_node_labels)
+                )
+                carry, bn_first = peeled(carry, (step_rngs[0], take(bn_stack, 0)))
+                xs = (step_rngs[1:], take(bn_stack, slice(1, None)))
+            else:
+                xs = (step_rngs, bn_stack)
+            step = maybe_remat(step_body)
+            (k, state, _), bn_rest = jax.lax.scan(step, carry, xs)
+            if peel:
+                bn_final = jax.tree_util.tree_map(
+                    lambda first, rest: jnp.concatenate([first[None], rest]), bn_first, bn_rest
+                )
+            else:
+                bn_final = bn_rest
+            return k, state, bn_final
+
+        # inference: while_loop indexing the statistics stack per iteration
+        def cond_fn(carry):
+            k, state, changed = carry
+            return jnp.logical_and(changed, k < self.max_iteration)
+
+        def body_fn(carry, aggregated_states=None):
+            k, state, changed = carry
+            idx = jnp.minimum(k.astype(jnp.int32), self.max_iteration - 1)
+            new_state, _ = transition(state, take(bn_stack, idx), step_rngs[idx], aggregated_states)
+            changed = unconverged(new_state, state, batch.node_mask, self.state_threshold)
+            return (k + 1.0, new_state, changed)
+
+        changed0 = unconverged(state0, state_old0, batch.node_mask, self.state_threshold)
+        carry = (jnp.zeros((), floatx()), state0, changed0)
+        if self.state_vect_dim == 0 and batch.agg_node_labels is not None:
+            carry = jax.lax.cond(
+                cond_fn(carry),
+                lambda c: body_fn(c, aggregated_states=batch.agg_node_labels),
+                lambda c: c,
+                carry,
+            )
+        k, state, _ = jax.lax.while_loop(cond_fn, body_fn, carry)
+        return k, state, bn_stack
+
     # -- fused whole-unfold fast path (ops/fused.py) ----------------------------
     def fold_transition(self, variables: dict):
         """Fold the state net's inference BatchNorm into its Dense layer and
@@ -268,6 +369,9 @@ class GNNnodeBased(GraphModel):
         from gnnkeras_tpu.ops.fused import _ACTIVATIONS
 
         if self.state_vect_dim != 0:
+            return None
+        if self.per_iteration_bn:
+            # one folded weight set cannot carry K different moment sets
             return None
         net = self.net_state
         program = net.program
@@ -397,6 +501,7 @@ class GNNnodeBased(GraphModel):
             "state_vect_dim": self.state_vect_dim,
             "max_iteration": self.max_iteration,
             "state_threshold": self.state_threshold,
+            "per_iteration_bn": self.per_iteration_bn,
         }
 
     def _json_config(self) -> dict:
@@ -407,6 +512,7 @@ class GNNnodeBased(GraphModel):
             "state_vect_dim": self.state_vect_dim,
             "max_iteration": self.max_iteration,
             "state_threshold": self.state_threshold,
+            "per_iteration_bn": self.per_iteration_bn,
         }
 
     @classmethod

@@ -414,3 +414,95 @@ class TestRecalibrateBatchnorm:
         assert moved, "moving statistics should have been updated"
         after_eval = trainer.evaluate(model, seq)
         assert after_eval["loss"] < before_eval["loss"]
+
+
+class TestPerIterationBN:
+    """Opt-in Recurrent-BatchNorm variant: per-unfolding-iteration moving
+    statistics (models/gnn.py per_iteration_bn)."""
+
+    def _model(self, **kw):
+        inp_s, layers_s = get_inout_dims("state", 3, 2, 2, "g", 0)
+        inp_o, layers_o = get_inout_dims("output", 3, 2, 2, "g", 0)
+        gnn = GNNgraphBased(
+            MLP(input_dim=inp_s[0], layers=layers_s, activations="selu",
+                kernel_initializer="lecun_normal", bias_initializer="lecun_normal"),
+            MLP(input_dim=inp_o[0], layers=layers_o, activations="softmax",
+                kernel_initializer="glorot_normal", bias_initializer="glorot_normal"),
+            0, 4, 0.0, **kw,
+        )
+        gnn.compile(optimizer="adam:0.01", loss="categorical_crossentropy", metrics=["accuracy"])
+        return gnn
+
+    def test_stats_have_iteration_axis_and_diverge(self):
+        from gnnkeras_tpu.training import trainer
+
+        np.random.seed(2)
+        model = self._model(per_iteration_bn=True)
+        seq = MultiGraphSequencer(toy_graphs(12), "g", "average", batch_size=6, shuffle=False)
+        trainer.fit(model, seq, epochs=4, verbose=0, seed=5)
+        bn = model.variables["state"]["net_state"]
+        means = [np.asarray(s["moving_mean"]) for s in jax.tree_util.tree_leaves(
+            bn, is_leaf=lambda x: isinstance(x, dict)) if "moving_mean" in s]
+        assert means and all(m.shape[0] == 4 for m in means)  # K leading axis
+        # iteration distributions differ, so the per-iteration stats must too
+        assert not np.allclose(means[0][0], means[0][-1])
+        ev = trainer.evaluate(model, seq)
+        assert np.isfinite(ev["loss"])
+
+    def test_eval_uses_per_iteration_stats(self):
+        # oracle: manual unrolled eval with the slice-i statistics must match
+        # the while_loop forward
+        from gnnkeras_tpu.graph.batch import graphs_to_batch
+        from gnnkeras_tpu.training import trainer
+
+        np.random.seed(3)
+        model = self._model(per_iteration_bn=True)
+        graphs = toy_graphs(6)
+        seq = MultiGraphSequencer(graphs, "g", "average", batch_size=6, shuffle=False)
+        trainer.fit(model, seq, epochs=2, verbose=0, seed=9)
+        batch = seq[0]
+        k, state, out, mask, _ = model.forward(model.variables, batch, training=False)
+
+        # manual unroll with indexed statistics
+        import jax.numpy as jnp
+
+        take = lambda tree, i: jax.tree_util.tree_map(lambda x: x[i], tree)
+        params = model.variables["params"]
+        bn = model.variables["state"]["net_state"]
+        s = batch.nodes
+        agg_arcs = batch.agg_arc_labels
+        for i in range(int(k)):
+            agg_state = batch.agg_node_labels if i == 0 else batch.aggregate(s)
+            inp = jnp.concatenate([s, agg_state, jnp.zeros((s.shape[0], 0)), agg_arcs], axis=1)
+            s, _ = model.net_state.apply(
+                {"params": params["net_state"], "state": take(bn, i)},
+                inp, training=False, mask=batch.node_mask)
+        np.testing.assert_allclose(np.asarray(state), np.asarray(s), rtol=1e-5, atol=1e-6)
+
+    def test_save_load_roundtrip(self, tmp_path):
+        from gnnkeras_tpu.training import trainer
+
+        np.random.seed(4)
+        model = self._model(per_iteration_bn=True)
+        seq = MultiGraphSequencer(toy_graphs(8), "g", "average", batch_size=4, shuffle=False)
+        trainer.fit(model, seq, epochs=1, verbose=0)
+        want = trainer.evaluate(model, seq)
+        model.save(str(tmp_path / "m"))
+        loaded = GNNgraphBased.load(str(tmp_path / "m"))
+        assert loaded.per_iteration_bn
+        loaded.compile(optimizer="adam:0.01", loss="categorical_crossentropy", metrics=["accuracy"])
+        got = trainer.evaluate(loaded, seq)
+        assert got["loss"] == pytest.approx(want["loss"], rel=1e-6)
+
+    def test_default_off_matches_previous_behavior(self):
+        from gnnkeras_tpu.training import trainer
+
+        np.random.seed(5)
+        model = self._model()
+        assert not model.per_iteration_bn
+        seq = MultiGraphSequencer(toy_graphs(8), "g", "average", batch_size=4, shuffle=False)
+        trainer.fit(model, seq, epochs=1, verbose=0)
+        bn = model.variables["state"]["net_state"]
+        means = [np.asarray(s["moving_mean"]) for s in jax.tree_util.tree_leaves(
+            bn, is_leaf=lambda x: isinstance(x, dict)) if "moving_mean" in s]
+        assert means and all(m.ndim == 1 for m in means)  # no K axis
