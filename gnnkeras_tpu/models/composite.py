@@ -43,6 +43,8 @@ class CompositeGNNnodeBased(GNNnodeBased):
         state_vect_dim: int,
         max_iteration: int,
         state_threshold: float,
+        *,
+        per_iteration_bn: bool = False,
     ) -> None:
         assert max_iteration > 0  # reference CompositeGNN.py:27
         super().__init__(
@@ -51,6 +53,7 @@ class CompositeGNNnodeBased(GNNnodeBased):
             state_vect_dim=state_vect_dim,
             max_iteration=max_iteration,
             state_threshold=state_threshold,
+            per_iteration_bn=per_iteration_bn,
         )
         self.net_state: List[MLP] = list(net_state)
 
@@ -59,9 +62,15 @@ class CompositeGNNnodeBased(GNNnodeBased):
         keys = jax.random.split(rng, len(self.net_state) + 1)
         vs = [net.init(k) for net, k in zip(self.net_state, keys[:-1])]
         vo = self.net_output.init(keys[-1])
+        state_trees = [v["state"] for v in vs]
+        if self.per_iteration_bn:
+            k_iters = max(self.max_iteration, 1)
+            state_trees = jax.tree_util.tree_map(
+                lambda x: jnp.stack([x] * k_iters), state_trees
+            )
         return {
             "params": {"net_state": [v["params"] for v in vs], "net_output": vo["params"]},
-            "state": {"net_state": [v["state"] for v in vs], "net_output": vo["state"]},
+            "state": {"net_state": state_trees, "net_output": vo["state"]},
         }
 
     # -- forward --------------------------------------------------------------
@@ -142,7 +151,27 @@ class CompositeGNNnodeBased(GNNnodeBased):
                 new_bns.append(bn_t)
             return new_state, new_bns
 
-        if training:
+        take = lambda tree, i: jax.tree_util.tree_map(lambda x: x[i], tree)
+
+        if training and self.per_iteration_bn:
+            # per-iteration statistics ride as scan xs/ys (see models/gnn.py
+            # _unfold_per_iter_bn); slice i only updates while still running
+            def step(carry, xs):
+                k, state, running = carry
+                rngs_t, bn_i = xs
+                new_state, new_bns = transition(state, bn_i, rngs_t)
+                changed = unconverged(new_state, state, batch.node_mask, self.state_threshold)
+                state_next = jnp.where(running, new_state, state)
+                bn_out = _select_tree(running, new_bns, bn_i)
+                return (k + running.astype(floatx()), state_next, jnp.logical_and(running, changed)), bn_out
+
+            if self.remat:
+                step = jax.checkpoint(step)
+            running0 = unconverged(state0, state_old0, batch.node_mask, self.state_threshold)
+            (k, state, _), bn_final = jax.lax.scan(
+                step, (jnp.zeros((), floatx()), state0, running0), (step_rngs, bn0)
+            )
+        elif training:
             def step(carry, rngs_t):
                 # predicate refreshed from the just-computed operands, as in
                 # models/gnn.py step_body — no second full-state carry
@@ -163,6 +192,24 @@ class CompositeGNNnodeBased(GNNnodeBased):
                 step_rngs,
                 length=self.max_iteration,
             )
+        elif self.per_iteration_bn:
+            # inference with the statistics stack indexed per iteration
+            def cond_fn(carry):
+                k, state, changed = carry
+                return jnp.logical_and(changed, k < self.max_iteration)
+
+            def body_fn(carry):
+                k, state, changed = carry
+                idx = jnp.minimum(k.astype(jnp.int32), self.max_iteration - 1)
+                new_state, _ = transition(state, take(bn0, idx), step_rngs[idx])
+                changed = unconverged(new_state, state, batch.node_mask, self.state_threshold)
+                return (k + 1.0, new_state, changed)
+
+            changed0 = unconverged(state0, state_old0, batch.node_mask, self.state_threshold)
+            k, state, _ = jax.lax.while_loop(
+                cond_fn, body_fn, (jnp.zeros((), floatx()), state0, changed0)
+            )
+            bn_final = bn0
         else:
             # carried ``changed`` flag instead of a second full-state copy,
             # as in models/gnn.py's inference loop
@@ -212,6 +259,7 @@ class CompositeGNNnodeBased(GNNnodeBased):
             "state_vect_dim": self.state_vect_dim,
             "max_iteration": self.max_iteration,
             "state_threshold": self.state_threshold,
+            "per_iteration_bn": self.per_iteration_bn,
         }
 
     @classmethod

@@ -506,3 +506,38 @@ class TestPerIterationBN:
         means = [np.asarray(s["moving_mean"]) for s in jax.tree_util.tree_leaves(
             bn, is_leaf=lambda x: isinstance(x, dict)) if "moving_mean" in s]
         assert means and all(m.ndim == 1 for m in means)  # no K axis
+
+    def test_composite_per_iteration_bn(self):
+        from gnnkeras_tpu.data.sequencers import CompositeMultiGraphSequencer
+        from gnnkeras_tpu.graph.graph import CompositeGraphObject
+        from gnnkeras_tpu.models.composite import CompositeGNNgraphBased
+        from gnnkeras_tpu.training import trainer
+
+        rng = np.random.default_rng(6)
+        graphs = []
+        for _ in range(8):
+            n, a = int(rng.integers(5, 9)), int(rng.integers(8, 14))
+            nodes = rng.normal(size=(n, 3))
+            arcs = np.concatenate([rng.integers(0, n, (a, 2)), rng.normal(size=(a, 2))], axis=1)
+            t = np.eye(2)[rng.integers(2)][None]
+            tm = np.ones((n, 1), dtype=bool)
+            graphs.append(CompositeGraphObject(nodes=nodes, arcs=arcs, targets=t, focus="g",
+                                               type_mask=tm, dim_node_label=(3,),
+                                               aggregation_mode="average"))
+        ds = 4
+        from gnnkeras_tpu.models.mlp import MLP as OurMLP, get_inout_dims as dims
+
+        inp_s, ls = dims("state", (3,), 2, 2, "g", ds)
+        nets = [OurMLP(input_dim=inp_s[0], layers=ls, activations="selu")]
+        out_net = OurMLP(input_dim=(ds,), layers=[2], activations="softmax")
+        cgnn = CompositeGNNgraphBased(nets, out_net, ds, 3, 0.0, per_iteration_bn=True)
+        cgnn.compile(optimizer="adam:0.01", loss="categorical_crossentropy", metrics=["accuracy"])
+        seq = CompositeMultiGraphSequencer(graphs, "g", "average", batch_size=4, shuffle=False)
+        h = trainer.fit(cgnn, seq, epochs=2, verbose=0, seed=3)
+        assert np.isfinite(h.history["loss"][-1])
+        bn = cgnn.variables["state"]["net_state"][0]
+        means = [np.asarray(s["moving_mean"]) for s in jax.tree_util.tree_leaves(
+            bn, is_leaf=lambda x: isinstance(x, dict)) if "moving_mean" in s]
+        assert means and all(m.shape[0] == 3 for m in means)
+        ev = trainer.evaluate(cgnn, seq)
+        assert np.isfinite(ev["loss"])
