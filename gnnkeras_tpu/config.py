@@ -56,6 +56,9 @@ class GNNConfig:
     dropout_pos: Optional[Union[int, List[int]]] = None
     alphadropout: bool = False
     batch_normalization: bool = True
+    # beyond-reference: per-unfolding-iteration BatchNorm statistics
+    # (Recurrent BatchNorm; see models/gnn.py) — off = reference semantics
+    per_iteration_bn: bool = False
 
     def __post_init__(self):
         assert self.focus in ("a", "n", "g"), f"bad focus {self.focus}"
@@ -142,9 +145,11 @@ class GNNConfig:
         for layer in range(self.layers):
             nets_state, net_output = self._mlp_pair(dim_node_label, dim_arc_label, dim_target, layer)
             if composite:
-                gnns.append(comp_cls(nets_state, net_output, self.dim_state, self.max_iter, self.state_threshold))
+                gnns.append(comp_cls(nets_state, net_output, self.dim_state, self.max_iter,
+                                     self.state_threshold, per_iteration_bn=self.per_iteration_bn))
             else:
-                gnns.append(homo_cls(nets_state[0], net_output, self.dim_state, self.max_iter, self.state_threshold))
+                gnns.append(homo_cls(nets_state[0], net_output, self.dim_state, self.max_iter,
+                                     self.state_threshold, per_iteration_bn=self.per_iteration_bn))
 
         if self.layers == 1:
             model = gnns[0]
