@@ -287,6 +287,7 @@ class CompositeGNNnodeBased(GNNnodeBased):
             state_vect_dim=self.state_vect_dim,
             max_iteration=self.max_iteration,
             state_threshold=self.state_threshold,
+            per_iteration_bn=self.per_iteration_bn,
         )
         if copy_weights and self.variables is not None:
             clone.variables = jax.tree_util.tree_map(lambda x: x, self.variables)

@@ -220,8 +220,7 @@ class GNNnodeBased(GraphModel):
 
         if self.per_iteration_bn and self.max_iteration >= 1:
             return self._unfold_per_iter_bn(
-                batch, state0, state_old0, aggregated_nodes, aggregated_arcs,
-                bn0, step_rngs, training, rng, net_state_params,
+                batch, state0, state_old0, bn0, step_rngs, training, transition
             )
 
         if training or self.max_iteration == 0:
@@ -278,26 +277,16 @@ class GNNnodeBased(GraphModel):
         return k, state, bn_final
 
     def _unfold_per_iter_bn(
-        self, batch, state0, state_old0, aggregated_nodes, aggregated_arcs,
-        bn_stack, step_rngs, training, rng, net_state_params,
+        self, batch, state0, state_old0, bn_stack, step_rngs, training, transition,
     ):
         """Unfolding with per-iteration BatchNorm statistics (see __init__).
 
+        ``transition`` is the single per-step closure built by ``unfold``
+        (shared with the standard path so the two cannot drift).
         ``bn_stack`` leaves carry a leading K axis; training scans the
         iterations WITH their statistics slice as scan xs/ys (slice i is only
         updated while the convergence predicate still runs); inference
         indexes the stack by the dynamic iteration counter."""
-
-        def transition(state, bn_state, step_rng, aggregated_states=None):
-            if aggregated_states is None:
-                aggregated_states = batch.aggregate(state)
-            inp = self._transition_input(state, batch, aggregated_states, aggregated_nodes, aggregated_arcs)
-            return self.net_state.apply(
-                {"params": net_state_params, "state": bn_state},
-                inp, training=training, mask=batch.node_mask,
-                rng=step_rng if rng is not None else None,
-            )
-
         take = lambda tree, i: jax.tree_util.tree_map(lambda x: x[i], tree)
 
         if training:
@@ -546,6 +535,7 @@ class GNNnodeBased(GraphModel):
             state_vect_dim=self.state_vect_dim,
             max_iteration=self.max_iteration,
             state_threshold=self.state_threshold,
+            per_iteration_bn=self.per_iteration_bn,
         )
         if copy_weights and self.variables is not None:
             clone.variables = jax.tree_util.tree_map(lambda x: x, self.variables)

@@ -125,6 +125,11 @@ class ExpertParallelCompositeGNN:
     def __init__(self, cgnn: CompositeGNNnodeBased, mesh: Optional[Mesh] = None, axis: str = "expert"):
         from gnnkeras_tpu.parallel.mesh import make_mesh
 
+        if getattr(cgnn, "per_iteration_bn", False):
+            raise ValueError(
+                "per_iteration_bn models are not supported by ExpertParallelCompositeGNN "
+                "(the wrapper re-implements the unfold with shared BatchNorm moments)"
+            )
         self.cgnn = cgnn
         self.axis = axis
         self.mesh = mesh if mesh is not None else make_mesh((axis,))

@@ -409,6 +409,11 @@ class PartitionedGNN:
 
         from gnnkeras_tpu.models.composite import CompositeGNNnodeBased
 
+        if getattr(gnn, "per_iteration_bn", False):
+            raise ValueError(
+                "per_iteration_bn models are not supported by PartitionedGNN "
+                "(the partitioned unfold runs shared BatchNorm moments)"
+            )
         self.composite = isinstance(gnn, CompositeGNNnodeBased)
         assert transport in ("collective", "pallas_ring")
         self.gnn = gnn

@@ -256,6 +256,11 @@ class TensorParallelGNN:
     def __init__(self, gnn: GNNnodeBased, mesh: Optional[Mesh] = None, axis: str = "model"):
         from gnnkeras_tpu.parallel.mesh import make_mesh
 
+        if getattr(gnn, "per_iteration_bn", False):
+            raise ValueError(
+                "per_iteration_bn models are not supported by TensorParallelGNN "
+                "(the wrapper re-implements the unfold with shared BatchNorm moments)"
+            )
         self.gnn = gnn
         self.axis = axis
         self.mesh = mesh if mesh is not None else make_mesh((axis,))

@@ -90,12 +90,14 @@ def main():
         type(ours).next_rng = orig_next
     print(f"\nOURS:      test acc {ours_eval['accuracy']:.4f}  loss {ours_eval['loss']:.4f}  ({ours_time:.1f}s)")
 
-    # materialize the state inits those rngs produced (our forward draws
-    # 0.1*normal(rng, (N_pad, ds)) over the PADDED rows; reference gets [:n])
+    # materialize the state inits those rngs produced: forward() splits the
+    # per-step rng into (rng_loop, rng_out) and the unfold draws
+    # 0.1*normal(rng_loop, (N_pad, ds)) over the PADDED rows
+    # (models/gnn.py forward); reference gets rows [:n]
     pad_nodes = seqTr.batches[0].num_nodes
     pad_nodes_te = seqTe.batches[0].num_nodes
     n_tr_steps = len(seqTr) * args.epochs
-    inits = [np.asarray(0.1 * jrandom.normal(jax.numpy.asarray(k),
+    inits = [np.asarray(0.1 * jrandom.normal(jrandom.split(jax.numpy.asarray(k))[0],
                                              (pad_nodes if i < n_tr_steps else pad_nodes_te, ds),
                                              dtype=np.float32))
              for i, k in enumerate(used_rngs)]
