@@ -541,3 +541,39 @@ class TestPerIterationBN:
         assert means and all(m.shape[0] == 3 for m in means)
         ev = trainer.evaluate(cgnn, seq)
         assert np.isfinite(ev["loss"])
+
+    def test_parallel_wrappers_reject_per_iteration_bn(self):
+        from gnnkeras_tpu.parallel.mesh import make_mesh
+        from gnnkeras_tpu.parallel.partition import PartitionedGNN
+        from gnnkeras_tpu.parallel.tensor_parallel import TensorParallelGNN
+
+        model = self._model(per_iteration_bn=True)
+        mesh = make_mesh(("model",))
+        with pytest.raises(ValueError, match="per_iteration_bn"):
+            TensorParallelGNN(model, mesh)
+        with pytest.raises(ValueError, match="per_iteration_bn"):
+            PartitionedGNN(model, make_mesh(("graph",)))
+
+    def test_copy_preserves_flag(self):
+        model = self._model(per_iteration_bn=True)
+        model.build(seed=1)
+        clone = model.copy()
+        assert clone.per_iteration_bn
+        ks = [np.asarray(s["moving_mean"]).shape for s in jax.tree_util.tree_leaves(
+            clone.variables["state"]["net_state"], is_leaf=lambda x: isinstance(x, dict))
+            if "moving_mean" in s]
+        assert all(k[0] == 4 for k in ks)
+
+    def test_predictor_serves_per_iteration_bn_model(self):
+        from gnnkeras_tpu.serving import Predictor
+        from gnnkeras_tpu.training import trainer
+
+        np.random.seed(8)
+        model = self._model(per_iteration_bn=True)
+        graphs = toy_graphs(6)
+        seq = MultiGraphSequencer(graphs, "g", "average", batch_size=6, shuffle=False)
+        trainer.fit(model, seq, epochs=1, verbose=0)
+        p = Predictor.for_graphs(model, graphs, batch_size=3, fused="auto").warmup()
+        out = p(graphs[:2])
+        assert out.shape == (2, 2) and np.all(np.isfinite(out))
+        assert not p.fused  # fold_transition rejects per-iteration stats
