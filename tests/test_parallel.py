@@ -874,3 +874,61 @@ class TestDataParallelScan:
         # (the manager retains 3 payloads; the metadata sidecars record all)
         saves = glob.glob(os.path.join(ckdir, "extra_*.json"))
         assert len(saves) >= 4, sorted(os.path.basename(s) for s in saves)
+
+
+class TestLocalityReorder:
+    """reorder='rcm': bandwidth-reducing relabel before range partitioning.
+    Loss is permutation-invariant; the halo shrinks when the original
+    labeling hides locality."""
+
+    @staticmethod
+    def shuffled_grid_graph(side=40, seed=3):
+        """2D grid whose node ids are randomly shuffled — range partitioning
+        of the raw labeling reads almost everything remotely."""
+        rng = np.random.default_rng(seed)
+        n = side * side
+        perm = rng.permutation(n)
+        edges = []
+        for r in range(side):
+            for c in range(side):
+                v = r * side + c
+                if c + 1 < side:
+                    edges.append((v, v + 1)); edges.append((v + 1, v))
+                if r + 1 < side:
+                    edges.append((v, v + side)); edges.append((v + side, v))
+        e = perm[np.asarray(edges, np.int64)]
+        arcs = np.concatenate([e.astype(float), rng.normal(size=(len(e), 2))], axis=1)
+        nodes = rng.normal(size=(n, 3))
+        targets = rng.normal(size=(n, 2))
+        return GraphObject(nodes=nodes, arcs=arcs, targets=targets, focus="n",
+                           aggregation_mode="average")
+
+    def test_halo_shrinks_and_loss_matches(self, mesh8):
+        g = self.shuffled_grid_graph()
+        pg_plain = partition_graph(g, 8)
+        pg_rcm = partition_graph(g, 8, reorder="rcm")
+
+        # raw labeling: halo ≥ partition size → full all_gather fallback;
+        # RCM recovers the grid's ideal cut (~2 rows of 40 = 80 slots)
+        assert pg_plain.publish_local is None
+        assert pg_rcm.publish_local is not None
+        assert pg_rcm.publish_local.shape[1] <= 96, pg_rcm.publish_local.shape
+
+        gnn = build_gnn(GNNnodeBased, "n")
+        gnn.compile(optimizer="sgd:0.1", loss="mse")
+        pgnn = PartitionedGNN(gnn, mesh8)
+        rng = jax.random.PRNGKey(3)
+        gnn.build(seed=5)
+        gnn._opt_state = gnn.optimizer.init(gnn.variables["params"])
+        step = pgnn.make_train_step()
+        _, _, _, logs_plain = step(gnn.variables["params"], gnn.variables["state"],
+                                   gnn._opt_state, pg_plain, rng)
+        gnn2 = build_gnn(GNNnodeBased, "n")
+        gnn2.compile(optimizer="sgd:0.1", loss="mse")
+        gnn2.build(seed=5)
+        gnn2._opt_state = gnn2.optimizer.init(gnn2.variables["params"])
+        pgnn2 = PartitionedGNN(gnn2, mesh8)
+        step2 = pgnn2.make_train_step()
+        _, _, _, logs_rcm = step2(gnn2.variables["params"], gnn2.variables["state"],
+                                  gnn2._opt_state, pg_rcm, rng)
+        assert float(logs_rcm["loss"]) == pytest.approx(float(logs_plain["loss"]), rel=1e-5)
