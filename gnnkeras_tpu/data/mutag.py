@@ -76,21 +76,33 @@ def load_tu_dataset(
         return flat.reshape(-1, columns) if columns > 1 else flat
 
     edges_ids = _load_int_file(path + f"{prefix}_edges.txt", columns=2)
-    node_labels = _load_int_file(path + f"{prefix}_node_labels.txt")
     graph_of_node = _load_int_file(path + f"{prefix}_graph_indicator.txt")
     graph_targets = _load_int_file(path + f"{prefix}_graph_labels.txt")
+    nl_path = path + f"{prefix}_node_labels.txt"
+    node_labels = _load_int_file(nl_path) if os.path.exists(nl_path) else None
     el_path = path + f"{prefix}_edge_labels.txt"
     if os.path.exists(el_path):
         edges_labels = _load_int_file(el_path)
     else:
         edges_labels = np.zeros(edges_ids.shape[0], dtype=int)
+    # optional continuous node features ({prefix}_node_attributes.txt, float
+    # CSV rows — PROTEINS/ENZYMES-style); concatenated after the label one-hot
+    na_path = path + f"{prefix}_node_attributes.txt"
+    node_attrs = np.loadtxt(na_path, dtype=float, delimiter=",", ndmin=2) if os.path.exists(na_path) else None
+    if node_labels is None and node_attrs is None:
+        raise FileNotFoundError(f"neither {nl_path} nor {na_path} exists")
 
     # per-graph node-index boundaries (graph_indicator is sorted).
     _, first = np.unique(graph_of_node, return_index=True)
     bounds = np.concatenate([first, [len(graph_of_node)]]).tolist()
 
-    node_oh = _one_hot(node_labels)
-    nodes_per_graph = [node_oh[i:j] for i, j in zip(bounds[:-1], bounds[1:])]
+    feats = []
+    if node_labels is not None:
+        feats.append(_one_hot(node_labels).astype(float))
+    if node_attrs is not None:
+        feats.append(node_attrs)
+    node_feat = feats[0] if len(feats) == 1 else np.concatenate(feats, axis=1)
+    nodes_per_graph = [node_feat[i:j] for i, j in zip(bounds[:-1], bounds[1:])]
 
     # the reference re-sorts edge rows globally before splitting
     # (load_MUTAG.py:29); membership/labels are then selected on the sorted

@@ -572,3 +572,30 @@ class TestCompactStaticShapes:
                                   shuffle=False, pad_multiple=16)
         b0, b1 = seq[0], seq[1]  # 4 graphs and 1 graph
         assert b0.targets.shape == b1.targets.shape
+
+
+class TestTUNodeAttributes:
+    def test_node_attributes(self, tmp_path):
+        """Continuous node features ({prefix}_node_attributes.txt) concat
+        after the label one-hot; attributes-only datasets work too."""
+        from gnnkeras_tpu.data.mutag import load_tu_dataset
+
+        p = tmp_path / "TU3"
+        p.mkdir()
+        np.savetxt(p / "Toy_edges.txt", np.array([[1, 2], [2, 1], [3, 4], [4, 3]]), fmt="%d", delimiter=", ")
+        np.savetxt(p / "Toy_graph_indicator.txt", np.array([1, 1, 2, 2]), fmt="%d")
+        np.savetxt(p / "Toy_graph_labels.txt", np.array([0, 1]), fmt="%d")
+        attrs = np.array([[0.5, -1.0], [1.5, 2.0], [0.0, 3.25], [4.0, -0.5]])
+        np.savetxt(p / "Toy_node_attributes.txt", attrs, fmt="%.6g", delimiter=", ")
+
+        # attributes only (no node_labels file)
+        graphs = load_tu_dataset(str(p), "Toy")
+        assert graphs[0].nodes.shape[1] == 2
+        np.testing.assert_allclose(graphs[0].nodes, attrs[:2], rtol=1e-6)
+
+        # labels + attributes: one-hot first, then the float columns
+        np.savetxt(p / "Toy_node_labels.txt", np.array([0, 1, 1, 0]), fmt="%d")
+        graphs = load_tu_dataset(str(p), "Toy")
+        assert graphs[0].nodes.shape[1] == 4
+        np.testing.assert_allclose(graphs[1].nodes[:, 2:], attrs[2:], rtol=1e-6)
+        np.testing.assert_array_equal(graphs[0].nodes[:, :2], [[1, 0], [0, 1]])
