@@ -88,6 +88,24 @@ def main():
         print(f"exported artifact: {sorted(os.listdir(d))} ({size/1024:.0f} KiB); "
               f"reloaded forward output {np.asarray(out).shape}")
 
+    # --- tier 3: HTTP endpoint (JSON in, per-graph outputs back) ----------
+    import json
+    import urllib.request
+
+    from gnnkeras_tpu.serving_http import GraphServer
+
+    server = GraphServer(p, port=0).start()
+    addr = server.address
+    try:
+        g0 = gTe[0]
+        payload = {"graphs": [{"nodes": g0.nodes.tolist(), "arcs": g0.arcs.tolist()}]}
+        req = urllib.request.Request(
+            f"http://{addr[0]}:{addr[1]}/predict", data=json.dumps(payload).encode())
+        resp = json.loads(urllib.request.urlopen(req, timeout=30).read())
+        print(f"HTTP endpoint on {addr}: predict -> {np.round(resp['outputs'][0], 4).tolist()}")
+    finally:
+        server.close()
+
 
 if __name__ == "__main__":
     main()
