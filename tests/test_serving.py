@@ -373,3 +373,19 @@ class TestHttpServer:
                 np.testing.assert_allclose(np.asarray(res["outputs"][0]), want, rtol=1e-5, atol=1e-6)
         finally:
             server.close()
+
+    def test_overflow_request_returns_413(self):
+        import json as _json
+        import urllib.error
+
+        server, p, graphs = self._server()
+        try:
+            # more graphs than the template allows
+            payload = {"graphs": [
+                {"nodes": g.nodes.tolist(), "arcs": g.arcs.tolist()} for g in graphs * 2
+            ]}
+            with pytest.raises(urllib.error.HTTPError) as e:
+                self._post(server.address, payload)
+            assert e.value.code == 413
+        finally:
+            server.close()

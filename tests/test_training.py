@@ -577,3 +577,29 @@ class TestPerIterationBN:
         out = p(graphs[:2])
         assert out.shape == (2, 2) and np.all(np.isfinite(out))
         assert not p.fused  # fold_transition rejects per-iteration stats
+
+
+class TestDegenerateGraphs:
+    """Arc-less and single-node graphs must flow through fit/eval/predict
+    (padding + masked aggregation make them inert, never invalid)."""
+
+    def test_zero_arc_and_single_node_graphs_train(self):
+        from gnnkeras_tpu.training import trainer
+
+        rng = np.random.default_rng(0)
+        graphs = [
+            GraphObject(nodes=rng.normal(size=(1, 3)), arcs=np.zeros((0, 4)),
+                        targets=np.eye(1, 2), focus="g", aggregation_mode="average"),
+            GraphObject(nodes=rng.normal(size=(4, 3)), arcs=np.zeros((0, 4)),
+                        targets=np.eye(1, 2), focus="g", aggregation_mode="average"),
+        ]
+        for _ in range(4):
+            n, a = 6, 12
+            arcs = np.concatenate([rng.integers(0, n, (a, 2)), rng.normal(size=(a, 2))], axis=1)
+            graphs.append(GraphObject(nodes=rng.normal(size=(n, 3)), arcs=arcs,
+                                      targets=np.eye(1, 2), focus="g", aggregation_mode="average"))
+        model = toy_model()
+        seq = MultiGraphSequencer(graphs, "g", "average", batch_size=3, shuffle=False)
+        h = trainer.fit(model, seq, epochs=2, verbose=0)
+        assert all(np.isfinite(v) for v in h.history["loss"])
+        assert trainer.predict(model, seq).shape == (6, 2)
