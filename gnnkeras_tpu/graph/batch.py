@@ -484,6 +484,28 @@ def from_graph_object(
     return batch
 
 
+def pad_operators_to_cap(batch: GraphBatch) -> GraphBatch:
+    """Pad the batch's data-dependent BCSR block counts to their static caps
+    (``_MAX_BAND_FACTOR × tiles`` — the acceptance bound of ``build_bcsr``),
+    so programs compiled for one batch replay for every same-padded batch
+    regardless of its topology.  Used by the serving endpoint and the serial
+    bake loop; sequencers instead pad to their observed maximum (cheaper)."""
+    from gnnkeras_tpu.ops.bcsr import _MAX_BAND_FACTOR, pad_bcsr
+
+    kwargs = {}
+    for name in ("bcsr", "nodegraph_bcsr"):
+        m = getattr(batch, name)
+        if m is not None:
+            kwargs[name] = pad_bcsr(m, _MAX_BAND_FACTOR * max(m.n_src_tiles, m.n_dst_tiles))
+    if not kwargs:
+        return batch
+    rows = getattr(batch, "host_pred_rows", None)
+    batch = batch.replace(**kwargs)
+    if rows is not None:
+        object.__setattr__(batch, "host_pred_rows", rows)
+    return batch
+
+
 def graphs_to_batch(
     graphs: Sequence[GraphObject],
     focus: str,

@@ -163,8 +163,13 @@ class Predictor:
             act = self._folded[4]  # architecture-static; weights ride as args
             tps = self.tiles_per_step
 
-            def step(params, mstate, batch, blocks, w_state, w_agg, w_arc, bias):
+            def step(params, mstate, batch, blocks):
                 variables = {"params": params, "state": mstate}
+                # fold the live weights INSIDE the trace: serves post-
+                # construction weight updates like the XLA path, without the
+                # ~6 un-jitted per-request device launches a host-side fold
+                # would dispatch on this latency-critical path
+                w_state, w_agg, w_arc, bias, _ = model.fold_transition(variables)
                 op = FusedDiagOperator(blocks=blocks, tile=128)
                 const = batch.agg_arc_labels @ w_arc + bias
                 state = fused_unfold(
@@ -176,6 +181,14 @@ class Predictor:
 
             self._fused_step = jax.jit(step)
         return self._fused_step
+
+    def _uniform_operators(self, batch):
+        """Pad the request's data-dependent BCSR block counts to the
+        template-wide caps so the jitted steps compile once, not per request
+        topology (see graph/batch.py pad_operators_to_cap)."""
+        from gnnkeras_tpu.graph.batch import pad_operators_to_cap
+
+        return pad_operators_to_cap(batch)
 
     # -- inference ---------------------------------------------------------------
     def __call__(self, graphs) -> np.ndarray:
@@ -192,12 +205,12 @@ class Predictor:
         return self._predict_xla(merged)
 
     def _predict_xla(self, merged: GraphObject) -> np.ndarray:
-        batch = from_graph_object(
+        batch = self._uniform_operators(from_graph_object(
             merged, pad_nodes=self.max_nodes, pad_arcs=self.max_arcs,
             # always the TEMPLATE graph count: per-request counts would vary
             # the padded shapes and recompile the step per request size
             pad_graphs=self.max_graphs,
-        )
+        ))
         out, _ = self._xla()(
             self.model.variables["params"], self.model.variables["state"], batch,
             self.model.next_rng(),
@@ -210,7 +223,9 @@ class Predictor:
         try:
             batch = from_graph_object(
                 merged, pad_nodes=self.max_nodes, pad_arcs=self.max_arcs,
-                pad_graphs=None,  # compact slot rows when tile-packing applies
+                # compact slot rows when tile-packing applies (focus 'g');
+                # otherwise the template graph count keeps shapes uniform
+                pad_graphs=None if self.focus == "g" else self.max_graphs,
                 tile_pack=True,
                 # template-uniform compact metadata: without these the slot
                 # width / span count (STATIC shapes) vary per request mix and
@@ -220,6 +235,7 @@ class Predictor:
             )
         except ValueError:  # packing gaps overflow the template → XLA path
             return None
+        batch = self._uniform_operators(batch)
         a = merged.arcs.shape[0]
         op = build_fused_diag(
             np.asarray(batch.arc_src)[:a], np.asarray(batch.arc_dst)[:a],
@@ -228,24 +244,30 @@ class Predictor:
         )
         if op is None:  # an edge crosses tiles → XLA fallback (same contract)
             return None
-        # re-fold per request so weight updates after construction are served
-        # (the XLA path reads live variables; this path must too)
-        w_state, w_agg, w_arc, bias, _ = self.model.fold_transition(self.model.variables)
+        # the step folds the live variables inside the trace, so weight
+        # updates after construction are served (like the XLA path)
         out, _ = self._fused()(
             self.model.variables["params"], self.model.variables["state"], batch, op.blocks,
-            w_state, w_agg, w_arc, bias,
         )
         # host_pred_rows undoes the tile-pack permutation (graph/batch.py)
         return np.asarray(out)[batch.host_pred_rows]
 
     # -- warmup ------------------------------------------------------------------
+    def _warm_with(self, g: GraphObject) -> None:
+        self([g])
+        if self.fused:
+            # ALSO compile the XLA fallback: a fused-ineligible request
+            # (tile-crossing edge, packing overflow) must not pay a compile
+            self._predict_xla(self._merge([g]))
+
     def warmup(self) -> "Predictor":
         """Trigger compilation for the template shape with a synthetic
-        request, so the first real request pays no compile latency.  A
-        ``warmup_graph`` (auto-set by ``for_graphs``) is used when
-        available — composite models need one for the type layout."""
+        request — BOTH the primary and the fallback path when the fused
+        kernel is enabled — so the first real request pays no compile
+        latency.  A ``warmup_graph`` (auto-set by ``for_graphs``) is used
+        when available — composite models need one for the type layout."""
         if self._warmup_graph is not None:
-            self([self._warmup_graph])
+            self._warm_with(self._warmup_graph)
             return self
         named = self.model.gnns[0] if hasattr(self.model, "gnns") else self.model
         if isinstance(named.net_state, list):
@@ -263,7 +285,7 @@ class Predictor:
             nodes=nodes, arcs=arcs, targets=np.zeros((n_t, dt), dtype=np.float32),
             focus=self.focus, aggregation_mode=self.aggregation_mode,
         )
-        self(g)
+        self._warm_with(g)
         return self
 
 
@@ -394,6 +416,17 @@ class MicroBatcher:
         self._closed = True
         self._queue.put(None)
         self._worker.join(timeout=10)
+        # a submit() racing close() may land behind the worker's final drain;
+        # fail it here rather than leaving its future unresolved forever
+        import queue as _q
+
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except _q.Empty:
+                return
+            if item is not None:
+                self._deliver(item[1], exc=RuntimeError("MicroBatcher is closed"))
 
     # -- worker side -----------------------------------------------------------
     def _collect(self):
@@ -437,11 +470,27 @@ class MicroBatcher:
                 )))
         return counts
 
+    @staticmethod
+    def _deliver(fut, result=None, exc=None) -> None:
+        """Resolve a future without letting a client-side ``cancel()`` kill
+        the worker (set_result on a cancelled future raises)."""
+        if not fut.set_running_or_notify_cancel():
+            return  # client cancelled — drop the result
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
+
     def _run(self) -> None:
         while True:
             batch = self._collect()
             if batch is None:
-                return
+                break
+            # skip requests the client already cancelled (also claims the
+            # future so a late cancel cannot race the delivery below)
+            batch = [(g, f) for g, f in batch if f.set_running_or_notify_cancel()]
+            if not batch:
+                continue
             all_graphs = [g for graphs, _ in batch for g in graphs]
             try:
                 out = self.predictor(all_graphs)
@@ -460,3 +509,14 @@ class MicroBatcher:
                         self.launches += 1
                     except Exception as exc:  # noqa: BLE001
                         fut.set_exception(exc)
+        # drain anything enqueued behind the shutdown sentinel (a submit
+        # racing close()) so no caller blocks on an unresolved future
+        import queue as _q
+
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except _q.Empty:
+                return
+            if item is not None:
+                self._deliver(item[1], exc=RuntimeError("MicroBatcher is closed"))

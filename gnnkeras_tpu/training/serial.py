@@ -54,10 +54,13 @@ def _update_host_graph(model, g0: GraphObject, state: np.ndarray, out: np.ndarra
         sample_weight=g0.sample_weight.copy(),
         NodeGraph=(g0.graph_of_node, g0.nodegraph_weight) if g0.focus == "g" else None,
         aggregation_mode=g0.aggregation_mode,
-        # node/graph focus leaves the (already canonical) t=0 arc rows
-        # untouched — skip the constructor's re-sort; arc focus inserts
-        # label columns that can reorder rows, so it re-canonicalizes
-        arcs_canonical=not arcplus,
+        # ALWAYS keep the t=0 arc-row ORDER: for arc focus the targets and
+        # set/output masks are arc-indexed, and a constructor re-sort keyed
+        # on the inserted output columns could swap parallel arcs (same
+        # src,dst, different labels) out from under them.  The t=0 rows are
+        # unique (full-row dedup at construction), and adding columns cannot
+        # create duplicates, so skipping the re-sort is safe.
+        arcs_canonical=True,
     )
     if isinstance(g0, CompositeGraphObject):
         return CompositeGraphObject(
@@ -81,14 +84,23 @@ def _bake_graphs(model, gnn, graphs, t0_graphs, chunk_size: int = 1):
     baked features are identical; with BatchNorm the EMA commit granularity
     differs from the reference's per-graph order (documented deviation)."""
 
-    def bake_step(params, mstate, batch, rng):
-        variables = {"params": params, "state": mstate}
-        rng_loop, rng_out = jax.random.split(rng)
-        k, state, bn_state = gnn.unfold(variables, batch, training=True, rng=rng_loop)
-        out, row_mask, bn_out = gnn.node_level_output(variables, state, batch, training=True, rng=rng_out)
-        return state, out, {"net_state": bn_state, "net_output": bn_out}
+    # one compiled program per LAYER, reused across the train and validation
+    # bakes (a fresh jit per _bake_graphs call would recompile even for
+    # identical shapes)
+    cache = getattr(gnn, "_compiled_cache", None)
+    if cache is None:
+        gnn._compiled_cache = cache = {}
+    if "bake_step" not in cache:
 
-    bake_step = jax.jit(bake_step)
+        def bake_step(params, mstate, batch, rng):
+            variables = {"params": params, "state": mstate}
+            rng_loop, rng_out = jax.random.split(rng)
+            k, state, bn_state = gnn.unfold(variables, batch, training=True, rng=rng_loop)
+            out, row_mask, bn_out = gnn.node_level_output(variables, state, batch, training=True, rng=rng_out)
+            return state, out, {"net_state": bn_state, "net_output": bn_out}
+
+        cache["bake_step"] = jax.jit(bake_step)
+    bake_step = cache["bake_step"]
 
     chunk_size = max(int(chunk_size), 1)
     chunks = [graphs[i : i + chunk_size] for i in range(0, len(graphs), chunk_size)]
@@ -96,6 +108,9 @@ def _bake_graphs(model, gnn, graphs, t0_graphs, chunk_size: int = 1):
     pad_a = max(sum(g.arcs.shape[0] for g in ch) for ch in chunks)
     pad_n = ((pad_n + 127) // 128) * 128
     pad_a = ((pad_a + 127) // 128) * 128
+    # uniform graph-row pad: the tail chunk would otherwise change G and
+    # recompile the bake program once per distinct chunk length
+    pad_g = ((max(len(ch) for ch in chunks) + 7) // 8) * 8
 
     new_graphs = []
     variables = gnn.variables
@@ -106,7 +121,9 @@ def _bake_graphs(model, gnn, graphs, t0_graphs, chunk_size: int = 1):
             g_dev = cls.merge(list(ch), focus=ch[0].focus, aggregation_mode=ch[0].aggregation_mode)
         else:
             g_dev = ch[0]
-        batch = from_graph_object(g_dev, pad_n, pad_a)
+        from gnnkeras_tpu.graph.batch import pad_operators_to_cap
+
+        batch = pad_operators_to_cap(from_graph_object(g_dev, pad_n, pad_a, pad_graphs=pad_g))
         state, out, new_bn = bake_step(variables["params"], variables["state"], batch, gnn.next_rng())
         variables = {"params": variables["params"], "state": new_bn}
         state_np = np.asarray(state)

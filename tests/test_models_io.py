@@ -370,3 +370,32 @@ class TestChunkedBake:
         assert hists[0].history["loss"][-1] < hists[0].history["loss"][0]
         for h in hists:
             assert np.all(np.isfinite(h.history["loss"]))
+
+
+class TestSerialArcRowOrder:
+    def test_update_host_graph_preserves_arc_rows(self):
+        """Arc-focused baking must keep the t=0 arc-row ORDER (arc-indexed
+        targets/masks would silently misalign if the constructor re-sorted
+        on the inserted output columns — parallel arcs tie-break there)."""
+        from gnnkeras_tpu.training.serial import _update_host_graph
+
+        # parallel arcs: same (src, dst), different labels
+        arcs = np.array([
+            [0, 1, 0.9], [0, 1, 0.1], [1, 2, 0.5], [2, 0, 0.3],
+        ])
+        g0 = GraphObject(nodes=np.eye(3), arcs=arcs, targets=np.ones((4, 2)),
+                         focus="a", aggregation_mode="average")
+        base_rows = g0.arcs.copy()
+
+        class FakeModel:
+            get_state = True
+            get_output = True
+            _is_arc = True
+
+        state = np.arange(6, dtype=float).reshape(3, 2)
+        out = np.full((4, 2), 7.0)
+        g1 = _update_host_graph(FakeModel(), g0, state, out)
+        # endpoints and original labels in the SAME row order
+        np.testing.assert_array_equal(g1.arcs[:, :2], base_rows[:, :2])
+        np.testing.assert_array_equal(g1.arcs[:, -1], base_rows[:, -1])
+        assert g1.arcs.shape[0] == base_rows.shape[0]

@@ -389,3 +389,58 @@ class TestHttpServer:
             assert e.value.code == 413
         finally:
             server.close()
+
+
+class TestServingCompileOnce:
+    """Requests with different topologies/graph counts must replay ONE
+    compiled program (template-uniform pads + BCSR block caps)."""
+
+    def test_xla_step_compiles_once(self):
+        rng = np.random.default_rng(4)
+        graphs = _random_graphs(10, seed=9)
+        gnn = _gnn()
+        p = Predictor.for_graphs(gnn, graphs, batch_size=6, fused=False).warmup()
+        for req in ([graphs[0]], graphs[1:4], graphs[4:10:2], [graphs[7], graphs[2]]):
+            p(req)
+        assert p._xla_step._cache_size() == 1, p._xla_step._cache_size()
+
+    def test_fused_paths_compile_once(self):
+        graphs = _random_graphs(10, seed=10)
+        gnn = _gnn(threshold=0.0)
+        p = Predictor.for_graphs(gnn, graphs, batch_size=6, fused=True).warmup()
+        for req in ([graphs[0]], graphs[1:4], graphs[4:7]):
+            p(req)
+        if p._fused_step is not None:
+            assert p._fused_step._cache_size() <= 1
+        assert p._xla_step is not None  # warmup compiled the fallback too
+        assert p._xla_step._cache_size() == 1
+
+
+class TestMicroBatcherRobustness:
+    def test_cancelled_future_does_not_kill_worker(self):
+        from gnnkeras_tpu.serving import MicroBatcher
+
+        graphs = _random_graphs(6, seed=11)
+        gnn = _gnn()
+        p = Predictor.for_graphs(gnn, graphs, batch_size=4).warmup()
+        mb = MicroBatcher(p, max_delay_ms=20.0)
+        try:
+            f1 = mb.submit([graphs[0]])
+            f1.cancel()  # may or may not win the race with the worker
+            out = mb([graphs[1]])  # must still be served either way
+            assert np.all(np.isfinite(out))
+        finally:
+            mb.close()
+
+    def test_close_resolves_stragglers(self):
+        from gnnkeras_tpu.serving import MicroBatcher
+
+        graphs = _random_graphs(4, seed=12)
+        gnn = _gnn()
+        p = Predictor.for_graphs(gnn, graphs, batch_size=4).warmup()
+        mb = MicroBatcher(p, max_delay_ms=1.0)
+        f = mb.submit([graphs[0]])
+        _ = f.result(timeout=30)
+        mb.close()
+        with pytest.raises(RuntimeError):
+            mb.submit([graphs[1]])
