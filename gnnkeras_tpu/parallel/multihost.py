@@ -42,7 +42,10 @@ def initialize_multihost(
                 process_id=process_id,
             )
         except RuntimeError as exc:  # the documented no-op on re-bootstrap
-            if "already initialized" not in str(exc):
+            # jax <=0.4 says "already initialized"; 0.9 says
+            # "distributed.initialize should only be called once."
+            msg = str(exc)
+            if "already initialized" not in msg and "only be called once" not in msg:
                 raise
     return jax.process_count()
 
@@ -83,6 +86,14 @@ def make_multihost_mesh(
         if len(devices) != n_hosts * devices_per_host:
             raise ValueError(
                 f"need {n_hosts * devices_per_host} devices, have {len(devices)}"
+            )
+        if n_hosts != jax.process_count():
+            # a mesh row straddling processes would put the per-iteration
+            # halo (the inner axis) on the inter-host transport — exactly
+            # what this layout exists to avoid
+            raise ValueError(
+                f"n_hosts={n_hosts} must equal jax.process_count()="
+                f"{jax.process_count()} so each mesh row stays on one host"
             )
         return Mesh(np.array(devices).reshape(n_hosts, devices_per_host), (dcn_axis, ici_axis))
     devices = np.array(jax.devices()[: n_hosts * devices_per_host])

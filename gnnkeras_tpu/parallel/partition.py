@@ -30,7 +30,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gnnkeras_tpu.graph.graph import GraphObject
-from gnnkeras_tpu.models.gnn import GNNnodeBased
+from gnnkeras_tpu.models.gnn import GNNnodeBased, STATE_INIT_STDDEV
 from gnnkeras_tpu.ops.segment import segment_sum
 from gnnkeras_tpu.utils.dtypes import floatx
 
@@ -255,7 +255,9 @@ def partition_graph(
     composite = isinstance(g, CompositeGraphObject)
     n_types = g.num_types if composite else 0
     type_mask = np.zeros((n_parts, np_pad, n_types), bool) if composite else None
-    arc_src_type = np.zeros((n_parts, ap_pad, n_types), bool) if composite else None
+    # NOTE: the edge-source type one-hot is NOT shipped to devices — the
+    # composite per-type sums are always host-precomputed (agg_comp_pre)
+    arc_src_type = None
 
     nodes = np.zeros((n_parts, np_pad, dn), dtype)
     node_mask = np.zeros((n_parts, np_pad), bool)
@@ -300,7 +302,6 @@ def partition_graph(
         e = edges_per_part[p]
         if composite:
             type_mask[p, :size] = g.type_mask[lo:hi]
-            arc_src_type[p, : len(e)] = g.type_mask[src[e]]
         a_srcg[p, : len(e)] = src_global_new[e]
         a_dstl[p, : len(e)] = dst[e] - lo
         a_w[p, : len(e)] = g.arcnode_weight[e]
@@ -546,25 +547,14 @@ class PartitionedGNN:
             agg_arcs = segment_sum(pg.arc_label * pg.arc_weight[:, None], pg.arc_dst_local, np_local)
 
         agg_component = None
-        if self.composite and pg.agg_component is not None:
-            agg_component = pg.agg_component  # batch-constant, host-precomputed
-        elif self.composite:
-            # per-type neighbor-label aggregation (CompositeGNN.py:251-253):
-            # the source node's type gates the shared edge weights; source
-            # features may be remote → exchanged once.
-            ext_nodes = exchange(pg.nodes)
-            parts = []
-            for t, d_t in enumerate(pg.dim_node_label):
-                w_t = pg.arc_weight * pg.arc_src_type[:, t].astype(floatx())
-                parts.append(
-                    segment_sum(ext_nodes[src_ext][:, :d_t] * w_t[:, None], pg.arc_dst_local, np_local)
-                )
-            parts.append(agg_arcs)
-            agg_component = jnp.concatenate(parts, axis=1)
+        if self.composite:
+            # batch-constant, always host-precomputed by partition_graph
+            # (the per-type gated sums, CompositeGNN.py:251-253)
+            agg_component = pg.agg_component
 
         if gnn.state_vect_dim > 0:
             my = jax.lax.axis_index(axis)
-            state0 = 0.1 * jax.random.normal(
+            state0 = STATE_INIT_STDDEV * jax.random.normal(
                 jax.random.fold_in(rng, my), (np_local, gnn.state_vect_dim), dtype=floatx()
             )
             if not self.composite:
@@ -578,7 +568,11 @@ class PartitionedGNN:
         state_old0 = jnp.ones_like(state0)
         bn0 = mstate["net_state"]
         n_steps = max(gnn.max_iteration, 1)
-        step_rngs = jax.random.split(rng, n_steps)
+        # loop/readout keys are independent, as in the single-chip forward
+        # (models/gnn.py forward splits rng into loop/output halves) — the
+        # readout dropout mask must not reuse the final iteration's key
+        rng_loop, rng_out = jax.random.split(rng)
+        step_rngs = jax.random.split(rng_loop, n_steps)
 
         def local_unconverged(state, state_old):
             distance = jnp.sqrt(jnp.sum(jnp.square(state - state_old), axis=1))
@@ -723,7 +717,7 @@ class PartitionedGNN:
             x,
             training=training,
             mask=row_mask,
-            rng=step_rngs[-1] if training else None,
+            rng=rng_out if training else None,
             axis_name=axis,
         )
         if pg.focus == "g":
@@ -777,9 +771,22 @@ class PartitionedGNN:
         }
 
     # -- public jitted entry points -------------------------------------------
+    def _require_plain_params(self) -> None:
+        """The fit/forward/train-step entry points replicate params (P());
+        a tensor-parallel configuration needs the hybrid step, which shards
+        them over the 'model' axis — fail early with direction instead of a
+        trace-time psum error on an unbound axis."""
+        if self.tp_state is not None:
+            raise ValueError(
+                "tp_shards > 1 requires the hybrid entry point "
+                "(parallel.hybrid.make_hybrid_train_step with shard_tp_variables); "
+                "fit/forward/make_train_step replicate parameters"
+            )
+
     def _make_sharded_step(self):
         """The un-jitted shard_map train step (shared by the single-step and
         the scanned multi-step entry points)."""
+        self._require_plain_params()
         if "sharded_train" in self._cache:
             return self._cache["sharded_train"]
         gnn, axis = self.gnn, self.axis
@@ -846,6 +853,7 @@ class PartitionedGNN:
         return step
 
     def make_forward(self, training: bool = False):
+        self._require_plain_params()
         key = f"fwd_{training}"
         if key in self._cache:
             return self._cache[key]
@@ -988,9 +996,12 @@ class PartitionedGNN:
             # K-step launch may jump past several), not only when it lands
             # exactly on one — otherwise steps_per_launch>1 silently thins
             # the requested cadence to lcm(K, checkpoint_every)
+            # save on every crossed cadence boundary, and ALWAYS at the end
+            # (durability must not depend on epochs % checkpoint_every or on
+            # the launch-chunk size)
             if manager is not None and (
                 prev_epoch // checkpoint_every != epoch // checkpoint_every
-                or (n > 1 and epoch >= epochs)
+                or epoch >= epochs
             ):
                 gnn.variables = {"params": params, "state": mstate}
                 gnn._opt_state = opt_state

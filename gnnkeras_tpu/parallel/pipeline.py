@@ -145,6 +145,12 @@ class PipelineLGNN:
                 "pipeline parallelism needs dim_state > 0 (dim_state==0 grows the "
                 "input width per layer, MLP.py:109-115, so stages cannot share shapes)"
             )
+        if any(getattr(g, "per_iteration_bn", False) for g in lgnn.gnns):
+            raise ValueError(
+                "per_iteration_bn models are not supported by PipelineLGNN "
+                "(stage stacking pads BatchNorm state along axis 0, which is "
+                "the per-iteration axis for such models)"
+            )
         self.lgnn = lgnn
         self.axis = axis
         self.mesh = mesh if mesh is not None else make_mesh((axis,))
@@ -281,7 +287,7 @@ class PipelineLGNN:
 
             def objective(p):
                 def tick(carry, t):
-                    prop_in, loss_sum, k_sum, bn = carry
+                    prop_in, num_sum, den_sum, k_sum, bn = carry
                     m = t - s
                     active = jnp.logical_and(m >= 0, m < M)
                     mc = jnp.clip(m, 0, M - 1)
@@ -294,11 +300,15 @@ class PipelineLGNN:
                         {"params": p, "state": bn},
                         batch_m, prop_in, s == 0, rng_pair[0], rng_pair[1], True,
                     )
-                    data_loss = masked_mean(
-                        loss_fn(batch_m.targets, out_loss), batch_m.target_mask, batch_m.sample_weight
-                    )
+                    # accumulate masked SUMS, not per-microbatch means: the
+                    # layer loss must be the full-batch masked mean even when
+                    # microbatches carry unequal supervised-row counts
+                    # (mean-of-means would overweight sparse microbatches)
+                    w = batch_m.sample_weight * batch_m.target_mask.astype(floatx())
+                    per = loss_fn(batch_m.targets, out_loss)
                     act = active.astype(floatx())
-                    loss_sum = loss_sum + act * data_loss
+                    num_sum = num_sum + act * jnp.sum(per * w)
+                    den_sum = den_sum + act * jnp.sum(w)
                     k_sum = k_sum + act * k
                     bn = jax.tree_util.tree_map(lambda a, b: jnp.where(active, a, b), new_bn, bn)
                     # hand my output to the next stage for the next tick
@@ -308,22 +318,25 @@ class PipelineLGNN:
                         ),
                         prop_out,
                     )
-                    return (prop_next, loss_sum, k_sum, bn), None
+                    return (prop_next, num_sum, den_sum, k_sum, bn), None
 
                 prop0 = {
                     "node": jnp.zeros((n_nodes, self.prop_node), floatx()),
                     "arc": jnp.zeros((n_arcs, self.prop_arc), floatx()),
                 }
-                (_, loss_sum, k_sum, bn_final), _ = jax.lax.scan(
+                (_, num_sum, den_sum, k_sum, bn_final), _ = jax.lax.scan(
                     tick,
-                    (prop0, jnp.zeros((), floatx()), jnp.zeros((), floatx()), mstate),
+                    (prop0, jnp.zeros((), floatx()), jnp.zeros((), floatx()),
+                     jnp.zeros((), floatx()), mstate),
                     jnp.arange(T),
                 )
-                # partial per-stage loss: the summed-over-devices objective is
-                # the full pipeline loss → stage grads are exact as-is
-                return loss_sum / (S * M) + self._layer_reg(p), (loss_sum, k_sum, bn_final)
+                # partial per-stage loss: full-batch masked mean of THIS
+                # stage's layer / S; the summed-over-devices objective is the
+                # parallel-mode pipeline loss → stage grads are exact as-is
+                layer_loss = num_sum / jnp.maximum(den_sum, 1e-9)
+                return layer_loss / S + self._layer_reg(p), (layer_loss, k_sum, bn_final)
 
-            (_, (loss_sum, k_sum, bn_final)), grads = jax.value_and_grad(
+            (_, (layer_loss, k_sum, bn_final)), grads = jax.value_and_grad(
                 objective, has_aux=True
             )(params)
             if lgnn.average_st_grads:
@@ -331,7 +344,7 @@ class PipelineLGNN:
                 # iteration count; with microbatch accumulation the stage's
                 # MEAN k stands in (exact for M == 1)
                 grads = self.proto.scale_state_grads(grads, k_sum / M)
-            total_loss = jax.lax.psum(loss_sum, axis) / (S * M) + jax.lax.psum(
+            total_loss = jax.lax.psum(layer_loss, axis) / S + jax.lax.psum(
                 self._layer_reg(params), axis
             )
             updates, opt_local = lgnn.optimizer.update(grads, opt_local, params)
@@ -360,23 +373,38 @@ class PipelineLGNN:
     def _stage_rngs(self, rng, n_microbatches: int):
         """(S, M, 2, key): the SAME per-layer (loop, out) keys the
         single-device LGNN.forward chain draws (lgnn.py:152-156), so the
-        pipelined run is rng-identical to the sequential one."""
-        # M==1 uses rng directly — the same chain LGNN.forward draws, so the
-        # pipelined step is rng-identical to the sequential train step
-        keys = [rng] if n_microbatches == 1 else jax.random.split(rng, n_microbatches)
-        out = np.zeros((self.n_stages, n_microbatches, 2) + keys[0].shape, dtype=np.asarray(keys[0]).dtype)
-        for m in range(n_microbatches):
-            r = keys[m]
-            for i in range(self.n_stages):
-                r, rng_loop, rng_out = jax.random.split(r, 3)
-                if i == self.n_stages - 1:
-                    # the LAST layer goes through gnn.forward, which re-splits
-                    # its rng internally (gnn.py:258-259); intermediate layers
-                    # use the chain keys directly (lgnn.py:162-165)
-                    rng_loop, rng_out = jax.random.split(rng_loop)
-                out[i, m, 0] = np.asarray(rng_loop)
-                out[i, m, 1] = np.asarray(rng_out)
-        return jnp.asarray(out)
+        pipelined run is rng-identical to the sequential one.
+
+        The whole table is ONE jitted dispatch — the naive host loop issues
+        ~3·S·M separate split calls + device transfers per training step,
+        which on a high-latency runtime costs more than the pipeline
+        launch itself."""
+        cache_key = ("stage_rngs", n_microbatches)
+        if cache_key not in self._cache:
+            S = self.n_stages
+
+            def table(key):
+                # M==1 uses the key directly — the same chain LGNN.forward
+                # draws, so the pipelined step is rng-identical to the
+                # sequential train step
+                keys = [key] if n_microbatches == 1 else list(jax.random.split(key, n_microbatches))
+                rows = []
+                for m in range(n_microbatches):
+                    r = keys[m]
+                    row = []
+                    for i in range(S):
+                        r, rng_loop, rng_out = jax.random.split(r, 3)
+                        if i == S - 1:
+                            # the LAST layer goes through gnn.forward, which
+                            # re-splits its rng internally (gnn.py:258-259);
+                            # intermediate layers use the chain keys directly
+                            rng_loop, rng_out = jax.random.split(rng_loop)
+                        row.append(jnp.stack([rng_loop, rng_out]))
+                    rows.append(jnp.stack(row))  # (S, 2, key)
+                return jnp.swapaxes(jnp.stack(rows), 0, 1)  # (S, M, 2, key)
+
+            self._cache[cache_key] = jax.jit(table)
+        return self._cache[cache_key](rng)
 
     def train_step(self, stacked_vars_p, stacked_vars_s, opt_state, microbatches: Sequence[GraphBatch], rng):
         """Run one pipelined step over M equal-shape microbatches."""

@@ -276,3 +276,48 @@ class TestPipelineAvgStGrads:
             jax.tree_util.tree_leaves(params1), jax.tree_util.tree_leaves(full2["params"])
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+class TestUnequalMicrobatches:
+    def test_objective_is_full_batch_mean(self, mesh4):
+        """Microbatches with unequal supervised-row counts: the pipeline
+        objective must weight rows equally (masked SUMS combined across
+        microbatches), not average per-microbatch means."""
+        from gnnkeras_tpu.training.losses import get_loss
+
+        rng = jax.random.PRNGKey(23)
+        mbs = [graphs_batch(seed=40, n_graphs=12), graphs_batch(seed=41, n_graphs=4)]
+
+        lgnn1 = build_lgnn(layers=4, bn=False)
+        loss_fn = lgnn1.loss
+        keys = jax.random.split(rng, 2)
+        mstate = lgnn1.variables["state"]
+
+        def obj(params):
+            L = len(lgnn1.gnns)
+            num = [0.0] * L
+            den = [0.0] * L
+            for m, batch in enumerate(mbs):
+                _, _, outs, _, _ = lgnn1.forward(
+                    {"params": params, "state": mstate}, batch, training=True, rng=keys[m]
+                )
+                w = batch.sample_weight * batch.target_mask.astype(batch.sample_weight.dtype)
+                for i, out in enumerate(outs):
+                    num[i] = num[i] + jnp.sum(loss_fn(batch.targets, out) * w)
+                    den[i] = den[i] + jnp.sum(w)
+            return sum(n / d for n, d in zip(num, den)) / L
+
+        grads_ref = jax.grad(obj)(lgnn1.variables["params"])
+        params_ref = jax.tree_util.tree_map(
+            lambda p, g: p - 0.1 * g, lgnn1.variables["params"], grads_ref
+        )
+
+        lgnn2 = build_lgnn(layers=4, bn=False)
+        pp = PipelineLGNN(lgnn2, mesh4)
+        stacked = pp.stack_variables()
+        svp, svs = stacked["params"], stacked["state"]
+        opt_state = jax.vmap(lgnn2.optimizer.init)(svp)
+        svp, svs, _, logs = pp.train_step(svp, svs, opt_state, mbs, rng)
+        got = pp.unstack_variables({"params": svp, "state": svs})["params"]
+        for a, b in zip(jax.tree_util.tree_leaves(params_ref), jax.tree_util.tree_leaves(got)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
