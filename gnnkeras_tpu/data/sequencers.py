@@ -26,6 +26,8 @@ from gnnkeras_tpu.graph.graph import CompositeGraphObject, GraphObject
 
 
 def _round_up(x: int, m: int) -> int:
+    # clamps to at least one multiple (unlike graph/batch.py's plain
+    # round-up): sequencer pads must never be zero even for empty inputs
     return max(((x + m - 1) // m) * m, m)
 
 
@@ -162,6 +164,25 @@ class MultiGraphSequencer:
         if pending is not None:
             pending.join()
             self._pending_build = None
+            exc = getattr(self, "_pending_exc", None)
+            if exc is not None:
+                self._pending_exc = None
+                raise RuntimeError("background batch rebuild failed") from exc
+
+    def _spawn_build(self) -> None:
+        """Run build_batches in a background thread, capturing any exception
+        so the next access re-raises it instead of silently serving the
+        previous epoch's (already-shuffled-out-from-under) batches."""
+        self._pending_exc = None
+
+        def run():
+            try:
+                self.build_batches()
+            except BaseException as exc:  # noqa: BLE001 — re-raised at join
+                self._pending_exc = exc
+
+        self._pending_build = threading.Thread(target=run, daemon=True)
+        self._pending_build.start()
 
     def __getitem__(self, index: int) -> GraphBatch:
         self._join_pending()
@@ -178,12 +199,13 @@ class MultiGraphSequencer:
             order = np.random.permutation(len(self.batches))
             self.batches = [self.batches[i] for i in order]
             return
+        self._join_pending()  # never race two rebuilds over shared pads
         np.random.shuffle(self.data)
-        self._pending_build = threading.Thread(target=self.build_batches, daemon=True)
-        self._pending_build.start()
+        self._spawn_build()
 
     # -- config / copy ---------------------------------------------------------
     def set_batch_size(self, new_batch_size: int) -> None:
+        self._join_pending()
         self.batch_size = int(new_batch_size)
         self.build_batches()
 
@@ -230,6 +252,11 @@ class SingleGraphSequencer(MultiGraphSequencer):
     """Mini-batches one big graph through boolean masks over its supervised
     nodes (reference SingleGraphSequencer, GraphSequencers.py:133-208)."""
 
+    # every batch SHARES the one graph's topology; stacking them for the
+    # scanned-epoch path would duplicate the whole padded graph (and its
+    # BCSR blocks) per batch on device — opt out (trainer._try_stack)
+    scan_stack_ok = False
+
     def __init__(
         self,
         graph: GraphObject,
@@ -265,16 +292,19 @@ class SingleGraphSequencer(MultiGraphSequencer):
             self.batch_masks[i, self.set_mask_idx[i * self.batch_size : (i + 1) * self.batch_size]] = True
 
         # the topology (and its BCSR operators) is shared by every batch —
-        # build it once and vary only the set/target masks per batch.
-        base = from_graph_object(
-            self.graph, self._pad_nodes, self._pad_arcs,
-            set_mask_override=self.batch_masks[0] if n_batches else None,
-            agg_dtype=self.agg_dtype,
-        )
-        self.batches = [base]
+        # build it ONCE (incl. across epoch-end shuffles: only the masks
+        # change) and vary the set/target masks per batch.
+        base = getattr(self, "_base_batch", None)
+        if base is None:
+            self._base_batch = base = from_graph_object(
+                self.graph, self._pad_nodes, self._pad_arcs,
+                set_mask_override=self.batch_masks[0] if n_batches else None,
+                agg_dtype=self.agg_dtype,
+            )
+        self.batches = []
         m_rows = base.set_mask.shape[0]
         out_idx = np.flatnonzero(self.graph.output_mask)
-        for i in range(1, n_batches):
+        for i in range(0, n_batches):
             bm = self.batch_masks[i]
             sm = np.zeros(m_rows, dtype=bool)
             sm[: len(bm)] = bm
@@ -289,9 +319,9 @@ class SingleGraphSequencer(MultiGraphSequencer):
 
     def on_epoch_end(self) -> None:
         if self.shuffle:
+            self._join_pending()
             np.random.shuffle(self.set_mask_idx)
-            self._pending_build = threading.Thread(target=self.build_batches, daemon=True)
-            self._pending_build.start()
+            self._spawn_build()
 
     def get_config(self) -> dict:
         return {

@@ -202,7 +202,10 @@ def _dropout_apply(rate, alpha, x, training, rng):
 
 
 def _broadcast(value, n: int, name: str) -> list:
-    if isinstance(value, list):
+    # tuples count as per-layer specs too: treating ('relu', 'linear') as one
+    # scalar would replicate the whole tuple per layer and only fail at the
+    # first forward pass, far from the misuse site
+    if isinstance(value, (list, tuple)):
         if len(value) != n:
             raise ValueError(f"MLP: {name} must have length {n}, got {len(value)}")
         return list(value)

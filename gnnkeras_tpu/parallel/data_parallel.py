@@ -242,7 +242,7 @@ class DataParallelTrainer:
             model.variables = {"params": to_dev0(params), "state": to_dev0(mstate)}
             model._opt_state = to_dev0(opt_state)
             if validation_data is not None:
-                logs.update(evaluate(model, validation_data, verbose=0, prefix="val_", _return_raw=True))
+                logs.update(evaluate(model, validation_data, verbose=0, prefix="val_"))
             if verbose:
                 dt = time.perf_counter() - t0
                 print(f"Epoch {epoch + 1}/{epochs} [{dt:.1f}s] " + " - ".join(f"{k}: {v:.4f}" for k, v in logs.items()))

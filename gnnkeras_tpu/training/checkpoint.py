@@ -43,11 +43,32 @@ class CheckpointManager:
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
         self._mgr.wait_until_finished()
         # metadata (epoch, logs) rides in a JSON sidecar; keeping it out of
-        # the pytree keeps the restore template structure-stable.
+        # the pytree keeps the restore template structure-stable.  Written
+        # atomically (tmp + rename): a torn sidecar must not be mistaken for
+        # a missing one at resume time.
         import json
 
-        with open(os.path.join(self.directory, f"extra_{step}.json"), "w") as f:
+        sidecar = os.path.join(self.directory, f"extra_{step}.json")
+        tmp = sidecar + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump(dict(extra or {}), f)
+        os.replace(tmp, sidecar)
+        self._prune_sidecars()
+
+    def _prune_sidecars(self) -> None:
+        """Drop metadata sidecars whose checkpoint payload was retired by
+        the manager's retention policy."""
+        import glob
+        import re
+
+        kept = set(self._mgr.all_steps())
+        for path in glob.glob(os.path.join(self.directory, "extra_*.json")):
+            m = re.match(r"extra_(\d+)\.json$", os.path.basename(path))
+            if m and int(m.group(1)) not in kept:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
@@ -81,7 +102,14 @@ class CheckpointManager:
         if os.path.exists(sidecar):
             with open(sidecar) as f:
                 return json.load(f)
-        return {}
+        # weights restored but the epoch metadata is gone: resuming "from
+        # epoch 0" would silently re-train on trained weights — refuse, but
+        # let the caller recover with the restored payload's step number
+        raise RuntimeError(
+            f"checkpoint step {step} restored but its metadata sidecar "
+            f"(extra_{step}.json) is missing — cannot determine the resume "
+            "epoch; pass the epoch explicitly or delete the checkpoint"
+        )
 
     def close(self) -> None:
         self._mgr.close()

@@ -66,28 +66,47 @@ def _metric_sums(model, y_pred, batch):
     return sums
 
 
+def _train_step_body(model):
+    """The ONE training-step function — used directly (jitted per-batch) and
+    as the scan body of the epoch launch, so the two paths cannot drift."""
+
+    def step(params, mstate, opt_state, batch, rng):
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: _objective(model, p, mstate, batch, rng, training=True), has_aux=True
+        )(params)
+        if model.average_st_grads:
+            grads = model.scale_state_grads(grads, aux["k"])
+        updates, opt_state = model.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        count = jnp.maximum(jnp.sum(batch.target_mask.astype(jnp.float32)), 1.0)
+        logs = {"loss_sum": loss * count, "count": count}
+        for name, (s, c) in _metric_sums(model, aux["y_pred"], batch).items():
+            logs[f"{name}_sum"] = s
+            logs[f"{name}_count"] = c
+        return params, aux["new_state"], opt_state, logs
+
+    return step
+
+
+def _eval_step_body(model):
+    def step(params, mstate, batch, rng):
+        loss, aux = _objective(model, params, mstate, batch, rng, training=False)
+        count = jnp.maximum(jnp.sum(batch.target_mask.astype(jnp.float32)), 1.0)
+        logs = {"loss_sum": loss * count, "count": count}
+        for name, (s, c) in _metric_sums(model, aux["y_pred"], batch).items():
+            logs[f"{name}_sum"] = s
+            logs[f"{name}_count"] = c
+        return logs
+
+    return step
+
+
 def _get_train_step(model):
     cache = getattr(model, "_compiled_cache", None)
     if cache is None:
         model._compiled_cache = cache = {}
     if "train_step" not in cache:
-
-        def step(params, mstate, opt_state, batch, rng):
-            (loss, aux), grads = jax.value_and_grad(
-                lambda p: _objective(model, p, mstate, batch, rng, training=True), has_aux=True
-            )(params)
-            if model.average_st_grads:
-                grads = model.scale_state_grads(grads, aux["k"])
-            updates, opt_state = model.optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            count = jnp.maximum(jnp.sum(batch.target_mask.astype(jnp.float32)), 1.0)
-            logs = {"loss_sum": loss * count, "count": count}
-            for name, (s, c) in _metric_sums(model, aux["y_pred"], batch).items():
-                logs[f"{name}_sum"] = s
-                logs[f"{name}_count"] = c
-            return params, aux["new_state"], opt_state, logs
-
-        cache["train_step"] = jax.jit(step, donate_argnums=(0, 1, 2))
+        cache["train_step"] = jax.jit(_train_step_body(model), donate_argnums=(0, 1, 2))
     return cache["train_step"]
 
 
@@ -101,23 +120,13 @@ def _get_epoch_step(model):
     if cache is None:
         model._compiled_cache = cache = {}
     if "epoch_step" not in cache:
+        step = _train_step_body(model)
 
         def body(carry, xs):
             params, mstate, opt_state = carry
             batch, rng = xs
-            (loss, aux), grads = jax.value_and_grad(
-                lambda p: _objective(model, p, mstate, batch, rng, training=True), has_aux=True
-            )(params)
-            if model.average_st_grads:
-                grads = model.scale_state_grads(grads, aux["k"])
-            updates, opt_state = model.optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            count = jnp.maximum(jnp.sum(batch.target_mask.astype(jnp.float32)), 1.0)
-            logs = {"loss_sum": loss * count, "count": count}
-            for name, (s, c) in _metric_sums(model, aux["y_pred"], batch).items():
-                logs[f"{name}_sum"] = s
-                logs[f"{name}_count"] = c
-            return (params, aux["new_state"], opt_state), logs
+            params, mstate, opt_state, logs = step(params, mstate, opt_state, batch, rng)
+            return (params, mstate, opt_state), logs
 
         def epoch(params, mstate, opt_state, stacked, rngs):
             (params, mstate, opt_state), logs = jax.lax.scan(
@@ -135,16 +144,11 @@ def _get_eval_epoch(model):
     if cache is None:
         model._compiled_cache = cache = {}
     if "eval_epoch" not in cache:
+        step = _eval_step_body(model)
 
         def body(carry, xs):
             batch, rng = xs
-            loss, aux = _objective(model, carry["params"], carry["state"], batch, rng, training=False)
-            count = jnp.maximum(jnp.sum(batch.target_mask.astype(jnp.float32)), 1.0)
-            logs = {"loss_sum": loss * count, "count": count}
-            for name, (s, c) in _metric_sums(model, aux["y_pred"], batch).items():
-                logs[f"{name}_sum"] = s
-                logs[f"{name}_count"] = c
-            return carry, logs
+            return carry, step(carry["params"], carry["state"], batch, rng)
 
         def epoch(params, mstate, stacked, rngs):
             _, logs = jax.lax.scan(body, {"params": params, "state": mstate}, (stacked, rngs))
@@ -162,8 +166,14 @@ def _try_stack(batches, cache_host=None):
     epochs while the sequencer serves the same batch objects in the same
     order (shuffle=False / between rebuilds) — skipping a full re-stack and
     device copy of the dataset per epoch.  The cache keeps references to the
-    source batches so the id-tuple key stays valid."""
+    source batches so the id-tuple key stays valid.
+
+    A sequencer can opt out with ``scan_stack_ok = False`` — e.g. the
+    single-graph sequencer, whose batches SHARE one topology and differ only
+    in masks: stacking would duplicate the whole graph per batch on device."""
     if len(batches) < 2:
+        return None
+    if cache_host is not None and not getattr(cache_host, "scan_stack_ok", True):
         return None
     key = tuple(id(b) for b in batches)
     if cache_host is not None:
@@ -194,17 +204,7 @@ def _get_eval_step(model):
     if cache is None:
         model._compiled_cache = cache = {}
     if "eval_step" not in cache:
-
-        def step(params, mstate, batch, rng):
-            loss, aux = _objective(model, params, mstate, batch, rng, training=False)
-            count = jnp.maximum(jnp.sum(batch.target_mask.astype(jnp.float32)), 1.0)
-            logs = {"loss_sum": loss * count, "count": count}
-            for name, (s, c) in _metric_sums(model, aux["y_pred"], batch).items():
-                logs[f"{name}_sum"] = s
-                logs[f"{name}_count"] = c
-            return logs
-
-        cache["eval_step"] = jax.jit(step)
+        cache["eval_step"] = jax.jit(_eval_step_body(model))
     return cache["eval_step"]
 
 
@@ -295,7 +295,7 @@ def fit(
         model.variables = {"params": params, "state": mstate}
         model._opt_state = opt_state
         if validation_data is not None:
-            logs.update(evaluate(model, validation_data, verbose=0, prefix="val_", _return_raw=True))
+            logs.update(evaluate(model, validation_data, verbose=0, prefix="val_"))
         if verbose:
             dt = time.perf_counter() - t0
             msg = " - ".join(f"{k}: {v:.4f}" for k, v in logs.items())
@@ -317,7 +317,7 @@ def fit(
 
 
 def evaluate(
-    model, sequencer, verbose: int = 0, prefix: str = "", _return_raw: bool = False,
+    model, sequencer, verbose: int = 0, prefix: str = "",
     scan_batches: Optional[bool] = None,
 ):
     """Loss + metrics over a sequencer (reference ``Model.evaluate``).
@@ -365,11 +365,18 @@ def predict(model, sequencer, seed: Optional[int] = None):
 
         cache["predict_step"] = jax.jit(step)
 
+    # seeded prediction uses a LOCAL key stream: reproducible across calls
+    # and it does not advance the model's training rng
+    rng = jax.random.PRNGKey(seed) if seed is not None else None
     outs = []
     for i in range(len(sequencer)):
         batch = sequencer[i]
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+        else:
+            sub = model.next_rng()
         out, _ = cache["predict_step"](
-            model.variables["params"], model.variables["state"], batch, model.next_rng()
+            model.variables["params"], model.variables["state"], batch, sub
         )
         out = np.asarray(out)
         # tile-packed batches permute rows; host_pred_rows (graph/batch.py)

@@ -871,9 +871,14 @@ class TestDataParallelScan:
         pgnn.fit(pg, epochs=12, verbose=0, steps_per_launch=3,
                  checkpoint_dir=ckdir, checkpoint_every=2)
         # every 3-epoch chunk crosses a boundary of 2 → a save per chunk
-        # (the manager retains 3 payloads; the metadata sidecars record all)
+        # (retention keeps the newest 3; a broken lcm(3,2)=6 cadence would
+        # have saved only after epochs 6 and 12)
+        from gnnkeras_tpu.training.checkpoint import CheckpointManager
+
+        steps = set(CheckpointManager(ckdir)._mgr.all_steps())
+        assert {5, 8, 11} <= steps, steps  # epoch-1-indexed steps 6,9,12
         saves = glob.glob(os.path.join(ckdir, "extra_*.json"))
-        assert len(saves) >= 4, sorted(os.path.basename(s) for s in saves)
+        assert len(saves) == len(steps)  # sidecars pruned with retention
 
 
 class TestLocalityReorder:
