@@ -126,6 +126,15 @@ class GraphObject:
         )
         if len(self.set_mask) != len(self.output_mask):
             raise ValueError("len(set_mask) != len(output_mask)")
+        if len(self.set_mask) != len_mask:
+            # NOTE for arc focus: masks/targets row-correspond to the arcs
+            # AFTER the constructor's dedup+sort (as in the reference, which
+            # re-sorts identically, graph_class.py:47) — pass rows aligned
+            # with the canonical order.
+            raise ValueError(
+                f"set_mask length {len(self.set_mask)} != "
+                f"{'arc' if focus == 'a' else 'node'} count {len_mask}"
+            )
 
         self.aggregation_mode = str(aggregation_mode)
         self._check_mode(self.aggregation_mode)
@@ -228,7 +237,10 @@ class GraphObject:
             set_mask=self.set_mask.copy(),
             output_mask=self.output_mask.copy(),
             sample_weight=self.sample_weight.copy(),
-            NodeGraph=self.NodeGraph_coo() if self.focus == "g" else None,
+            # preserve graph membership for ANY focus: merged non-'g' graphs
+            # carry real graph_of_node ids (merge sets them); dropping them on
+            # copy() would silently disable tile packing downstream
+            NodeGraph=(self.graph_of_node.copy(), self.nodegraph_weight.copy()),
             aggregation_mode=self.aggregation_mode,
         )
 
@@ -383,6 +395,10 @@ class GraphObject:
             output_mask=np.concatenate(out_list, axis=0),
             sample_weight=np.concatenate(sw_list, axis=0),
             aggregation_mode=aggregation_mode,
+            # per-graph arcs are already unique + sorted (ctor canonicalized)
+            # and the strictly increasing node offsets keep the concatenation
+            # globally unique/ordered — skip the O(A log A) re-sort per merge
+            arcs_canonical=True,
         )
         merged.graph_of_node = np.concatenate(graph_of_node, axis=0)
         merged.nodegraph_weight = np.concatenate(nodegraph_weight, axis=0).astype(merged.dtype)
@@ -450,7 +466,10 @@ class CompositeGraphObject(GraphObject):
             set_mask=self.set_mask.copy(),
             output_mask=self.output_mask.copy(),
             sample_weight=self.sample_weight.copy(),
-            NodeGraph=self.NodeGraph_coo() if self.focus == "g" else None,
+            # preserve graph membership for ANY focus: merged non-'g' graphs
+            # carry real graph_of_node ids (merge sets them); dropping them on
+            # copy() would silently disable tile packing downstream
+            NodeGraph=(self.graph_of_node.copy(), self.nodegraph_weight.copy()),
             aggregation_mode=self.aggregation_mode,
         )
 

@@ -103,6 +103,13 @@ class CompositeGNNnodeBased(GNNnodeBased):
     ) -> Tuple[jax.Array, jax.Array, list]:
         if batch.type_mask is None:
             raise ValueError("CompositeGNN requires a composite batch (type_mask set)")
+        if batch.num_types != len(self.net_state):
+            # zip() below would silently truncate, freezing extra-type nodes
+            # at zero state
+            raise ValueError(
+                f"batch has {batch.num_types} node types but the model has "
+                f"{len(self.net_state)} per-type state nets"
+            )
         n = batch.num_nodes
         n_types = len(self.net_state)
         aggregated_component = self._aggregated_component(batch)

@@ -49,7 +49,9 @@ def unconverged(
     (reference ``condition``, GNN.py:196-214; padding is excluded)."""
     if threshold == 0.0:
         # ‖s−s_old‖₂ > 0 ⟺ some element changed — one comparison pass
-        # instead of two sum-of-squares reductions (bit-identical predicate)
+        # instead of two sum-of-squares reductions.  (Equal up to f32
+        # underflow: per-element deltas below ~1e-23 square to 0 in the
+        # norm formula but still compare unequal here.)
         changed = jnp.any(state != state_old, axis=1)
         return jnp.any(jnp.logical_and(changed, node_mask))
     distance = jnp.sqrt(jnp.sum(jnp.square(state - state_old), axis=1))
@@ -244,7 +246,10 @@ class GNNnodeBased(GraphModel):
                 length = self.max_iteration - 1
 
             step = maybe_remat(lambda c, r: (step_body(c, r), None))
-            (k, state, _, bn_final), _ = jax.lax.scan(step, carry, rest, length=length)
+            # max_iteration==0: xs still has one (unused) key — slice it away
+            # so scan's xs length matches length=0 (zero-iteration forward =
+            # state0 passthrough, as the reference's while_loop would do)
+            (k, state, _, bn_final), _ = jax.lax.scan(step, carry, rest[:length], length=length)
         else:
             # the carried ``changed`` flag equals the reference's condition on
             # (state_t, state_{t-1}) — computed in the body from the operands
@@ -373,8 +378,9 @@ class GNNnodeBased(GraphModel):
         if len(bn_idx) > 1:
             return None
         act = program[-1][2]
-        act = act if isinstance(act, str) else None
-        if act not in _ACTIVATIONS:
+        if act is None:
+            act = "linear"  # the standard alias; the fused kernel supports it
+        if not isinstance(act, str) or act not in _ACTIVATIONS:
             return None
 
         params = variables["params"]["net_state"]
