@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from gnnkeras_tpu.graph.batch import GraphBatch
-from gnnkeras_tpu.models.gnn import GNNnodeBased, STATE_INIT_STDDEV, _select_tree, unconverged
+from gnnkeras_tpu.models.gnn import GNNnodeBased, STATE_INIT_STDDEV
 from gnnkeras_tpu.models.mlp import MLP
 from gnnkeras_tpu.ops.segment import aggregate_edges, segment_sum
 from gnnkeras_tpu.utils.dtypes import floatx
@@ -135,11 +135,12 @@ class CompositeGNNnodeBased(GNNnodeBased):
         type_cols = [batch.type_mask[:, t] for t in range(n_types)]
         state_width = self.state_vect_dim or batch.nodes.shape[1]
 
-        def transition(state, bn_states, rngs_t):
+        def transition(state, bn_states, rngs_t, aggregated_states=None):
             # aggregated_states uses the plain (un-gated) adjacency weights,
             # exactly as the reference does (CompositeGNN.py:219) — the BCSR
             # MXU path applies here too.
-            aggregated_states = batch.aggregate(state)
+            if aggregated_states is None:
+                aggregated_states = batch.aggregate(state)
             new_state = jnp.zeros((n, state_width), dtype=floatx())
             new_bns = []
             for t, (net, d_t) in enumerate(zip(self.net_state, batch.dim_node_label)):
@@ -158,85 +159,19 @@ class CompositeGNNnodeBased(GNNnodeBased):
                 new_bns.append(bn_t)
             return new_state, new_bns
 
-        take = lambda tree, i: jax.tree_util.tree_map(lambda x: x[i], tree)
+        from gnnkeras_tpu.models.gnn import run_unfold_loops
 
-        if training and self.per_iteration_bn:
-            # per-iteration statistics ride as scan xs/ys (see models/gnn.py
-            # _unfold_per_iter_bn); slice i only updates while still running
-            def step(carry, xs):
-                k, state, running = carry
-                rngs_t, bn_i = xs
-                new_state, new_bns = transition(state, bn_i, rngs_t)
-                changed = unconverged(new_state, state, batch.node_mask, self.state_threshold)
-                state_next = jnp.where(running, new_state, state)
-                bn_out = _select_tree(running, new_bns, bn_i)
-                return (k + running.astype(floatx()), state_next, jnp.logical_and(running, changed)), bn_out
-
-            if self.remat:
-                step = jax.checkpoint(step)
-            running0 = unconverged(state0, state_old0, batch.node_mask, self.state_threshold)
-            (k, state, _), bn_final = jax.lax.scan(
-                step, (jnp.zeros((), floatx()), state0, running0), (step_rngs, bn0)
-            )
-        elif training:
-            def step(carry, rngs_t):
-                # predicate refreshed from the just-computed operands, as in
-                # models/gnn.py step_body — no second full-state carry
-                k, state, running, bn_states = carry
-                new_state, new_bns = transition(state, bn_states, rngs_t)
-                changed = unconverged(new_state, state, batch.node_mask, self.state_threshold)
-                state_next = jnp.where(running, new_state, state)
-                bn_next = _select_tree(running, new_bns, bn_states)
-                running_next = jnp.logical_and(running, changed)
-                return (k + running.astype(floatx()), state_next, running_next, bn_next), None
-
-            if self.remat:
-                step = jax.checkpoint(step)
-            running0 = unconverged(state0, state_old0, batch.node_mask, self.state_threshold)
-            (k, state, _, bn_final), _ = jax.lax.scan(
-                step,
-                (jnp.zeros((), floatx()), state0, running0, bn0),
-                step_rngs,
-                length=self.max_iteration,
-            )
-        elif self.per_iteration_bn:
-            # inference with the statistics stack indexed per iteration
-            def cond_fn(carry):
-                k, state, changed = carry
-                return jnp.logical_and(changed, k < self.max_iteration)
-
-            def body_fn(carry):
-                k, state, changed = carry
-                idx = jnp.minimum(k.astype(jnp.int32), self.max_iteration - 1)
-                new_state, _ = transition(state, take(bn0, idx), step_rngs[idx])
-                changed = unconverged(new_state, state, batch.node_mask, self.state_threshold)
-                return (k + 1.0, new_state, changed)
-
-            changed0 = unconverged(state0, state_old0, batch.node_mask, self.state_threshold)
-            k, state, _ = jax.lax.while_loop(
-                cond_fn, body_fn, (jnp.zeros((), floatx()), state0, changed0)
-            )
-            bn_final = bn0
-        else:
-            # carried ``changed`` flag instead of a second full-state copy,
-            # as in models/gnn.py's inference loop
-            def cond_fn(carry):
-                k, state, changed, _ = carry
-                return jnp.logical_and(changed, k < self.max_iteration)
-
-            def body_fn(carry):
-                k, state, changed, bn_states = carry
-                idx = jnp.minimum(k.astype(jnp.int32), self.max_iteration - 1)
-                new_state, new_bns = transition(state, bn_states, step_rngs[idx])
-                changed = unconverged(new_state, state, batch.node_mask, self.state_threshold)
-                return (k + 1.0, new_state, changed, new_bns)
-
-            changed0 = unconverged(state0, state_old0, batch.node_mask, self.state_threshold)
-            k, state, _, bn_final = jax.lax.while_loop(
-                cond_fn, body_fn, (jnp.zeros((), floatx()), state0, changed0, bn0)
-            )
-
-        return k, state, bn_final
+        # iteration-0 peel: at dim_state==0 the first (un-gated) neighbor-
+        # state sum IS the precomputed label sum, exactly as in models/gnn.py
+        peel_agg = (
+            batch.agg_node_labels
+            if self.state_vect_dim == 0 and batch.agg_node_labels is not None
+            else None
+        )
+        return run_unfold_loops(
+            self, batch, state0, state_old0, bn0, step_rngs, training, transition,
+            peel_agg=peel_agg,
+        )
 
     def fold_transition(self, variables: dict):
         """Composite state nets are per-type MLP lists — the single-Dense

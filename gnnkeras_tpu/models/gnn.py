@@ -64,6 +64,142 @@ def _select_tree(pred: jax.Array, on_true, on_false):
     return jax.tree_util.tree_map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
 
 
+def run_unfold_loops(
+    model,
+    batch: GraphBatch,
+    state0: jax.Array,
+    state_old0: jax.Array,
+    bn0,
+    step_rngs,
+    training: bool,
+    transition,
+    peel_agg: Optional[jax.Array] = None,
+):
+    """The ONE loop driver behind every unfold variant (homogeneous and
+    composite models share it, so the loop semantics cannot drift):
+
+    - training → checkpointed ``lax.scan`` to the static bound with a
+      running-convergence mask (reverse-differentiable; gradients flow
+      through exactly the k executed iterations as in the reference's
+      backprop-through-unfolding, GNN.py:265,293-295);
+    - inference → ``lax.while_loop`` with the reference's early exit;
+    - ``model.per_iteration_bn`` swaps the carried BatchNorm-statistics tree
+      for a per-iteration stack (scan xs/ys; dynamic indexing at inference);
+    - ``peel_agg`` (the host-precomputed ``Adjᵀ·labels``) peels iteration 0
+      when ``state0`` IS the node labels — one fewer on-device aggregation.
+
+    ``transition(state, bn_state, step_rng, aggregated_states=None)`` is the
+    model-specific per-step function.  Returns ``(k, state, bn_final)``.
+    """
+    K = model.max_iteration
+    threshold = model.state_threshold
+    per_iter = getattr(model, "per_iteration_bn", False) and K >= 1
+    maybe_remat = jax.checkpoint if model.remat else (lambda f: f)
+    take = lambda tree, i: jax.tree_util.tree_map(lambda x: x[i], tree)
+    peel = peel_agg is not None and K >= 1
+
+    if per_iter and training:
+        def step_body(carry, xs, aggregated_states=None):
+            k, state, running = carry
+            step_rng, bn_i = xs
+            new_state, new_bn = transition(state, bn_i, step_rng, aggregated_states)
+            changed = unconverged(new_state, state, batch.node_mask, threshold)
+            state_next = jnp.where(running, new_state, state)
+            bn_out = _select_tree(running, new_bn, bn_i)
+            return (k + running.astype(floatx()), state_next, jnp.logical_and(running, changed)), bn_out
+
+        running0 = unconverged(state0, state_old0, batch.node_mask, threshold)
+        carry = (jnp.zeros((), floatx()), state0, running0)
+        if peel:
+            peeled = maybe_remat(lambda c, x: step_body(c, x, aggregated_states=peel_agg))
+            carry, bn_first = peeled(carry, (step_rngs[0], take(bn0, 0)))
+            xs = (step_rngs[1:], take(bn0, slice(1, None)))
+        else:
+            xs = (step_rngs, bn0)
+        step = maybe_remat(step_body)
+        (k, state, _), bn_rest = jax.lax.scan(step, carry, xs)
+        if peel:
+            bn_final = jax.tree_util.tree_map(
+                lambda first, rest: jnp.concatenate([first[None], rest]), bn_first, bn_rest
+            )
+        else:
+            bn_final = bn_rest
+        return k, state, bn_final
+
+    if per_iter:  # inference: index the statistics stack per iteration
+        def cond_fn(carry):
+            k, state, changed = carry
+            return jnp.logical_and(changed, k < K)
+
+        def body_fn(carry, aggregated_states=None):
+            k, state, changed = carry
+            idx = jnp.minimum(k.astype(jnp.int32), K - 1)
+            new_state, _ = transition(state, take(bn0, idx), step_rngs[idx], aggregated_states)
+            changed = unconverged(new_state, state, batch.node_mask, threshold)
+            return (k + 1.0, new_state, changed)
+
+        changed0 = unconverged(state0, state_old0, batch.node_mask, threshold)
+        carry = (jnp.zeros((), floatx()), state0, changed0)
+        if peel:
+            carry = jax.lax.cond(
+                cond_fn(carry), lambda c: body_fn(c, aggregated_states=peel_agg), lambda c: c, carry
+            )
+        k, state, _ = jax.lax.while_loop(cond_fn, body_fn, carry)
+        return k, state, bn0
+
+    def step_body(carry, step_rng, aggregated_states=None):
+        # ``running`` carries the predicate instead of a second (N,d) state
+        # copy: at step t it equals the reference's
+        # condition(state_t, state_{t-1}) because it is refreshed below from
+        # the just-computed transition operands (same semantics, one fewer
+        # full-state select + carry per iteration).
+        k, state, running, bn_state = carry
+        new_state, new_bn = transition(state, bn_state, step_rng, aggregated_states)
+        changed = unconverged(new_state, state, batch.node_mask, threshold)
+        state_next = jnp.where(running, new_state, state)
+        bn_next = _select_tree(running, new_bn, bn_state)
+        running_next = jnp.logical_and(running, changed)
+        return (k + running.astype(floatx()), state_next, running_next, bn_next)
+
+    if training or K == 0:
+        running0 = unconverged(state0, state_old0, batch.node_mask, threshold)
+        carry = (jnp.zeros((), floatx()), state0, running0, bn0)
+        rest = step_rngs
+        length = K
+        if peel:
+            peeled = maybe_remat(lambda c, r: step_body(c, r, aggregated_states=peel_agg))
+            carry = peeled(carry, step_rngs[0])
+            rest = step_rngs[1:]
+            length = K - 1
+        step = maybe_remat(lambda c, r: (step_body(c, r), None))
+        # K==0: xs still holds one (unused) key — slice so scan's xs length
+        # matches length=0 (zero-iteration forward = state0 passthrough)
+        (k, state, _, bn_final), _ = jax.lax.scan(step, carry, rest[:length], length=length)
+        return k, state, bn_final
+
+    # inference with shared statistics: the carried ``changed`` flag equals
+    # the reference's condition on (state_t, state_{t-1})
+    def cond_fn(carry):
+        k, state, changed, _ = carry
+        return jnp.logical_and(changed, k < K)
+
+    def body_fn(carry, aggregated_states=None):
+        k, state, changed, bn_state = carry
+        idx = jnp.minimum(k.astype(jnp.int32), K - 1)
+        new_state, new_bn = transition(state, bn_state, step_rngs[idx], aggregated_states)
+        changed = unconverged(new_state, state, batch.node_mask, threshold)
+        return (k + 1.0, new_state, changed, new_bn)
+
+    changed0 = unconverged(state0, state_old0, batch.node_mask, threshold)
+    carry = (jnp.zeros((), floatx()), state0, changed0, bn0)
+    if peel:
+        carry = jax.lax.cond(
+            cond_fn(carry), lambda c: body_fn(c, aggregated_states=peel_agg), lambda c: c, carry
+        )
+    k, state, _, bn_final = jax.lax.while_loop(cond_fn, body_fn, carry)
+    return k, state, bn_final
+
+
 class GNNnodeBased(GraphModel):
     """Node-focused GNN (reference GNN/Models/GNN.py:8-306)."""
 
@@ -206,149 +342,15 @@ class GNNnodeBased(GraphModel):
             )
             return new_state, new_bn
 
-        def step_body(carry, step_rng, aggregated_states=None):
-            # ``running`` carries the predicate instead of a second (N,d)
-            # state copy: at step t it equals the reference's
-            # condition(state_t, state_{t-1}) because it is refreshed below
-            # from the just-computed transition operands (same semantics, one
-            # fewer full-state select + carry per iteration).
-            k, state, running, bn_state = carry
-            new_state, new_bn = transition(state, bn_state, step_rng, aggregated_states)
-            changed = unconverged(new_state, state, batch.node_mask, self.state_threshold)
-            state_next = jnp.where(running, new_state, state)
-            bn_next = _select_tree(running, new_bn, bn_state)
-            running_next = jnp.logical_and(running, changed)
-            return (k + running.astype(floatx()), state_next, running_next, bn_next)
-
-        if self.per_iteration_bn and self.max_iteration >= 1:
-            return self._unfold_per_iter_bn(
-                batch, state0, state_old0, bn0, step_rngs, training, transition
-            )
-
-        if training or self.max_iteration == 0:
-            # scan to the static bound; once converged every further step is a
-            # pass-through (identity in the reverse pass), so gradients flow
-            # through exactly the k executed iterations as in the reference.
-            running0 = unconverged(state0, state_old0, batch.node_mask, self.state_threshold)
-            carry = (jnp.zeros((), floatx()), state0, running0, bn0)
-            rest = step_rngs
-            length = self.max_iteration
-            # peel iteration 0 when its neighbor-state sum is the precomputed
-            # label sum (dim_state==0 → state₀ IS the labels): one fewer
-            # on-device aggregation per forward
-            maybe_remat = jax.checkpoint if self.remat else (lambda f: f)
-            if self.state_vect_dim == 0 and batch.agg_node_labels is not None and self.max_iteration >= 1:
-                peeled = maybe_remat(
-                    lambda c, r: step_body(c, r, aggregated_states=batch.agg_node_labels)
-                )
-                carry = peeled(carry, step_rngs[0])
-                rest = step_rngs[1:]
-                length = self.max_iteration - 1
-
-            step = maybe_remat(lambda c, r: (step_body(c, r), None))
-            # max_iteration==0: xs still has one (unused) key — slice it away
-            # so scan's xs length matches length=0 (zero-iteration forward =
-            # state0 passthrough, as the reference's while_loop would do)
-            (k, state, _, bn_final), _ = jax.lax.scan(step, carry, rest[:length], length=length)
-        else:
-            # the carried ``changed`` flag equals the reference's condition on
-            # (state_t, state_{t-1}) — computed in the body from the operands
-            # already in registers, so no second full-state carry
-            def cond_fn(carry):
-                k, state, changed, _ = carry
-                return jnp.logical_and(changed, k < self.max_iteration)
-
-            def body_fn(carry, aggregated_states=None):
-                k, state, changed, bn_state = carry
-                idx = jnp.minimum(k.astype(jnp.int32), self.max_iteration - 1)
-                new_state, new_bn = transition(state, bn_state, step_rngs[idx], aggregated_states)
-                changed = unconverged(new_state, state, batch.node_mask, self.state_threshold)
-                return (k + 1.0, new_state, changed, new_bn)
-
-            changed0 = unconverged(state0, state_old0, batch.node_mask, self.state_threshold)
-            carry = (jnp.zeros((), floatx()), state0, changed0, bn0)
-            if self.state_vect_dim == 0 and batch.agg_node_labels is not None and self.max_iteration >= 1:
-                # same iteration-0 peel as the training path: the first
-                # neighbor-state sum IS the precomputed label sum
-                carry = jax.lax.cond(
-                    cond_fn(carry),
-                    lambda c: body_fn(c, aggregated_states=batch.agg_node_labels),
-                    lambda c: c,
-                    carry,
-                )
-
-            k, state, _, bn_final = jax.lax.while_loop(cond_fn, body_fn, carry)
-
-        return k, state, bn_final
-
-    def _unfold_per_iter_bn(
-        self, batch, state0, state_old0, bn_stack, step_rngs, training, transition,
-    ):
-        """Unfolding with per-iteration BatchNorm statistics (see __init__).
-
-        ``transition`` is the single per-step closure built by ``unfold``
-        (shared with the standard path so the two cannot drift).
-        ``bn_stack`` leaves carry a leading K axis; training scans the
-        iterations WITH their statistics slice as scan xs/ys (slice i is only
-        updated while the convergence predicate still runs); inference
-        indexes the stack by the dynamic iteration counter."""
-        take = lambda tree, i: jax.tree_util.tree_map(lambda x: x[i], tree)
-
-        if training:
-            def step_body(carry, xs, aggregated_states=None):
-                k, state, running = carry
-                step_rng, bn_i = xs
-                new_state, new_bn = transition(state, bn_i, step_rng, aggregated_states)
-                changed = unconverged(new_state, state, batch.node_mask, self.state_threshold)
-                state_next = jnp.where(running, new_state, state)
-                bn_out = _select_tree(running, new_bn, bn_i)
-                return (k + running.astype(floatx()), state_next, jnp.logical_and(running, changed)), bn_out
-
-            maybe_remat = jax.checkpoint if self.remat else (lambda f: f)
-            running0 = unconverged(state0, state_old0, batch.node_mask, self.state_threshold)
-            carry = (jnp.zeros((), floatx()), state0, running0)
-            peel = self.state_vect_dim == 0 and batch.agg_node_labels is not None
-            if peel:
-                peeled = maybe_remat(
-                    lambda c, x: step_body(c, x, aggregated_states=batch.agg_node_labels)
-                )
-                carry, bn_first = peeled(carry, (step_rngs[0], take(bn_stack, 0)))
-                xs = (step_rngs[1:], take(bn_stack, slice(1, None)))
-            else:
-                xs = (step_rngs, bn_stack)
-            step = maybe_remat(step_body)
-            (k, state, _), bn_rest = jax.lax.scan(step, carry, xs)
-            if peel:
-                bn_final = jax.tree_util.tree_map(
-                    lambda first, rest: jnp.concatenate([first[None], rest]), bn_first, bn_rest
-                )
-            else:
-                bn_final = bn_rest
-            return k, state, bn_final
-
-        # inference: while_loop indexing the statistics stack per iteration
-        def cond_fn(carry):
-            k, state, changed = carry
-            return jnp.logical_and(changed, k < self.max_iteration)
-
-        def body_fn(carry, aggregated_states=None):
-            k, state, changed = carry
-            idx = jnp.minimum(k.astype(jnp.int32), self.max_iteration - 1)
-            new_state, _ = transition(state, take(bn_stack, idx), step_rngs[idx], aggregated_states)
-            changed = unconverged(new_state, state, batch.node_mask, self.state_threshold)
-            return (k + 1.0, new_state, changed)
-
-        changed0 = unconverged(state0, state_old0, batch.node_mask, self.state_threshold)
-        carry = (jnp.zeros((), floatx()), state0, changed0)
-        if self.state_vect_dim == 0 and batch.agg_node_labels is not None:
-            carry = jax.lax.cond(
-                cond_fn(carry),
-                lambda c: body_fn(c, aggregated_states=batch.agg_node_labels),
-                lambda c: c,
-                carry,
-            )
-        k, state, _ = jax.lax.while_loop(cond_fn, body_fn, carry)
-        return k, state, bn_stack
+        peel_agg = (
+            batch.agg_node_labels
+            if self.state_vect_dim == 0 and batch.agg_node_labels is not None
+            else None
+        )
+        return run_unfold_loops(
+            self, batch, state0, state_old0, bn0, step_rngs, training, transition,
+            peel_agg=peel_agg,
+        )
 
     # -- fused whole-unfold fast path (ops/fused.py) ----------------------------
     def fold_transition(self, variables: dict):
