@@ -57,12 +57,21 @@ def _config(args) -> "GNNConfig":
     return cfg
 
 
-def _splits(graphs, cfg, seed: Optional[int]):
-    from gnnkeras_tpu.data.mutag import mutag_splits
+def _splits(graphs, cfg, args):
+    from gnnkeras_tpu.data.mutag import dataset_splits, mutag_splits
 
     for g in graphs:
         g.setAggregation(cfg.aggregation_mode)
-    return mutag_splits(graphs, seed=seed)
+    # the reference's fixed 750/750 tail slices (starter.py:63-66) only make
+    # sense at Mutagenicity scale; any other dataset gets proportional splits
+    explicit = args.test_frac is not None or args.val_frac is not None
+    if args.dataset.startswith("mutag") and not explicit:
+        return mutag_splits(graphs, seed=args.split_seed)
+    return dataset_splits(
+        graphs, seed=args.split_seed,
+        test_frac=args.test_frac if args.test_frac is not None else 750 / 4337,
+        val_frac=args.val_frac if args.val_frac is not None else 750 / 4337,
+    )
 
 
 def _dims(graphs):
@@ -90,7 +99,7 @@ def _load_model(model_dir: str):
 def cmd_train(args) -> int:
     cfg = _config(args)
     graphs = _load_dataset(args.dataset, verbose=args.verbose > 0)
-    tr, te, va = _splits(graphs, cfg, args.split_seed)
+    tr, te, va = _splits(graphs, cfg, args)
     node_dim, arc_dim, t_dim = _dims(graphs)
     model = cfg.build_model(node_dim, arc_dim, t_dim)
     history = model.fit(
@@ -112,7 +121,7 @@ def cmd_train(args) -> int:
 def _restore(args):
     cfg = _config(args)
     graphs = _load_dataset(args.dataset, verbose=args.verbose > 0)
-    tr, te, va = _splits(graphs, cfg, args.split_seed)
+    tr, te, va = _splits(graphs, cfg, args)
     model = _load_model(args.model)
     model.compile(optimizer=cfg.optimizer, loss=cfg.loss, metrics=list(cfg.metrics))
     return cfg, model, (tr, te, va)
@@ -149,7 +158,13 @@ def cmd_bench(args) -> int:
     import runpy
     import os
 
-    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "bench.py"), run_name="__main__")
+    path = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    if not os.path.exists(path):  # installed wheel: the repo-root benchmark is not shipped
+        raise SystemExit(
+            "gnnkeras-tpu bench runs the repository benchmark (bench.py at the repo "
+            "root) and needs a source checkout; it is not part of the installed package"
+        )
+    runpy.run_path(path, run_name="__main__")
     return 0
 
 
@@ -161,6 +176,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         p.add_argument("--config", help="GNNConfig JSON file (defaults: starter surface)")
         p.add_argument("--dataset", default="mutag", help="mutag | mutag-composite | tu:<path>:<prefix>[:composite]")
         p.add_argument("--split-seed", type=int, default=42, help="reference starter split shuffle seed")
+        p.add_argument("--test-frac", type=float, default=None,
+                       help="test split fraction (default: reference proportions; mutag uses the exact 750-graph slices)")
+        p.add_argument("--val-frac", type=float, default=None,
+                       help="validation split fraction (see --test-frac)")
         p.add_argument("--verbose", type=int, default=1)
         if model:
             p.add_argument("--model", required=True, help="saved model directory")

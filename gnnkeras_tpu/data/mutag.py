@@ -176,3 +176,28 @@ def mutag_splits(
     rng = np.random.default_rng(seed)
     rng.shuffle(graphs)
     return graphs[:-1500], graphs[-1500:-750], graphs[-750:]
+
+
+def dataset_splits(
+    graphs: List[GraphObject],
+    seed: Optional[int] = None,
+    test_frac: float = 750 / 4337,
+    val_frac: float = 750 / 4337,
+) -> Tuple[List[GraphObject], List[GraphObject], List[GraphObject]]:
+    """Proportional shuffle-split for ANY dataset size (the reference's fixed
+    750/750 tail slices, starter.py:63-66, only make sense at Mutagenicity's
+    4,337 graphs — on smaller TU dumps they would leave an empty train set).
+    Defaults reproduce the reference's proportions; always keeps ≥1 graph in
+    every non-empty role."""
+    graphs = list(graphs)
+    n = len(graphs)
+    n_te = int(round(n * test_frac))
+    n_va = int(round(n * val_frac))
+    if n - n_te - n_va < 1:
+        raise ValueError(
+            f"splits leave no training graphs: {n} total, test={n_te}, val={n_va} "
+            f"(test_frac={test_frac}, val_frac={val_frac})"
+        )
+    rng = np.random.default_rng(seed)
+    rng.shuffle(graphs)
+    return graphs[: n - n_te - n_va], graphs[n - n_te - n_va : n - n_va], graphs[n - n_va :]

@@ -53,6 +53,21 @@ class PrefetchSequencer:
     def copy(self) -> "PrefetchSequencer":
         return PrefetchSequencer(self.inner.copy(), self.lookahead, self.device)
 
+    def with_graphs(self, graphs) -> "PrefetchSequencer":
+        # keep the wrapper (and a fresh cache) around the rebuilt sequencer
+        return PrefetchSequencer(self.inner.with_graphs(graphs), self.lookahead, self.device)
+
+    # inner methods that rebuild self.inner.batches: anything already
+    # transferred ahead refers to the OLD batches and must be dropped
+    _MUTATORS = frozenset({"set_batch_size", "build_batches"})
+
     def __getattr__(self, name):
         # passthrough for sequencer attributes (focus, data, get_config, ...)
-        return getattr(self.inner, name)
+        attr = getattr(self.inner, name)
+        if name in PrefetchSequencer._MUTATORS:
+            def invalidating(*args, **kwargs):
+                self._cache.clear()
+                return attr(*args, **kwargs)
+
+            return invalidating
+        return attr

@@ -140,9 +140,17 @@ class MultiGraphSequencer:
                 object.__setattr__(nb, "host_pred_rows", rows)
             return nb
 
+        degraded = getattr(self, "_bcsr_degraded", None)
+        if degraded is None:
+            degraded = self._bcsr_degraded = set()
         for name, attr in (("bcsr", "_pad_blocks"), ("nodegraph_bcsr", "_pad_ng_blocks")):
             ops = [getattr(b, name) for b in self.batches]
-            if any(op is None for op in ops):
+            if name in degraded or any(op is None for op in ops):
+                # LATCH the degrade across epoch rebuilds: a later epoch whose
+                # reshuffled merges all pass build_bcsr would otherwise flip
+                # the batch pytree structure back (bcsr None → present) and
+                # retrace the compiled step mid-training
+                degraded.add(name)
                 if any(op is not None for op in ops):
                     self.batches = [replace_keep_host(b, **{name: None}) for b in self.batches]
                 continue

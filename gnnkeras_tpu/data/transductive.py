@@ -19,7 +19,13 @@ from gnnkeras_tpu.utils.dtypes import floatx
 
 def get_transduction(g: GraphObject, transductive_rate: float, focus: str) -> CompositeGraphObject:
     """Homogeneous → 2-type heterogeneous graph with [non-transductive,
-    transductive] node types (reference TransductiveGraphSequencers.py:62-95)."""
+    transductive] node types (reference TransductiveGraphSequencers.py:62-95).
+
+    Transduction is node-semantic; ``focus='a'`` mirrors the reference's own
+    latent quirk (TransductiveGraphSequencers.py:76-78 sizes ``labelplus`` to
+    the ARC count yet concatenates it onto the node matrix) and fails the same
+    way the reference does whenever ``n_arcs != n_nodes`` — kept bit-faithful
+    rather than "fixed" into behavior the reference never defines."""
     transductive_node_mask = np.logical_and(g.set_mask, g.output_mask)
 
     indices = np.flatnonzero(transductive_node_mask)
@@ -123,6 +129,11 @@ class TransductiveSingleGraphSequencer(CompositeSingleGraphSequencer):
 
     def on_epoch_end(self) -> None:
         self.graph = get_transduction(self.graph_object, self.transductive_rate, self.focus)
+        # the parent caches the device topology across epochs (mask-only
+        # batches); transduction changes node FEATURES/targets each epoch, so
+        # the cached base must be rebuilt (shapes are unchanged — the arcs and
+        # padded dims are the same every epoch — so the compiled step replays)
+        self._base_batch = None
         self.set_mask_idx = np.flatnonzero(self.graph.set_mask)
         if self.shuffle:
             np.random.shuffle(self.set_mask_idx)

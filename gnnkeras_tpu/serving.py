@@ -253,12 +253,33 @@ class Predictor:
         return np.asarray(out)[batch.host_pred_rows]
 
     # -- warmup ------------------------------------------------------------------
+    def _synthetic_graph(self, dn: int, da: int, dt: int) -> GraphObject:
+        """A minimal 2-node, 2-arc, tile-local graph with the template's
+        feature dims — valid for both the XLA and the fused path."""
+        nodes = np.zeros((2, dn), dtype=np.float32)
+        nodes[:, 0] = 1.0
+        arcs = np.zeros((2, 2 + da), dtype=np.float32)
+        arcs[0, :2] = [0, 1]
+        arcs[1, :2] = [1, 0]
+        n_t = 1 if self.focus == "g" else 2
+        return GraphObject(
+            nodes=nodes, arcs=arcs, targets=np.zeros((n_t, dt), dtype=np.float32),
+            focus=self.focus, aggregation_mode=self.aggregation_mode,
+        )
+
     def _warm_with(self, g: GraphObject) -> None:
-        self([g])
-        if self.fused:
-            # ALSO compile the XLA fallback: a fused-ineligible request
-            # (tile-crossing edge, packing overflow) must not pay a compile
-            self._predict_xla(self._merge([g]))
+        merged = self._merge([g])
+        fused_compiled = self.fused and self._predict_fused(merged) is not None
+        # ALWAYS compile the XLA path: it is the only path when fused is off
+        # and the fallback for fused-ineligible requests when it is on
+        self._predict_xla(merged)
+        if self.fused and not fused_compiled:
+            # the warmup graph itself was fused-INELIGIBLE (tile-crossing
+            # edge / packing overflow) — warm the kernel with a synthetic
+            # tile-local graph so no production request pays its compile
+            dn = g.nodes.shape[1]
+            tiny = self._synthetic_graph(dn, int(g.DIM_ARC_LABEL), int(g.DIM_TARGET))
+            self._predict_fused(self._merge([tiny]))
 
     def warmup(self) -> "Predictor":
         """Trigger compilation for the template shape with a synthetic
@@ -275,17 +296,7 @@ class Predictor:
         if self.dims is None:
             raise ValueError("warmup needs dims=(dn, da, dt) — or build via for_graphs")
         dn, da, dt = self.dims
-        nodes = np.zeros((2, dn), dtype=np.float32)
-        nodes[:, 0] = 1.0
-        arcs = np.zeros((2, 2 + da), dtype=np.float32)
-        arcs[0, :2] = [0, 1]
-        arcs[1, :2] = [1, 0]
-        n_t = 1 if self.focus == "g" else 2
-        g = GraphObject(
-            nodes=nodes, arcs=arcs, targets=np.zeros((n_t, dt), dtype=np.float32),
-            focus=self.focus, aggregation_mode=self.aggregation_mode,
-        )
-        self._warm_with(g)
+        self._warm_with(self._synthetic_graph(dn, da, dt))
         return self
 
 
@@ -391,6 +402,11 @@ class MicroBatcher:
         self.max_graphs = int(max_graphs or predictor.max_graphs)
         self._queue: "queue.Queue" = queue.Queue()
         self._closed = False
+        # serializes the closed-check-then-put in submit() against close()'s
+        # closed-set-then-sentinel: every accepted request is enqueued BEFORE
+        # the shutdown sentinel (FIFO), so the worker or close()'s drain
+        # always resolves it — no put can land after the final drain
+        self._submit_lock = threading.Lock()
         self.launches = 0  # served micro-batches (telemetry / tests)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -401,23 +417,25 @@ class MicroBatcher:
         resolving to the per-entity output rows in the request's order."""
         from concurrent.futures import Future
 
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
         if isinstance(graphs, GraphObject):
             graphs = [graphs]
         fut: Future = Future()
-        self._queue.put((list(graphs), fut))
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._queue.put((list(graphs), fut))
         return fut
 
     def __call__(self, graphs):
         return self.submit(graphs).result()
 
     def close(self) -> None:
-        self._closed = True
-        self._queue.put(None)
+        with self._submit_lock:
+            self._closed = True
+            self._queue.put(None)
         self._worker.join(timeout=10)
-        # a submit() racing close() may land behind the worker's final drain;
-        # fail it here rather than leaving its future unresolved forever
+        # a submit() that won the lock race is enqueued ahead of the sentinel;
+        # anything the exiting worker left behind is failed here
         import queue as _q
 
         while True:

@@ -32,29 +32,50 @@ from gnnkeras_tpu.models.mlp import MLP
 
 def weights_from_keras(keras_model, mlp: MLP) -> dict:
     """Extract Dense/BatchNorm weights from a Keras model, aligned with our
-    ``MLP`` program order.  Returns ``{'params': [...], 'state': [...]}``."""
+    ``MLP`` program order.  Returns ``{'params': [...], 'state': [...]}``.
+
+    The alignment is STRICT: every weighted Keras layer must correspond to
+    the program entry at the same position (dense → 2 weights,
+    batch_norm → 4).  Reference-built MLPs always satisfy this (one optional
+    LEADING BatchNorm, then biased Dense layers, MLP.py:59-70); anything
+    else — a mid-stack BatchNorm the spec cannot represent, a bias-less
+    Dense — raises instead of silently importing a model that computes a
+    different function."""
     k_layers = [l for l in keras_model.layers if l.get_weights()]
     params: List[dict] = []
     state: List[dict] = []
+    want = {"dense": 2, "batch_norm": 4}
     ki = 0
     for layer in mlp.program:
+        if layer[0] not in want:  # dropout: no weights
+            params.append({})
+            state.append({})
+            continue
+        if ki >= len(k_layers) or len(k_layers[ki].get_weights()) != want[layer[0]]:
+            got = (
+                f"{type(k_layers[ki]).__name__} with {len(k_layers[ki].get_weights())} weights"
+                if ki < len(k_layers) else "no layer"
+            )
+            raise ValueError(
+                f"Keras model does not line up with the MLP spec at program entry "
+                f"{layer[0]!r}: expected a layer with {want[layer[0]]} weights, got {got} "
+                f"(mid-stack BatchNorm and use_bias=False Dense are not representable)"
+            )
         if layer[0] == "dense":
-            while len(k_layers[ki].get_weights()) != 2:
-                ki += 1
             kernel, bias = k_layers[ki].get_weights()
             params.append({"kernel": np.asarray(kernel), "bias": np.asarray(bias)})
             state.append({})
-            ki += 1
-        elif layer[0] == "batch_norm":
-            while len(k_layers[ki].get_weights()) != 4:
-                ki += 1
+        else:
             gamma, beta, mean, var = k_layers[ki].get_weights()
             params.append({"gamma": np.asarray(gamma), "beta": np.asarray(beta)})
             state.append({"moving_mean": np.asarray(mean), "moving_var": np.asarray(var)})
-            ki += 1
-        else:  # dropout
-            params.append({})
-            state.append({})
+        ki += 1
+    if ki != len(k_layers):
+        extra = ", ".join(type(l).__name__ for l in k_layers[ki:])
+        raise ValueError(
+            f"Keras model has {len(k_layers) - ki} weighted layer(s) the MLP spec does "
+            f"not model ({extra}) — refusing a partial import"
+        )
     return {"params": params, "state": state}
 
 
@@ -67,12 +88,19 @@ def mlp_spec_from_keras(keras_model, batch_normalization=None) -> MLP:
     for l in keras_model.layers:
         cls = type(l).__name__
         if cls == "Dense":
+            if len(l.get_weights()) != 2:
+                raise ValueError("Dense(use_bias=False) is not representable by the MLP spec")
             if input_dim is None:
                 input_dim = int(l.get_weights()[0].shape[0])
             units.append(int(l.units))
             act = getattr(l.activation, "__name__", "linear")
             acts.append(act if act != "linear" else "linear")
         elif "BatchNormalization" in cls:
+            if units:  # reference MLPs only ever put BatchNorm FIRST (MLP.py:67-70)
+                raise ValueError(
+                    "mid-stack BatchNormalization is not representable by the "
+                    "reference MLP spec (leading-only, MLP.py:67-70)"
+                )
             has_bn = True
             if input_dim is None:
                 input_dim = int(l.get_weights()[0].shape[0])

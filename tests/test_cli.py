@@ -63,7 +63,8 @@ class TestCli:
         rc = main(["predict", "--config", str(cfg), "--dataset", dataset,
                    "--model", model_dir, "--out", str(preds), "--verbose", "0"])
         assert rc == 0
-        assert np.load(preds).shape == (750, 2)  # starter split test size
+        # proportional split for non-mutag datasets: round(1530 * 750/4337)
+        assert np.load(preds).shape == (265, 2)
 
         art = str(tmp_path / "artifact")
         rc = main(["export", "--config", str(cfg), "--dataset", dataset,
@@ -74,3 +75,30 @@ class TestCli:
     def test_bad_dataset_spec(self):
         with pytest.raises(SystemExit):
             main(["train", "--dataset", "nope"])
+
+
+class TestDatasetSplits:
+    """Non-mutag datasets get PROPORTIONAL splits (regression: the reference's
+    fixed 750/750 tail slices left an empty train set for any TU dump with
+    <=1500 graphs)."""
+
+    def test_proportional_partition(self):
+        from gnnkeras_tpu.data.mutag import dataset_splits
+
+        graphs = list(range(100))
+        tr, te, va = dataset_splits(graphs, seed=0)
+        assert len(te) == len(va) == 17  # round(100 * 750/4337)
+        assert len(tr) == 66
+        assert sorted(tr + te + va) == graphs  # a partition, shuffled
+
+    def test_small_dataset_keeps_train_graphs(self):
+        from gnnkeras_tpu.data.mutag import dataset_splits
+
+        tr, te, va = dataset_splits(list(range(10)), seed=1)
+        assert len(tr) >= 1 and len(tr) + len(te) + len(va) == 10
+
+    def test_degenerate_fractions_raise(self):
+        from gnnkeras_tpu.data.mutag import dataset_splits
+
+        with pytest.raises(ValueError, match="no training graphs"):
+            dataset_splits(list(range(4)), seed=0, test_frac=0.5, val_frac=0.5)

@@ -41,6 +41,44 @@ class TestKerasInterop:
         )
         np.testing.assert_allclose(np.asarray(got), ref_out, rtol=1e-5, atol=1e-6)
 
+    def test_mid_stack_batchnorm_rejected(self):
+        """Regression: a BatchNorm between Dense layers is not representable
+        by the reference MLP spec (leading-only, MLP.py:67-70); the old code
+        silently skipped its weights and imported a model computing a
+        different function."""
+        from gnnkeras_tpu.utils.keras_interop import mlp_spec_from_keras
+
+        m = tf.keras.Sequential([
+            tf.keras.layers.Dense(4, activation="relu"),
+            tf.keras.layers.BatchNormalization(),
+            tf.keras.layers.Dense(2),
+        ])
+        m.build((None, 3))
+        with pytest.raises(ValueError, match="mid-stack"):
+            mlp_spec_from_keras(m)
+
+    def test_misaligned_weights_rejected(self):
+        from gnnkeras_tpu.models.mlp import MLP
+        from gnnkeras_tpu.utils.keras_interop import weights_from_keras
+
+        m = tf.keras.Sequential([tf.keras.layers.Dense(4, use_bias=False)])
+        m.build((None, 3))
+        spec = MLP(input_dim=(3,), layers=[4], activations=["linear"],
+                   batch_normalization=False)
+        with pytest.raises(ValueError, match="does not line up"):
+            weights_from_keras(m, spec)
+
+    def test_extra_weighted_layers_rejected(self):
+        from gnnkeras_tpu.models.mlp import MLP
+        from gnnkeras_tpu.utils.keras_interop import weights_from_keras
+
+        m = tf.keras.Sequential([tf.keras.layers.Dense(4), tf.keras.layers.Dense(2)])
+        m.build((None, 3))
+        spec = MLP(input_dim=(3,), layers=[4], activations=["linear"],
+                   batch_normalization=False)
+        with pytest.raises(ValueError, match="does not model"):
+            weights_from_keras(m, spec)
+
     def test_load_reference_gnn_directory(self, tmp_path):
         """A reference-layout model directory (config.json + per-MLP Keras
         archives) loads into GNNgraphBased with working forward."""

@@ -137,6 +137,33 @@ class TestTransductive:
         seq.on_epoch_end()
         assert len(seq) >= 1
 
+    def test_single_sequencer_retransduction_reaches_device(self):
+        """Regression: the single-graph sequencer caches its device topology
+        across epochs (mask-only batches); the transductive variant changes
+        node FEATURES/targets every epoch, so the cache must be rebuilt —
+        round-2 review found epoch-0 features being served forever."""
+        g = toy_graphs(1, seed=12, focus="n")[0]
+        np.random.seed(3)
+        seq = TransductiveSingleGraphSequencer(g, "n", 0.5, batch_size=4,
+                                               shuffle=False, pad_multiple=16)
+        n = g.nodes.shape[0]
+        nodes_epoch0 = np.asarray(seq[0].nodes)[:n].copy()
+        np.random.seed(4)
+        seq.on_epoch_end()
+        b1 = seq[0]
+        # the device batch follows the FRESH transduction...
+        np.testing.assert_allclose(np.asarray(b1.nodes)[:n], seq.graph.nodes, rtol=1e-6)
+        # targets live at their node's row (graph/batch.py _scatter_targets)
+        out_rows = np.flatnonzero(seq.graph.output_mask)
+        np.testing.assert_allclose(
+            np.asarray(b1.targets)[out_rows], seq.graph.targets, rtol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(b1.type_mask)[:n], seq.graph.type_mask
+        )
+        # ...and actually differs from epoch 0 (new sample → new appended labels)
+        assert not np.allclose(np.asarray(b1.nodes)[:n], nodes_epoch0)
+
     def test_training_on_transductive(self):
         graphs = toy_graphs(6, seed=6, focus="n")
         seq = TransductiveMultiGraphSequencer(graphs, "n", "average", 0.5, batch_size=3,

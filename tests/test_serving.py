@@ -415,6 +415,25 @@ class TestServingCompileOnce:
         assert p._xla_step is not None  # warmup compiled the fallback too
         assert p._xla_step._cache_size() == 1
 
+    def test_warmup_compiles_fused_despite_ineligible_warmup_graph(self):
+        """Regression: when the warmup graph itself is fused-INELIGIBLE (a
+        tile-crossing arc), warmup must still compile the fused kernel (with
+        a synthetic tile-local graph) so no production request pays it."""
+        rng = np.random.default_rng(13)
+        n = 130  # spans two 128-node tiles → the arc below crosses tiles
+        nodes = np.eye(14, dtype=np.float32)[rng.integers(0, 14, n)]
+        arcs = np.array([[0, 129, 1, 0, 0], [129, 0, 0, 1, 0]], dtype=np.float32)
+        big = GraphObject(nodes=nodes, arcs=arcs, targets=np.eye(2, dtype=np.float32)[:1],
+                          focus="g", aggregation_mode="average")
+        small = _random_graphs(3, seed=14)
+        gnn = _gnn(threshold=0.0)
+        p = Predictor.for_graphs(gnn, [big] + small, batch_size=2, fused=True).warmup()
+        assert p.fused and p._fused_step is not None
+        assert p._fused_step._cache_size() == 1
+        out = p([small[0]])  # fused-eligible request replays the warmed kernel
+        assert np.all(np.isfinite(np.asarray(out, dtype=np.float32)))
+        assert p._fused_step._cache_size() == 1
+
 
 class TestMicroBatcherRobustness:
     def test_cancelled_future_does_not_kill_worker(self):

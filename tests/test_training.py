@@ -348,6 +348,48 @@ class TestPrefetch:
         p.on_epoch_end()
         assert len(p._cache) == 0
 
+    def test_cache_cleared_on_inner_mutation(self):
+        """Regression: set_batch_size passes through to the inner sequencer
+        and rebuilds its batches — prefetched device batches from the OLD
+        batching must not be served afterwards."""
+        from gnnkeras_tpu.data.prefetch import PrefetchSequencer
+
+        seq = MultiGraphSequencer(toy_graphs(), "g", "average",
+                                  batch_size=3, shuffle=False, pad_multiple=16)
+        p = PrefetchSequencer(seq, lookahead=4)
+        _ = p[0]
+        assert len(p._cache) > 0
+        p.set_batch_size(6)
+        assert len(p._cache) == 0
+        assert len(p) == len(seq) == 2
+        np.testing.assert_allclose(np.asarray(p[0].nodes), np.asarray(seq[0].nodes))
+
+    def test_with_graphs_keeps_wrapper(self):
+        from gnnkeras_tpu.data.prefetch import PrefetchSequencer
+
+        p = PrefetchSequencer(MultiGraphSequencer(
+            toy_graphs(), "g", "average", batch_size=3, shuffle=False, pad_multiple=16))
+        q = p.with_graphs(toy_graphs(6, seed=1))
+        assert isinstance(q, PrefetchSequencer)
+        assert len(q.inner.data) == 6
+
+
+class TestSequencerBcsrLatch:
+    def test_bcsr_degrade_latches_across_rebuilds(self):
+        """Once any epoch's batches degrade the BCSR operator to None (mixed
+        present/absent → consistent scatter path), later rebuilds whose
+        merges would all pass build_bcsr must NOT flip the batch pytree back
+        (bcsr None → present would retrace the compiled step mid-training)."""
+        seq = MultiGraphSequencer(toy_graphs(), "g", "average",
+                                  batch_size=6, shuffle=False, pad_multiple=128,
+                                  tile_pack=False)
+        assert all(b.bcsr is not None for b in seq.batches)
+        seq.batches[0] = seq.batches[0].replace(bcsr=None)  # simulate a band-factor fallback
+        seq._uniform_block_counts()
+        assert all(b.bcsr is None for b in seq.batches)
+        seq.build_batches()  # a fresh rebuild would naturally restore the operator...
+        assert all(b.bcsr is None for b in seq.batches)  # ...but the degrade is latched
+
 
 class TestScanBatches:
     """Epoch-in-one-launch path: lax.scan over the stacked sequencer batches
