@@ -45,6 +45,9 @@ def build_graph(n_nodes: int, per_node: int = 8, band: int = 64, seed: int = 0) 
         nodes=nodes, arcs=canon.arcs,
         targets=rng.normal(size=(n_nodes, 2)).astype(np.float32),
         focus="n", aggregation_mode="average",
+        # canon already deduped+sorted the 4M arc rows — skip the second
+        # O(A log A) pass (same fast path the serial bake uses)
+        arcs_canonical=True,
     )
 
 

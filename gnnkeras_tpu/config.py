@@ -61,10 +61,15 @@ class GNNConfig:
     per_iteration_bn: bool = False
 
     def __post_init__(self):
-        assert self.focus in ("a", "n", "g"), f"bad focus {self.focus}"
-        assert self.training_mode in ("serial", "parallel", "residual")
-        assert self.dim_state >= 0 and self.max_iter >= 0 and self.state_threshold >= 0
-        assert self.layers >= 1
+        # ValueError, not assert: validation must survive ``python -O``
+        if self.focus not in ("a", "n", "g"):
+            raise ValueError(f"bad focus {self.focus!r} (want 'a' | 'n' | 'g')")
+        if self.training_mode not in ("serial", "parallel", "residual"):
+            raise ValueError(f"bad training_mode {self.training_mode!r}")
+        if not (self.dim_state >= 0 and self.max_iter >= 0 and self.state_threshold >= 0):
+            raise ValueError("dim_state, max_iter and state_threshold must be >= 0")
+        if self.layers < 1:
+            raise ValueError(f"layers must be >= 1, got {self.layers}")
 
     # -- persistence ---------------------------------------------------------
     def to_json(self) -> str:
@@ -182,6 +187,17 @@ class GNNConfig:
 
         single = isinstance(graphs, GraphObject)
         if transductive_rate is not None:
+            # transduction starts from HOMOGENEOUS graphs and rebuilds them as
+            # fresh 2-type composites (data/transductive.py get_transduction);
+            # composite inputs would silently lose their type structure here
+            # and only fail much later at fit time with a type-count mismatch
+            probe = graphs if single else graphs[0]
+            if isinstance(probe, CompositeGraphObject):
+                raise ValueError(
+                    "transductive sequencers take homogeneous GraphObjects "
+                    "(the transduction builds its own 2-type composite); got "
+                    "CompositeGraphObject input"
+                )
             if single:
                 return TransductiveSingleGraphSequencer(
                     graphs, self.focus, transductive_rate, self.batch_size, shuffle

@@ -26,6 +26,11 @@ def get_transduction(g: GraphObject, transductive_rate: float, focus: str) -> Co
     the ARC count yet concatenates it onto the node matrix) and fails the same
     way the reference does whenever ``n_arcs != n_nodes`` — kept bit-faithful
     rather than "fixed" into behavior the reference never defines."""
+    if isinstance(g, CompositeGraphObject):
+        raise ValueError(
+            "get_transduction takes a homogeneous GraphObject — it builds its own "
+            "2-type composite and would silently discard an existing type structure"
+        )
     transductive_node_mask = np.logical_and(g.set_mask, g.output_mask)
 
     indices = np.flatnonzero(transductive_node_mask)

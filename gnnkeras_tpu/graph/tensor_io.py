@@ -28,9 +28,16 @@ from gnnkeras_tpu.graph.graph import CompositeGraphObject, GraphObject
 
 
 def _triple(coo, dtype):
-    """tf.sparse.reorder ordering: row-major sorted [value,row,col] rows."""
+    """tf.sparse.reorder ordering: row-major sorted [value,row,col] rows.
+
+    Indices ride in the FLOAT triple (the reference's on-disk layout); float32
+    represents integers exactly only up to 2^24, so larger graphs promote the
+    triple to float64 (loaders on both sides ``.astype(int)`` the index
+    columns, which is dtype-agnostic)."""
     coo = coo.tocoo()
     order = np.lexsort((coo.col, coo.row))
+    if np.dtype(dtype).itemsize < 8 and max(coo.shape, default=0) >= (1 << 24):
+        dtype = np.float64
     return np.stack(
         [coo.data[order].astype(dtype), coo.row[order].astype(dtype), coo.col[order].astype(dtype)]
     ).transpose()
@@ -79,7 +86,7 @@ def load_graph_tensor(graph_npz_path: str, focus: str, verify: bool = True, **kw
 
     ``verify=True`` cross-checks the archived Adjacency triples against the
     operators rebuilt from (arcs, aggregation_mode)."""
-    if ".npz" not in graph_npz_path:
+    if not graph_npz_path.endswith(".npz"):
         graph_npz_path += ".npz"
     data = dict(np.load(graph_npz_path, **kwargs))
     aggregation_mode = str(data["aggregation_mode"])

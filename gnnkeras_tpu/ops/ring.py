@@ -22,11 +22,45 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
-def _ring_kernel(num_devices: int, rows: int, axis_name: str):
+def _ring_kernel(num_devices: int, rows: int, axis_name: str,
+                 mesh_axes: tuple, barrier: bool):
     def kernel(local_ref, out_ref, comm_buf, send_sem, recv_sem, credit_sem):
         my_id = jax.lax.axis_index(axis_name)
         left = jax.lax.rem(my_id - 1 + num_devices, num_devices)
         dst = jax.lax.rem(my_id + 1, num_devices)
+
+        # FLAT logical ids on the full mesh (row-major over mesh_axes, the
+        # numbering LOGICAL device ids use): my neighbors differ from me only
+        # in the ring-axis coordinate.  Computing dst from the ring index
+        # alone is only correct on a 1-axis mesh — on a hybrid data×graph
+        # mesh it would address row-0 devices from every data row and
+        # deadlock the ring.
+        base, stride, mult = 0, 1, 1
+        for name, size in reversed(mesh_axes):
+            if name == axis_name:
+                stride = mult
+            else:
+                base = base + jax.lax.axis_index(name) * mult
+            mult *= size
+        left_flat = base + left * stride
+        dst_flat = base + dst * stride
+
+        if barrier:
+            # entry barrier with both ring neighbors: the first remote DMA
+            # below writes the right neighbor's VMEM scratch, which is only
+            # safe once that neighbor has entered the kernel (devices start
+            # with skew on real hardware)
+            barrier_sem = pltpu.get_barrier_semaphore()
+            pltpu.semaphore_signal(
+                barrier_sem, inc=1, device_id=left_flat,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            pltpu.semaphore_signal(
+                barrier_sem, inc=1, device_id=dst_flat,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            pltpu.semaphore_wait(barrier_sem, 2)
+
         out_ref[pl.ds(my_id * rows, rows), :] = local_ref[...]
         comm_buf[0] = local_ref[...]
 
@@ -51,7 +85,7 @@ def _ring_kernel(num_devices: int, rows: int, axis_name: str):
                 dst_ref=comm_buf.at[recv_slot],
                 send_sem=send_sem.at[send_slot],
                 recv_sem=recv_sem.at[recv_slot],
-                device_id=dst,
+                device_id=dst_flat,
                 device_id_type=pltpu.DeviceIdType.LOGICAL,
             )
             rdma.start()
@@ -62,7 +96,7 @@ def _ring_kernel(num_devices: int, rows: int, axis_name: str):
             @pl.when(i < num_devices - 2)
             def _():
                 pltpu.semaphore_signal(
-                    credit_sem, inc=1, device_id=left,
+                    credit_sem, inc=1, device_id=left_flat,
                     device_id_type=pltpu.DeviceIdType.LOGICAL,
                 )
 
@@ -75,17 +109,33 @@ def _ring_kernel(num_devices: int, rows: int, axis_name: str):
     return kernel
 
 
-def ring_all_gather(x: jax.Array, axis_name: str, num_devices: int) -> jax.Array:
+def ring_all_gather(
+    x: jax.Array, axis_name: str, num_devices: int,
+    mesh_axes: tuple = None,
+) -> jax.Array:
     """All-gather ``x`` (rows, d) over the ring → (num_devices·rows, d).
     Must be called inside ``shard_map`` over ``axis_name``.  The feature dim
-    is lane-padded internally."""
+    is lane-padded internally.
+
+    ``mesh_axes``: ordered ``((name, size), ...)`` of ALL the mesh's axes —
+    required whenever the mesh has more than the ring axis (each data-row of
+    a hybrid ``data×graph`` mesh runs its own independent ring; the kernel
+    needs the full shape to address the right neighbor's LOGICAL id).
+    Defaults to the 1-axis mesh ``((axis_name, num_devices),)``."""
     rows, d = x.shape
     d_pad = ((d + LANES - 1) // LANES) * LANES
     if d_pad != d:
         x = jnp.pad(x, ((0, 0), (0, d_pad - d)))
+    if mesh_axes is None:
+        mesh_axes = ((axis_name, num_devices),)
+    mesh_axes = tuple((str(n), int(s)) for n, s in mesh_axes)
+    assert any(n == axis_name and s == num_devices for n, s in mesh_axes), (
+        f"mesh_axes {mesh_axes} must contain the ring axis ({axis_name}, {num_devices})"
+    )
 
+    interp = jax.default_backend() != "tpu"
     out = pl.pallas_call(
-        _ring_kernel(num_devices, rows, axis_name),
+        _ring_kernel(num_devices, rows, axis_name, mesh_axes, barrier=True),
         out_shape=jax.ShapeDtypeStruct((num_devices * rows, d_pad), x.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -96,6 +146,6 @@ def ring_all_gather(x: jax.Array, axis_name: str, num_devices: int) -> jax.Array
             pltpu.SemaphoreType.REGULAR,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True, collective_id=0),
-        interpret=pltpu.InterpretParams() if jax.default_backend() != "tpu" else False,
+        interpret=pltpu.InterpretParams() if interp else False,
     )(x)
     return out[:, :d]

@@ -65,6 +65,10 @@ def build_strip_operator(
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     weight = np.asarray(weight, dtype=np.float64)
+    # drop zero-weight (padding) rows up front: a padded slot-crossing row
+    # would otherwise force a permanently-zero residual BCSR pass per call
+    live = weight != 0
+    src, dst, weight = src[live], dst[live], weight[live]
 
     in_slot = (src // SLOT) == (dst // SLOT)
     s, d, w = src[in_slot], dst[in_slot], weight[in_slot]

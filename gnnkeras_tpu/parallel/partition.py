@@ -511,7 +511,14 @@ class PartitionedGNN:
                 if self.transport == "pallas_ring":
                     from gnnkeras_tpu.ops.ring import ring_all_gather
 
-                    return ring_all_gather(published, axis, self.n_devices)
+                    return ring_all_gather(
+                        published, axis, self.n_devices,
+                        # full mesh shape: each row of a hybrid mesh runs its
+                        # own ring; neighbor LOGICAL ids need every axis
+                        mesh_axes=tuple(
+                            (n, self.mesh.shape[n]) for n in self.mesh.axis_names
+                        ),
+                    )
                 return jax.lax.all_gather(published, axis, tiled=True)
             return jax.lax.all_gather(x, axis, tiled=True)
 

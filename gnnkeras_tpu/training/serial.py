@@ -24,15 +24,25 @@ from gnnkeras_tpu.graph.batch import from_graph_object
 from gnnkeras_tpu.graph.graph import CompositeGraphObject, GraphObject
 
 
-def _update_host_graph(model, g0: GraphObject, state: np.ndarray, out: np.ndarray) -> GraphObject:
+def _update_host_graph(
+    model, g0: GraphObject, state: np.ndarray, out: np.ndarray,
+    mask_graph: Optional[GraphObject] = None,
+) -> GraphObject:
     """Host-side mirror of LGNN.update_graph (LGNN.py:175-214): prepend state
-    and/or masked-scattered output to the t=0 node (or arc-label) features."""
+    and/or masked-scattered output to the t=0 node (or arc-label) features.
+
+    ``mask_graph``: the graph the layer actually PROCESSED — its set∧output
+    mask gates the scatter (reference update_graph, LGNN.py:185).  For
+    transductive bakes this differs from ``g0``: the transduction removes
+    output supervision from transductive nodes, whose baked output rows must
+    stay zero.  Defaults to ``g0`` (the plain path, where they are equal)."""
     nodeplus: List[np.ndarray] = []
     arcplus: List[np.ndarray] = []
     if model.get_state:
         nodeplus.append(state)
     if model.get_output:
-        mask = np.logical_and(g0.set_mask, g0.output_mask)
+        mg = g0 if mask_graph is None else mask_graph
+        mask = np.logical_and(mg.set_mask, mg.output_mask)
         scattered = np.zeros((len(mask), out.shape[1]), dtype=g0.dtype)
         scattered[mask] = out[mask]
         (arcplus if model._is_arc else nodeplus).append(scattered)
@@ -137,7 +147,8 @@ def _bake_graphs(model, gnn, graphs, t0_graphs, chunk_size: int = 1):
             row0 = off_r if model._is_arc else off_n
             new_graphs.append(
                 _update_host_graph(
-                    model, next(t0_iter), state_np[off_n : off_n + n_i], out_np[row0 : row0 + n_rows]
+                    model, next(t0_iter), state_np[off_n : off_n + n_i],
+                    out_np[row0 : row0 + n_rows], mask_graph=g,
                 )
             )
             off_n += n_i

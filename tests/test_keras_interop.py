@@ -190,3 +190,41 @@ class TestGraphTensorArchiveInterop:
         vals = np.asarray(gt.Adjacency.values)
         dense = coo_matrix((vals, (idx[:, 0], idx[:, 1])), shape=(n, n)).toarray()
         np.testing.assert_allclose(dense, g.Adjacency_coo().toarray(), rtol=1e-5, atol=1e-6)
+
+
+class TestTensorIoRobustness:
+    def test_path_containing_npz_in_directory(self, tmp_path):
+        """Regression: the '.npz' suffix check used substring matching, so a
+        DIRECTORY component containing '.npz' skipped the append and np.load
+        missed the file save_graph_tensor wrote."""
+        from gnnkeras_tpu.graph.graph import GraphObject
+        from gnnkeras_tpu.graph.tensor_io import load_graph_tensor, save_graph_tensor
+
+        d = tmp_path / "run.npz_backup"
+        d.mkdir()
+        g = GraphObject(
+            nodes=np.eye(3, dtype=np.float32),
+            arcs=np.array([[0, 1, 1.0], [1, 2, 1.0]], dtype=np.float32),
+            targets=np.eye(2, dtype=np.float32)[[0, 1, 0]],
+            focus="n", aggregation_mode="average",
+        )
+        save_graph_tensor(str(d / "g0"), g)
+        back = load_graph_tensor(str(d / "g0"), "n")
+        np.testing.assert_allclose(back.nodes, g.nodes)
+
+    def test_triple_promotes_to_f64_for_huge_indices(self):
+        """float32 holds integers exactly only up to 2^24; triples of larger
+        operators must promote so indices survive the float roundtrip."""
+        from scipy.sparse import coo_matrix
+
+        from gnnkeras_tpu.graph.tensor_io import _triple
+
+        big = (1 << 24) + 3
+        m = coo_matrix(
+            (np.ones(2, np.float32), ([big - 1, big - 2], [0, 1])), shape=(big, 4)
+        )
+        t = _triple(m, np.float32)
+        assert t.dtype == np.float64
+        assert int(t[-1, 1]) in (big - 1, big - 2)  # index survives exactly
+        small = coo_matrix((np.ones(1, np.float32), ([2], [1])), shape=(8, 4))
+        assert _triple(small, np.float32).dtype == np.float32  # layout unchanged

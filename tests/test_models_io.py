@@ -183,6 +183,34 @@ class TestTransductive:
         assert len(h.history["loss"]) == 2
 
 
+class TestSerialBakeMask:
+    def test_bake_scatter_uses_processed_graph_masks(self):
+        """Regression: the serial bake scattered layer outputs under the t=0
+        graph's set∧output mask; for transductive bakes the PROCESSED graph's
+        mask differs (transduction removes output supervision), and those
+        nodes' baked output rows must stay zero (reference update_graph,
+        LGNN.py:185, masks by the graph being processed)."""
+        from types import SimpleNamespace
+
+        from gnnkeras_tpu.training.serial import _update_host_graph
+
+        g0 = toy_graphs(1, seed=20, focus="n")[0]
+        n = g0.nodes.shape[0]
+        model = SimpleNamespace(get_state=False, get_output=True, _is_arc=False)
+        out = np.ones((n, 2), dtype=np.float32)
+
+        processed = g0.copy()
+        processed.output_mask = g0.output_mask.copy()
+        processed.output_mask[:2] = False  # "transductive" nodes: supervision removed
+        baked = _update_host_graph(model, g0, None, out, mask_graph=processed)
+        np.testing.assert_allclose(baked.nodes[:2, :2], 0.0)  # masked rows stay zero
+        assert np.all(baked.nodes[2:, :2][np.logical_and(
+            g0.set_mask, g0.output_mask)[2:]] == 1.0)
+        # default (no mask_graph): t0 masks gate the scatter, as before
+        baked0 = _update_host_graph(model, g0, None, out)
+        assert np.all(baked0.nodes[np.logical_and(g0.set_mask, g0.output_mask), :2] == 1.0)
+
+
 class TestSerialTransductive:
     def test_serial_lgnn_over_transductive_learns(self):
         """3-layer serial CompositeLGNN over a TransductiveMultiGraphSequencer

@@ -414,6 +414,35 @@ class TestHaloExchange:
         np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), rtol=1e-5, atol=1e-6)
 
+    def test_ring_on_multi_axis_mesh(self):
+        """Regression: the ring kernel addressed neighbors by the ring-axis
+        index alone, which is only the LOGICAL device id on a 1-axis mesh —
+        on a hybrid data×graph mesh every data-row>0 device targeted row-0
+        devices and the ring deadlocked.  Each row of a 2×4 mesh must run its
+        own independent ring and match lax.all_gather."""
+        from functools import partial
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from gnnkeras_tpu.ops.ring import ring_all_gather
+        from gnnkeras_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(("data", "graph"), shape=(2, 4))
+        rows, d = 8, 5
+        x = np.arange(2 * 4 * rows * d, dtype=np.float32).reshape(2, 4 * rows, d)
+        mesh_axes = tuple((n, mesh.shape[n]) for n in mesh.axis_names)
+
+        @partial(shard_map, mesh=mesh, in_specs=P("data", "graph", None),
+                 out_specs=P("data", None, None), check_rep=False)
+        def via_ring(xs):
+            got = ring_all_gather(xs[0], "graph", 4, mesh_axes=mesh_axes)
+            return got[None]  # (1, 4·rows, d): every device holds its ROW's full gather
+
+        # each data-row gathers exactly its own row of x, independent of the
+        # other row (rows run separate rings over disjoint devices)
+        np.testing.assert_allclose(np.asarray(via_ring(x)), x, rtol=0, atol=0)
+
 
 class TestPartitionedComposite:
     def test_composite_partitioned_matches_single(self, mesh8):

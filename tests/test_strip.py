@@ -37,6 +37,20 @@ def dense_oracle(src, dst, w, n, state):
     return (adj.T @ state.astype(np.float64)).astype(np.float32)
 
 
+class TestStripBuild:
+    def test_zero_weight_crossing_rows_build_no_residual(self):
+        """Padding rows (weight 0) that cross slot boundaries must not force
+        a permanently-zero residual BCSR pass on every aggregation call."""
+        src = np.array([0, 1, 5])   # 5 -> 40 crosses the 32-slot boundary...
+        dst = np.array([1, 0, 40])
+        w = np.array([1.0, 1.0, 0.0])  # ...but carries weight 0 (padding)
+        op = build_strip_operator(src, dst, w, TILE)
+        assert op.residual is None and op.residual_t is None
+        # a LIVE crossing row still builds it
+        op2 = build_strip_operator(src, dst, np.array([1.0, 1.0, 2.0]), TILE)
+        assert op2.residual is not None
+
+
 class TestStripAggregate:
     @pytest.mark.parametrize("cross_slot", [False, True])
     @pytest.mark.parametrize("d", [14, 8, 3])

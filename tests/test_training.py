@@ -118,6 +118,29 @@ class TestConfig:
         cfg2 = GNNConfig.from_json(cfg.to_json())
         assert cfg2 == cfg
 
+    def test_validation_raises_valueerror(self):
+        # ValueError (not assert) so validation survives ``python -O``
+        with pytest.raises(ValueError, match="focus"):
+            GNNConfig(focus="x")
+        with pytest.raises(ValueError, match="training_mode"):
+            GNNConfig(training_mode="typo")
+        with pytest.raises(ValueError, match="layers"):
+            GNNConfig(layers=0)
+
+    def test_transductive_rejects_composite_graphs(self):
+        from gnnkeras_tpu.graph.graph import CompositeGraphObject
+
+        g = toy_graphs(1)[0]
+        cg = CompositeGraphObject(
+            nodes=g.nodes, arcs=g.arcs, targets=g.targets,
+            type_mask=np.ones((g.nodes.shape[0], 1), dtype=bool),
+            dim_node_label=(g.nodes.shape[1],), focus="g",
+            aggregation_mode="average",
+        )
+        cfg = GNNConfig(focus="g")
+        with pytest.raises(ValueError, match="homogeneous"):
+            cfg.build_sequencer([cg], transductive_rate=0.5)
+
     def test_builds_single_gnn(self):
         cfg = GNNConfig(layers=1, focus="g", epochs=1, batch_size=6)
         model = cfg.build_model(3, 2, 2)
@@ -143,7 +166,8 @@ class TestConfig:
         assert len(model.net_state) == 2
 
     def test_rejects_bad_focus(self):
-        with pytest.raises(AssertionError):
+        # ValueError (not assert) so validation survives ``python -O``
+        with pytest.raises(ValueError):
             GNNConfig(focus="x")
 
 
