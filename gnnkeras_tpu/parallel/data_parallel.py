@@ -40,10 +40,11 @@ def _make_dp_sharded_step(model, mesh: Mesh, axis: str = "data"):
     scanned whole-epoch entry points)."""
     from gnnkeras_tpu.training.trainer import _metric_sums, _objective
 
-    def device_step(params, mstate, opt_state, batch, rng):
+    def device_step(params, mstate, opt_state, batch, rng, real):
         # shard_map hands us a leading axis of size 1 (this device's shard).
         batch = jax.tree_util.tree_map(lambda x: x[0], batch)
         rng = rng[0]
+        w = real[0]  # 1.0 for a real batch, 0.0 for a partial-group filler
 
         (loss, aux), grads = jax.value_and_grad(
             lambda p: _objective(model, p, mstate, batch, rng, training=True), has_aux=True
@@ -51,25 +52,33 @@ def _make_dp_sharded_step(model, mesh: Mesh, axis: str = "data"):
         if model.average_st_grads:
             grads = model.scale_state_grads(grads, aux["k"])
 
-        grads = jax.lax.pmean(grads, axis)
-        new_mstate = jax.lax.pmean(aux["new_state"], axis)
-        loss = jax.lax.pmean(loss, axis)
+        # average over the REAL batches only: a plain pmean would weight
+        # filler devices as group members — attenuating the data gradients
+        # by n_real/D, averaging the duplicated filler's BatchNorm moments
+        # in twice, and folding zero losses into the group loss
+        denom = jnp.maximum(jax.lax.psum(w, axis), 1.0)
+        wmean = lambda t: jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(x * w, axis) / denom, t
+        )
+        grads = wmean(grads)
+        new_mstate = wmean(aux["new_state"])
+        loss = jax.lax.psum(loss * w, axis) / denom
 
         updates, opt_state = model.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
 
-        count = jnp.maximum(jnp.sum(batch.target_mask.astype(jnp.float32)), 1.0)
+        count = jnp.maximum(jnp.sum(batch.target_mask.astype(jnp.float32)), 1.0) * w
         logs = {"loss_sum": loss * count, "count": count}
         for name, (s, c) in _metric_sums(model, aux["y_pred"], batch).items():
-            logs[f"{name}_sum"] = s
-            logs[f"{name}_count"] = c
+            logs[f"{name}_sum"] = s * w
+            logs[f"{name}_count"] = c * w
         logs = jax.tree_util.tree_map(lambda x: jax.lax.psum(x, axis), logs)
         return params, new_mstate, opt_state, logs
 
     sharded = shard_map(
         device_step,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis), P(axis)),
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis)),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
@@ -94,15 +103,15 @@ def make_dp_epoch_step(model, mesh: Mesh, axis: str = "data"):
     sync per epoch (mirrors training/trainer.py's scan_batches path)."""
     sharded_step = _make_dp_sharded_step(model, mesh, axis)
 
-    def epoch(params, mstate, opt_state, stacked_groups, rngs):
+    def epoch(params, mstate, opt_state, stacked_groups, rngs, reals):
         def body(carry, xs):
             p, m, o = carry
-            group, rng = xs
-            p, m, o, logs = sharded_step(p, m, o, group, rng)
+            group, rng, real = xs
+            p, m, o, logs = sharded_step(p, m, o, group, rng, real)
             return (p, m, o), logs
 
         (params, mstate, opt_state), logs = jax.lax.scan(
-            body, (params, mstate, opt_state), (stacked_groups, rngs)
+            body, (params, mstate, opt_state), (stacked_groups, rngs, reals)
         )
         return params, mstate, opt_state, logs
 
@@ -123,14 +132,18 @@ class DataParallelTrainer:
         self._step = None
         self._epoch_step = None
 
-    def _device_groups(self, sequencer, place: bool = True) -> List[GraphBatch]:
-        """Per-device step groups.  ``place=False`` skips the per-group mesh
-        placement (the scanned epoch path re-places the whole stacked epoch
-        once — placing twice would transfer the dataset twice)."""
+    def _device_groups(self, sequencer, place: bool = True):
+        """Per-device step groups + a (D,) real-batch indicator per group
+        (1.0 real, 0.0 filler — the step averages over real batches only).
+        ``place=False`` skips the per-group mesh placement (the scanned epoch
+        path re-places the whole stacked epoch once — placing twice would
+        transfer the dataset twice)."""
         batches = [sequencer[i] for i in range(len(sequencer))]
-        groups = []
+        groups, reals = [], []
         for i in range(0, len(batches), self.n_devices):
             group = batches[i : i + self.n_devices]
+            real = np.zeros(self.n_devices, np.float32)
+            real[: len(group)] = 1.0
             while len(group) < self.n_devices:
                 # pad the group by repeating the last batch with zeroed masks
                 filler = group[-1].replace(
@@ -140,7 +153,8 @@ class DataParallelTrainer:
                 group.append(filler)
             stacked = stack_batches(group)
             groups.append(shard_batches(stacked, self.mesh, self.axis) if place else stacked)
-        return groups
+            reals.append(jnp.asarray(real))
+        return groups, reals
 
     def fit(
         self,
@@ -209,12 +223,14 @@ class DataParallelTrainer:
 
         for epoch in range(start_epoch, epochs):
             t0 = time.perf_counter()
+            # one group build per epoch, shared by both paths (the scanned
+            # path re-places the whole stacked epoch; the per-step fallback
+            # places group-by-group below)
+            groups, reals = self._device_groups(sequencer, place=False)
+            n_steps = len(groups)
             stacked_epoch = None
-            n_steps = 0
-            if scan_batches in (None, True):
-                groups = self._device_groups(sequencer, place=False)
-                n_steps = len(groups)
-                stacked_epoch = _try_stack(groups) if n_steps > 1 else None
+            if scan_batches in (None, True) and n_steps > 1:
+                stacked_epoch = _try_stack(groups)
                 if stacked_epoch is not None:
                     sharding = NamedSharding(self.mesh, P(None, self.axis))
                     stacked_epoch = jax.tree_util.tree_map(
@@ -227,14 +243,17 @@ class DataParallelTrainer:
                     [jax.random.split(model.next_rng(), self.n_devices) for _ in range(n_steps)]
                 )
                 params, mstate, opt_state, logs = self._epoch_step(
-                    params, mstate, opt_state, stacked_epoch, rngs
+                    params, mstate, opt_state, stacked_epoch, rngs, jnp.stack(reals)
                 )
                 accum = _unstack_logs(logs)
             else:
                 accum = []
-                for stacked in self._device_groups(sequencer):
+                for stacked, real in zip(groups, reals):
+                    stacked = shard_batches(stacked, self.mesh, self.axis)
                     rngs = jax.random.split(model.next_rng(), self.n_devices)
-                    params, mstate, opt_state, logs = self._step(params, mstate, opt_state, stacked, rngs)
+                    params, mstate, opt_state, logs = self._step(
+                        params, mstate, opt_state, stacked, rngs, real
+                    )
                     accum.append(logs)
             sequencer.on_epoch_end()
             logs = _reduce_logs(accum)

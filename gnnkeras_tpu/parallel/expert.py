@@ -32,7 +32,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from gnnkeras_tpu.graph.batch import GraphBatch
 from gnnkeras_tpu.models.composite import CompositeGNNnodeBased
-from gnnkeras_tpu.models.gnn import STATE_INIT_STDDEV, _select_tree, unconverged
+from gnnkeras_tpu.models.gnn import STATE_INIT_STDDEV, run_unfold_loops
 from gnnkeras_tpu.utils.dtypes import floatx
 
 
@@ -116,6 +116,50 @@ def stack_expert_params(
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *trees)
 
     return stack(params_padded), stack(state_padded), w_max
+
+
+def unstack_expert_params(
+    mlps,
+    stacked_params,
+    stacked_state,
+    label_widths: Optional[List[int]] = None,
+):
+    """Inverse of :func:`stack_expert_params`: slice each REAL type's entry
+    off the leading expert axis and strip the inserted zero-padding rows from
+    the width-dependent leaves, restoring the wrapped model's per-type
+    variable lists (padded phantom experts are dropped)."""
+    widths = [m.input_dim[0] for m in mlps]
+    w_max = max(widths)
+    kinds = [l[0] for l in mlps[0].program]
+
+    def strip_rows(v, at: int, n: int):
+        if n == 0:
+            return v
+        return jnp.concatenate([v[:at], v[at + n :]], axis=0)
+
+    def unpack(stacked, t):
+        layers = jax.tree_util.tree_map(lambda x: x[t], stacked)
+        n_pad = w_max - widths[t]
+        at = label_widths[t] if label_widths is not None else widths[t]
+        out, first_done = [], False
+        for kind, leafdict in zip(kinds, layers):
+            d = dict(leafdict)
+            if not first_done and kind == "batch_norm":
+                d = {key: strip_rows(v, at, n_pad) for key, v in d.items()}
+            elif not first_done and kind == "dense":
+                if "kernel" in d:
+                    d["kernel"] = strip_rows(d["kernel"], at, n_pad)
+                first_done = True
+            out.append(d)
+            if kind == "dense":
+                first_done = True
+        return out
+
+    n_types = len(mlps)
+    return (
+        [unpack(stacked_params, t) for t in range(n_types)],
+        [unpack(stacked_state, t) for t in range(n_types)],
+    )
 
 
 class ExpertParallelCompositeGNN:
@@ -234,27 +278,18 @@ class ExpertParallelCompositeGNN:
         pad_keys = jnp.zeros((n_steps, self.types_pad - n_types) + key_shape, dtype=typed.dtype)
         step_rngs = jnp.concatenate([typed, pad_keys], axis=1)
 
-        def step_body(carry, step_rng, agg_states=None):
-            k, state, state_old, bn_states = carry
-            run = unconverged(state, state_old, batch.node_mask, gnn.state_threshold)
-            new_state, new_bn = transition(state, bn_states, step_rng, agg_states)
-            return (
-                k + run.astype(floatx()),
-                jnp.where(run, new_state, state),
-                jnp.where(run, state, state_old),
-                _select_tree(run, new_bn, bn_states),
-            )
-
-        carry = (jnp.zeros((), floatx()), state0, state_old0, bn0)
-        rest, length = step_rngs, gnn.max_iteration
-        # iteration-0 peel (models/gnn.py): at dim_state==0 the first
-        # neighbor-state sum IS the precomputed label sum
-        if gnn.state_vect_dim == 0 and batch.agg_node_labels is not None and gnn.max_iteration >= 1:
-            carry = step_body(carry, step_rngs[0], agg_states=batch.agg_node_labels)
-            rest, length = step_rngs[1:], gnn.max_iteration - 1
-
-        step = lambda c, r: (step_body(c, r), None)
-        (k, state, _, bn_final), _ = jax.lax.scan(step, carry, rest, length=length)
+        # the SHARED loop driver (models/gnn.py run_unfold_loops): training
+        # scan / inference while_loop with early exit / peel / remat — the
+        # wrapper must not carry its own copy of the loop semantics
+        peel_agg = (
+            batch.agg_node_labels
+            if gnn.state_vect_dim == 0 and batch.agg_node_labels is not None
+            else None
+        )
+        k, state, bn_final = run_unfold_loops(
+            gnn, batch, state0, state_old0, bn0, step_rngs, training, transition,
+            peel_agg=peel_agg,
+        )
 
         # shared output head (replicated)
         out, out_mask, bn_out = gnn.apply_output(
@@ -354,6 +389,10 @@ class ExpertParallelCompositeGNN:
                 objective, argnums=(0, 1), has_aux=True
             )(sparams, out_p)
             g_op = jax.lax.psum(g_op, axis)  # tied head: assemble the full grad
+            if gnn.average_st_grads:
+                # reference GNN.py:295 divides the STATE-net grads by the
+                # iteration count k — the experts ARE the state net here
+                g_sp = jax.tree_util.tree_map(lambda g: g / jnp.maximum(k, 1.0), g_sp)
             loss = data_loss + jax.lax.psum(local_reg(sparams), axis) + out_reg(out_p)
 
             upd_e, opt_e = gnn.optimizer.update(g_sp, opt_e, sparams)
@@ -430,7 +469,23 @@ class ExpertParallelCompositeGNN:
         self.stacked_params, self.stacked_state = sparams, sstate
         gnn.variables["params"]["net_output"] = out_p
         gnn.variables["state"]["net_output"] = out_s
+        self.sync_to_model()
         return history
+
+    def sync_to_model(self) -> None:
+        """Write the trained (sharded) expert weights and BatchNorm moments
+        back into the wrapped model's per-type variable lists, so
+        ``cgnn.save()/predict()/evaluate()`` and further single-device
+        fine-tuning see the expert-parallel training — not the compile-time
+        initial experts."""
+        if self.stacked_params is None:
+            return
+        p_list, s_list = unstack_expert_params(
+            self.cgnn.net_state, self.stacked_params, self.stacked_state,
+            label_widths=self._label_widths,
+        )
+        self.cgnn.variables["params"]["net_state"] = p_list
+        self.cgnn.variables["state"]["net_state"] = s_list
 
     def evaluate(self, sequencer, verbose: int = 0):
         """Loss + metrics over a sequencer with the sharded experts

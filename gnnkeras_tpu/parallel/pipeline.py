@@ -78,7 +78,12 @@ class _Layer0Padding:
         gnn1 = lgnn.gnns[-1]
         s1 = gnn1.net_state.input_dim[0]  # 2·ds + 2·wn + da (full layout)
         s0 = lgnn.gnns[0].net_state.input_dim[0]
-        assert s1 - s0 == 2 * prop_node + prop_arc, (s0, s1, prop_node, prop_arc)
+        if s1 - s0 != 2 * prop_node + prop_arc:  # ValueError: survives python -O
+            raise ValueError(
+                f"layer-0/layers>=1 input widths do not line up with the propagated "
+                f"features: s0={s0}, s1={s1}, expected s1-s0 = 2*{prop_node}+{prop_arc} "
+                f"(wrong MLP dims or node_label_dim?)"
+            )
         if not lgnn._is_arc:
             # node/graph focus: net_output input = [state | nodes] gives wn
             wn = gnn1.net_output.input_dim[0] - ds
@@ -107,7 +112,8 @@ class _Layer0Padding:
             if v.shape[0] == target_rows:
                 break
             v = _insert_rows(v, at, w_)
-        assert v.shape[0] == target_rows, (leaf.shape, target_rows, ins)
+        if v.shape[0] != target_rows:
+            raise ValueError(f"pad failed: {leaf.shape} -> {v.shape[0]} != {target_rows} via {ins}")
         return v
 
     def strip(self, leaf, net: str, target_rows: int):
@@ -117,7 +123,8 @@ class _Layer0Padding:
             if v.shape[0] == target_rows:
                 break
             v = _strip_rows(v, at, w_)
-        assert v.shape[0] == target_rows, (leaf.shape, target_rows, ins)
+        if v.shape[0] != target_rows:
+            raise ValueError(f"strip failed: {leaf.shape} -> {v.shape[0]} != {target_rows} via {ins}")
         return v
 
 
@@ -304,11 +311,15 @@ class PipelineLGNN:
                     # layer loss must be the full-batch masked mean even when
                     # microbatches carry unequal supervised-row counts
                     # (mean-of-means would overweight sparse microbatches)
-                    w = batch_m.sample_weight * batch_m.target_mask.astype(floatx())
+                    msk = batch_m.target_mask.astype(floatx())
+                    w = batch_m.sample_weight * msk
                     per = loss_fn(batch_m.targets, out_loss)
                     act = active.astype(floatx())
+                    # masked_mean convention (losses.py): Σ(per·sw·m) / Σm —
+                    # the MASK COUNT, not Σ(sw·m), or non-unit sample weights
+                    # rescale the pipelined objective vs the single-device one
                     num_sum = num_sum + act * jnp.sum(per * w)
-                    den_sum = den_sum + act * jnp.sum(w)
+                    den_sum = den_sum + act * jnp.sum(msk)
                     k_sum = k_sum + act * k
                     bn = jax.tree_util.tree_map(lambda a, b: jnp.where(active, a, b), new_bn, bn)
                     # hand my output to the next stage for the next tick

@@ -38,9 +38,8 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gnnkeras_tpu.graph.batch import GraphBatch
-from gnnkeras_tpu.models.gnn import GNNnodeBased, unconverged
+from gnnkeras_tpu.models.gnn import GNNnodeBased, run_unfold_loops
 from gnnkeras_tpu.models.mlp import MLP, _batch_norm_apply, _dropout_apply, get_activation
-from gnnkeras_tpu.utils.dtypes import floatx
 
 
 def _round_up(x: int, m: int) -> int:
@@ -306,13 +305,20 @@ class TensorParallelGNN:
             aggregated_arcs = batch.agg_arc_labels
         else:
             aggregated_arcs = aggregate_edges(batch.arc_label, batch.arc_dst, batch.arcnode_weight, n)
-        state0, aggregated_nodes = gnn._initial_state(batch, rng)
+        # the single-device key chain (gnn.forward:479): rng splits into
+        # (loop, out) — the readout gets its OWN key, not a key the last
+        # unfold iteration's dropout already consumed
+        if rng is not None:
+            rng_loop, rng_out = jax.random.split(rng)
+        else:
+            rng_loop = rng_out = None
+        state0, aggregated_nodes = gnn._initial_state(batch, rng_loop)
         state_old0 = jnp.ones_like(state0)
         bn0 = variables["state"]["net_state"]
 
         n_steps = max(gnn.max_iteration, 1)
-        if rng is not None:
-            step_rngs = jax.random.split(rng, n_steps)
+        if rng_loop is not None:
+            step_rngs = jax.random.split(rng_loop, n_steps)
         else:
             key = jax.random.PRNGKey(0)
             step_rngs = jnp.zeros((n_steps,) + key.shape, dtype=key.dtype)
@@ -329,34 +335,18 @@ class TensorParallelGNN:
                 rng=step_rng if rng is not None else None,
             )
 
-        def step_body(carry, step_rng, aggregated_states=None):
-            # predicate refreshed from the just-computed operands, as in
-            # models/gnn.py step_body — no second full-state carry
-            k, state, running, bn_state = carry
-            new_state, new_bn = transition(state, bn_state, step_rng, aggregated_states)
-            changed = unconverged(new_state, state, batch.node_mask, gnn.state_threshold)
-            return (
-                k + running.astype(floatx()),
-                jnp.where(running, new_state, state),
-                jnp.logical_and(running, changed),
-                jax.tree_util.tree_map(lambda a, b: jnp.where(running, a, b), new_bn, bn_state),
-            )
-
-        maybe_remat = jax.checkpoint if gnn.remat else (lambda f: f)
-        running0 = unconverged(state0, state_old0, batch.node_mask, gnn.state_threshold)
-        carry = (jnp.zeros((), floatx()), state0, running0, bn0)
-        rest, length = step_rngs, gnn.max_iteration
-        # iteration-0 peel (models/gnn.py): at dim_state==0 the first
-        # neighbor-state sum IS the precomputed label sum
-        if gnn.state_vect_dim == 0 and batch.agg_node_labels is not None and gnn.max_iteration >= 1:
-            peeled = maybe_remat(
-                lambda c, r: step_body(c, r, aggregated_states=batch.agg_node_labels)
-            )
-            carry = peeled(carry, step_rngs[0])
-            rest, length = step_rngs[1:], gnn.max_iteration - 1
-
-        step = maybe_remat(lambda c, r: (step_body(c, r), None))
-        (k, state, _, bn_final), _ = jax.lax.scan(step, carry, rest, length=length)
+        # the SHARED loop driver (models/gnn.py run_unfold_loops): training
+        # scan / inference while_loop with early exit / peel / remat — one
+        # copy of the loop semantics for every engine, including this one
+        peel_agg = (
+            batch.agg_node_labels
+            if gnn.state_vect_dim == 0 and batch.agg_node_labels is not None
+            else None
+        )
+        k, state, bn_final = run_unfold_loops(
+            gnn, batch, state0, state_old0, bn0, step_rngs, training, transition,
+            peel_agg=peel_agg,
+        )
 
         # replicated readout (reference apply_filters + net_output)
         out, out_mask, bn_out = gnn.apply_output(
@@ -367,7 +357,7 @@ class TensorParallelGNN:
             state,
             batch,
             training=training,
-            rng=step_rngs[-1] if rng is not None else None,
+            rng=rng_out,
         )
         return k, state, out, out_mask, {"net_state": bn_final, "net_output": bn_out}
 
@@ -396,8 +386,18 @@ class TensorParallelGNN:
 
     def forward(self, batch: GraphBatch, training: bool = False, rng=None):
         self.gnn.build()
-        stacked = self.shard_variables(self.gnn.variables)
-        if rng is None and self.gnn.state_vect_dim > 0:
+        # cache the stacked tree against the model's variables OBJECT — a
+        # prediction loop would otherwise re-pad/re-split/re-upload the whole
+        # tree once per batch (updates replace model.variables wholesale, so
+        # identity is the correct invalidation key; the held reference keeps
+        # the id stable)
+        if getattr(self, "_stacked_src", None) is not self.gnn.variables:
+            self._stacked_src = self.gnn.variables
+            self._stacked_vars = self.shard_variables(self.gnn.variables)
+        stacked = self._stacked_vars
+        # training also needs a key (dropout) even at dim_state==0 — without
+        # it a training=True forward silently runs dropout-disabled
+        if rng is None and (self.gnn.state_vect_dim > 0 or training):
             rng = self.gnn.next_rng()
         k, state, out, _ = self.make_forward(training)(stacked, batch, rng)
         return k, state, out

@@ -252,3 +252,113 @@ class TestExpertDropoutParity:
         ep = ExpertParallelCompositeGNN(cgnn, make_mesh(("expert",), devices=jax.devices()[:2]))
         out_ep = ep.forward(batch, training=True, rng=k)[2]
         np.testing.assert_allclose(np.asarray(out_ep), np.asarray(out_ref), rtol=1e-5, atol=1e-6)
+
+
+class TestExpertWriteback:
+    def _model(self, g, average_st_grads=False):
+        width = g.nodes.shape[1]
+        comp_w = int(np.sum(g.DIM_NODE_LABEL)) + g.DIM_ARC_LABEL
+        nets = [MLP(input_dim=(int(d_t) + width + width + comp_w,), layers=[width],
+                    activations="selu", kernel_initializer="lecun_normal",
+                    bias_initializer="lecun_normal")
+                for d_t in g.DIM_NODE_LABEL]
+        ot = MLP(input_dim=(width,), layers=[2], activations="softmax",
+                 kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+        cgnn = CompositeGNNnodeBased(nets, ot, 0, 4, 0.01)
+        cgnn.build(seed=5)
+        cgnn.compile(optimizer="sgd:0.1", loss="mse", average_st_grads=average_st_grads)
+        return cgnn
+
+    def test_unstack_roundtrips_stack(self):
+        from gnnkeras_tpu.parallel.expert import unstack_expert_params
+
+        g = composite_graph(seed=9)
+        batch = from_graph_object(g)
+        cg = self._model(g)
+        lw = [int(d) for d in batch.dim_node_label]
+        sp, ss, _ = stack_expert_params(
+            cg.net_state, cg.variables["params"]["net_state"],
+            cg.variables["state"]["net_state"], 8, label_widths=lw,
+        )
+        p_back, s_back = unstack_expert_params(cg.net_state, sp, ss, label_widths=lw)
+        for a, b in zip(jax.tree_util.tree_leaves(cg.variables["params"]["net_state"]),
+                        jax.tree_util.tree_leaves(p_back)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+        for a, b in zip(jax.tree_util.tree_leaves(cg.variables["state"]["net_state"]),
+                        jax.tree_util.tree_leaves(s_back)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+
+    def test_fit_syncs_experts_into_wrapped_model(self, mesh4):
+        """Regression: fit() wrote back only the output head — the wrapped
+        model kept its INITIAL expert weights, so cgnn.save()/predict() after
+        EP training served an untrained state net."""
+        from gnnkeras_tpu.data.sequencers import CompositeMultiGraphSequencer
+        from gnnkeras_tpu.graph.graph import CompositeGraphObject
+
+        # same per-type label dims across graphs (merge requires it): jitter
+        # one base graph's node features per copy
+        base = composite_graph(seed=11)
+        graphs = []
+        for s in range(4):
+            g = base.copy()
+            g.nodes = g.nodes + 0.1 * np.random.default_rng(s).normal(size=g.nodes.shape)
+            graphs.append(g)
+        cg = self._model(graphs[0])
+        before = jax.tree_util.tree_map(np.asarray, cg.variables["params"]["net_state"])
+        ep = ExpertParallelCompositeGNN(cg, mesh4)
+        seq = CompositeMultiGraphSequencer(graphs, "n", "average", batch_size=2,
+                                           shuffle=False, pad_multiple=16)
+        ep.fit(seq, epochs=1, verbose=0)
+        after = cg.variables["params"]["net_state"]
+        changed = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after))
+        )
+        assert changed, "trained expert weights must reach the wrapped model"
+        # and the wrapped model's own forward now agrees with the wrapper's
+        batch = seq[0]
+        _, _, out_w, _ = ep.forward(batch, training=False)
+        _, _, out_m, _, _ = cg.forward(cg.variables, batch, training=False)
+        np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_w), rtol=1e-5, atol=1e-6)
+
+    def test_ep_step_matches_single_device_average_st_grads(self, mesh4):
+        """average_st_grads (reference GNN.py:295: state grads / k) must be
+        honored by the EP step; SGD makes the scaling observable."""
+        from gnnkeras_tpu.training.trainer import _get_train_step
+
+        g = composite_graph(seed=17)
+        batch = from_graph_object(g)
+        rng = jax.random.PRNGKey(33)
+
+        cg1 = self._model(g, average_st_grads=True)
+        cg1._opt_state = cg1.optimizer.init(cg1.variables["params"])
+        # the step donates its inputs — snapshot what we restack with later
+        bn_state_snapshot = jax.tree_util.tree_map(np.asarray, cg1.variables["state"]["net_state"])
+        step1 = _get_train_step(cg1)
+        params1, _, _, logs1 = step1(
+            cg1.variables["params"], cg1.variables["state"], cg1._opt_state, batch, rng
+        )
+
+        cg2 = self._model(g, average_st_grads=True)
+        ep = ExpertParallelCompositeGNN(cg2, mesh4)
+        ep._ensure_stacked(batch)
+        opt_e = cg2.optimizer.init(ep.stacked_params)
+        out_p = cg2.variables["params"]["net_output"]
+        out_s = cg2.variables["state"]["net_output"]
+        opt_o = cg2.optimizer.init(out_p)
+        step2 = ep.make_train_step(opt_e, opt_o)
+        sparams, _, out_p2, _, _, _, logs2 = step2(
+            ep.stacked_params, ep.stacked_state, out_p, out_s, opt_e, opt_o,
+            ep._nodes_by_type(batch), ep._type_masks(batch), batch, rng
+        )
+        assert float(logs2["k"]) > 1.0  # scaling actually in play
+        restacked, _, _ = stack_expert_params(
+            cg1.net_state, params1["net_state"],
+            bn_state_snapshot, ep.types_pad,
+            label_widths=[int(d) for d in batch.dim_node_label],
+        )
+        for a, b in zip(jax.tree_util.tree_leaves(restacked), jax.tree_util.tree_leaves(sparams)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(params1["net_output"]),
+                        jax.tree_util.tree_leaves(out_p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

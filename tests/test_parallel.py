@@ -319,6 +319,55 @@ class TestDataParallel:
                           checkpoint_dir=ckpt, resume=True)
         assert len(h2.history["loss"]) == 1  # epochs 0-2 restored, only epoch 3 runs
 
+    def test_dp_partial_group_weights_real_batches_only(self):
+        """Regression: a partial final group pads with zero-masked fillers;
+        the step must average grads/BN/loss over the REAL batches (1/n_real),
+        not over all D devices (1/D — a pmean attenuated the data gradients
+        and averaged the duplicated filler's BatchNorm moments in again)."""
+        from gnnkeras_tpu.data.sequencers import MultiGraphSequencer
+        from gnnkeras_tpu.models.gnn import GNNgraphBased
+        from gnnkeras_tpu.training.trainer import _objective
+
+        rng_np = np.random.default_rng(9)
+        graphs = []
+        for _ in range(9):
+            n, a = rng_np.integers(5, 10), rng_np.integers(8, 16)
+            nodes = rng_np.normal(size=(n, 3))
+            arcs = np.concatenate([rng_np.integers(0, n, (a, 2)), rng_np.normal(size=(a, 2))], axis=1)
+            t = np.zeros((1, 2))
+            t[0, rng_np.integers(2)] = 1
+            graphs.append(GraphObject(nodes=nodes, arcs=arcs, targets=t,
+                                      focus="g", aggregation_mode="average"))
+        seq = MultiGraphSequencer(graphs, "g", "average", batch_size=3,
+                                  shuffle=False, pad_multiple=16)
+        assert len(seq) == 3  # 3 real batches on an 8-device mesh: 5 fillers
+
+        def fresh():
+            gnn = build_gnn(GNNgraphBased, "g")
+            gnn.compile(optimizer="sgd:0.1", loss="categorical_crossentropy")
+            return gnn
+
+        # expected: mean of the 3 real per-batch gradients, one SGD step
+        gnn1 = fresh()
+        gnn1.build(seed=0)
+        params, mstate = gnn1.variables["params"], gnn1.variables["state"]
+        keys = jax.random.split(gnn1.next_rng(), 8)
+        gsum = None
+        for i in range(3):
+            (_, _), g = jax.value_and_grad(
+                lambda p: _objective(gnn1, p, mstate, seq[i], keys[i], training=True),
+                has_aux=True,
+            )(params)
+            gsum = g if gsum is None else jax.tree_util.tree_map(jnp.add, gsum, g)
+        expected = jax.tree_util.tree_map(lambda p, g: p - 0.1 * g / 3.0, params, gsum)
+
+        gnn2 = fresh()
+        tr = DataParallelTrainer(gnn2, make_mesh(("data",)))
+        tr.fit(seq, epochs=1, verbose=0, seed=0)
+        for a, b in zip(jax.tree_util.tree_leaves(expected),
+                        jax.tree_util.tree_leaves(gnn2.variables["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
     def test_stack_batches_shapes(self):
         g = big_graph(seed=6, focus="n")
         b = from_graph_object(g, pad_nodes=64, pad_arcs=512)

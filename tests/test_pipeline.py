@@ -287,6 +287,9 @@ class TestUnequalMicrobatches:
 
         rng = jax.random.PRNGKey(23)
         mbs = [graphs_batch(seed=40, n_graphs=12), graphs_batch(seed=41, n_graphs=4)]
+        # NON-UNIT sample weights: with sw==1 the masked_mean denominator Σm
+        # and the (wrong) Σ(sw·m) coincide and the test cannot tell them apart
+        mbs[1] = mbs[1].replace(sample_weight=mbs[1].sample_weight * 2.0)
 
         lgnn1 = build_lgnn(layers=4, bn=False)
         loss_fn = lgnn1.loss
@@ -294,6 +297,8 @@ class TestUnequalMicrobatches:
         mstate = lgnn1.variables["state"]
 
         def obj(params):
+            # the single-device masked_mean convention (losses.py):
+            # Σ(per·sw·mask) / Σmask, combined across microbatches
             L = len(lgnn1.gnns)
             num = [0.0] * L
             den = [0.0] * L
@@ -301,10 +306,11 @@ class TestUnequalMicrobatches:
                 _, _, outs, _, _ = lgnn1.forward(
                     {"params": params, "state": mstate}, batch, training=True, rng=keys[m]
                 )
-                w = batch.sample_weight * batch.target_mask.astype(batch.sample_weight.dtype)
+                msk = batch.target_mask.astype(batch.sample_weight.dtype)
+                w = batch.sample_weight * msk
                 for i, out in enumerate(outs):
                     num[i] = num[i] + jnp.sum(loss_fn(batch.targets, out) * w)
-                    den[i] = den[i] + jnp.sum(w)
+                    den[i] = den[i] + jnp.sum(msk)
             return sum(n / d for n, d in zip(num, den)) / L
 
         grads_ref = jax.grad(obj)(lgnn1.variables["params"])

@@ -96,6 +96,38 @@ class TestTPGNN:
         np.testing.assert_allclose(np.asarray(state), np.asarray(state_ref), rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), rtol=1e-5, atol=1e-6)
 
+    def test_tp_forward_matches_single_random_state_and_dropout(self, mesh8):
+        """dim_state>0 random init + output-head dropout under training=True:
+        TP must reproduce the single-device key chain exactly — rng splits
+        into (loop, out), the loop key drives the state init and per-step
+        keys, the OUT key drives the readout dropout (regression: the readout
+        reused the last step's already-consumed key).  Dropout lives in the
+        replicated output net only — masks over the SHARDED state features
+        are drawn per-shard and cannot be bit-compared."""
+        ds = 6
+        inp_s, layers_s = get_inout_dims("state", 3, 2, 2, "n", ds)
+        inp_o, layers_o = get_inout_dims("output", 3, 2, 2, "n", ds)
+        net_st = MLP(input_dim=inp_s[0], layers=[16] + list(layers_s),
+                     activations=["selu"] * (1 + len(layers_s)),
+                     kernel_initializer="lecun_normal", bias_initializer="lecun_normal")
+        net_out = MLP(input_dim=inp_o[0], layers=[8] + list(layers_o),
+                      activations=["selu"] * len(layers_o) + ["softmax"],
+                      dropout_rate=0.4, dropout_pos=1,
+                      kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+        gnn = GNNnodeBased(net_st, net_out, ds, 4, 0.01)
+        gnn.build(seed=3)
+        batch = from_graph_object(big_graph(seed=5))
+        rng = jax.random.PRNGKey(11)
+        k_ref, state_ref, out_ref, _, _ = gnn.forward(gnn.variables, batch, training=True, rng=rng)
+
+        tp = TensorParallelGNN(gnn, mesh8)
+        k, state, out = tp.forward(batch, training=True, rng=rng)
+        assert float(k) == float(k_ref)
+        # atol 5e-6: the column-split matmul sums partials in a different
+        # order (f32), amplified across 4 BN+selu iterations
+        np.testing.assert_allclose(np.asarray(state), np.asarray(state_ref), rtol=1e-4, atol=5e-6)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), rtol=1e-4, atol=5e-6)
+
     def test_tp_train_step_matches_single(self, mesh8):
         from gnnkeras_tpu.training.trainer import _get_train_step
 
