@@ -15,13 +15,19 @@ Prints ONE JSON line.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 REFERENCE_EDGES_PER_S = 11_502_498.0  # reference eager TF, this host, 2026-08-17
 ITERS = 5
-TIMED_RUNS = 5
+TIMED_RUNS = int(os.environ.get("GNNK_BENCH_TIMED_RUNS", "5"))
+
+# GNNK_BENCH_SCALE < 1 shrinks the workload (synthetic, skips the dataset) so
+# the bench contract — one JSON line on stdout — is testable hermetically on
+# CPU (tests/test_cli.py::TestBenchContract).  1.0 = the real flagship batch.
+SCALE = float(os.environ.get("GNNK_BENCH_SCALE", "1.0"))
 
 
 def build_workload():
@@ -31,19 +37,35 @@ def build_workload():
     from gnnkeras_tpu.models.mlp import MLP, get_inout_dims
 
     try:
+        if SCALE < 1.0:
+            raise FileNotFoundError  # scaled runs use the synthetic workload
         from gnnkeras_tpu.data.mutag import load_mutag
 
         graphs = load_mutag()
         merged = GraphObject.merge(graphs, focus="g", aggregation_mode="average")
     except FileNotFoundError:
+        # MUTAG-shaped synthetic stand-in: G graphs of ~30 nodes each, arcs
+        # kept within their graph, explicit NodeGraph membership (a raw
+        # GraphObject defaults to a single graph, which cannot carry G
+        # graph-focused targets).
         rng = np.random.default_rng(0)
-        n, a = 131_488, 266_894
+        n, a = max(int(131_488 * SCALE), 64), max(int(266_894 * SCALE), 128)
+        G = max(int(4337 * SCALE), 2)
         nodes = np.eye(14, dtype=np.float32)[rng.integers(0, 14, n)]
+        graph_of_node = (np.arange(n, dtype=np.int64) * G) // n  # contiguous even split
+        counts = np.bincount(graph_of_node, minlength=G)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        g_arc = rng.integers(0, G, a)
+        src = starts[g_arc] + rng.integers(0, counts[g_arc])
+        dst = starts[g_arc] + rng.integers(0, counts[g_arc])
         arcs = np.concatenate(
-            [rng.integers(0, n, (a, 2)), np.eye(3, dtype=np.float32)[rng.integers(0, 3, a)]], axis=1
+            [np.stack([src, dst], 1), np.eye(3, dtype=np.float32)[rng.integers(0, 3, a)]], axis=1
         )
-        targets = np.eye(2, dtype=np.float32)[rng.integers(0, 2, 4337)]
-        merged = GraphObject(nodes=nodes, arcs=arcs, targets=targets, focus="g", aggregation_mode="average")
+        targets = np.eye(2, dtype=np.float32)[rng.integers(0, 2, G)]
+        merged = GraphObject(
+            nodes=nodes, arcs=arcs, targets=targets, focus="g", aggregation_mode="average",
+            NodeGraph=(graph_of_node, (1.0 / counts[graph_of_node]).astype(np.float32)),
+        )
 
     # f32 blocks (measured at the HBM roofline on v5e, exact activation
     # parity) + tile packing (whole graphs per 128-node tile: fewer blocks)
@@ -61,8 +83,9 @@ def build_workload():
     return gnn, batch, n_arcs
 
 
-REPEATS_IN_JIT = 100  # amortizes host<->device sync latency (which dominates
-                      # per-call timings on tunneled TPU runtimes) out of the metric
+REPEATS_IN_JIT = int(os.environ.get("GNNK_BENCH_REPEATS", "100"))
+# amortizes host<->device sync latency (which dominates per-call timings on
+# tunneled TPU runtimes) out of the metric
 
 
 def main():

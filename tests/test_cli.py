@@ -102,3 +102,32 @@ class TestDatasetSplits:
 
         with pytest.raises(ValueError, match="no training graphs"):
             dataset_splits(list(range(4)), seed=0, test_frac=0.5, val_frac=0.5)
+
+
+class TestBenchContract:
+    """The driver records bench.py's ONE JSON line; a silent bench regression
+    zeroes the recorded metric.  Run the module in-process at a tiny synthetic
+    scale (exercises the dataset-less fallback, which round 2 found broken:
+    a raw GraphObject defaults to one graph and could not carry G targets)."""
+
+    def test_bench_emits_one_json_line(self, capsys):
+        import importlib.util
+        import json as _json
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+        )
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+        bench.SCALE = 0.001  # synthetic fallback, ~131 nodes
+        bench.REPEATS_IN_JIT = 2
+        bench.TIMED_RUNS = 1
+        bench.main()
+        lines = [ln for ln in capsys.readouterr().out.strip().splitlines() if ln]
+        assert len(lines) == 1
+        rec = _json.loads(lines[0])
+        assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+        assert rec["metric"] == "transition_edges_per_s"
+        assert rec["unit"] == "edges/s/chip"
+        assert rec["value"] > 0 and rec["vs_baseline"] > 0
