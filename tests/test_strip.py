@@ -103,3 +103,16 @@ class TestStripAggregate:
                                 jnp.asarray(w.astype(np.float32)), n_pad)
         )
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("n_tiles", [16, 20, 33])
+    def test_blocked_grid_pad_path(self, n_tiles):
+        """Tile counts above K_TILES that are not a multiple of it exercise
+        the internal zero-padding of the K-blocked grid (ops/strip.py
+        _strip_matmul) — padding must be inert and the output sliced back."""
+        src, dst, w, n = random_slot_graph(seed=7, n_tiles=n_tiles)
+        op = build_strip_operator(src, dst, w, n)
+        state = np.random.default_rng(8).normal(size=(n, 6)).astype(np.float32)
+        got = np.asarray(strip_aggregate(jnp.asarray(state), op))
+        want = dense_oracle(src, dst, w, n, state)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
