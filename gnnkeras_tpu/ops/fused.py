@@ -108,24 +108,34 @@ def _unfold_kernel(n_iter: int, activation: str, compute_dtype, b: int, tile: in
     def kernel(blocks_ref, state_ref, const_ref, ws_ref, wa_ref, out_ref):
         ws = ws_ref[...]  # (d, h), compute_dtype
         wa = wa_ref[...]
-        # static unroll over the b tiles of this grid step (each tile's
-        # unfold is independent — the operator is block-diagonal)
-        for j in range(b):
-            a = blocks_ref[j]  # (tile, tile), already compute_dtype
-            rows = slice(j * tile, (j + 1) * tile)
-            c = const_ref[rows, :].astype(jnp.float32)  # (tile, h)
-            s = state_ref[rows, :].astype(jnp.float32)  # (tile, d)
-            for _ in range(n_iter):
-                sc = s.astype(compute_dtype)
-                # Aᵀ·s restricted to the tile (blocks stored pre-transposed)
-                agg = jnp.dot(a, sc, preferred_element_type=jnp.float32)  # (tile, d)
-                z = (
-                    jnp.dot(sc, ws, preferred_element_type=jnp.float32)
-                    + jnp.dot(agg.astype(compute_dtype), wa, preferred_element_type=jnp.float32)
-                    + c
-                )
-                s = act(z)
-            out_ref[rows, :] = s
+        c = const_ref[...].astype(jnp.float32)  # (b·tile, h)
+        s = state_ref[...].astype(jnp.float32)  # (b·tile, d)
+        for _ in range(n_iter):
+            sc = s.astype(compute_dtype)
+            # per-tile Aᵀ·s (the operator is block-diagonal; blocks stored
+            # pre-transposed) — the only dot that must stay per-tile
+            agg = jnp.concatenate(
+                [
+                    jnp.dot(
+                        blocks_ref[j],
+                        sc[j * tile : (j + 1) * tile, :],
+                        preferred_element_type=jnp.float32,
+                    )
+                    for j in range(b)
+                ],
+                axis=0,
+            )  # (b·tile, d)
+            # the transition is row-wise: batch its two small dots and the
+            # activation across ALL b tiles of the step — b×(2 dots + act)
+            # fill-latency-bound MXU passes collapse to 2 streaming passes
+            # (row-identical math, exactness preserved)
+            z = (
+                jnp.dot(sc, ws, preferred_element_type=jnp.float32)
+                + jnp.dot(agg.astype(compute_dtype), wa, preferred_element_type=jnp.float32)
+                + c
+            )
+            s = act(z)
+        out_ref[...] = s
 
     return kernel
 
