@@ -316,7 +316,7 @@ class GraphObject:
 
     @classmethod
     def load(cls, graph_npz_path: str, focus: str, aggregation_mode: str, **kwargs):
-        if ".npz" not in graph_npz_path:
+        if not graph_npz_path.endswith(".npz"):
             graph_npz_path += ".npz"
         data = dict(np.load(graph_npz_path, **kwargs))
         nodegraph = data.pop("NodeGraph", None)
@@ -515,7 +515,7 @@ class CompositeGraphObject(GraphObject):
 
     @classmethod
     def load(cls, graph_npz_path: str, focus: str, aggregation_mode: str, **kwargs):
-        if ".npz" not in graph_npz_path:
+        if not graph_npz_path.endswith(".npz"):
             graph_npz_path += ".npz"
         data = dict(np.load(graph_npz_path, **kwargs))
         nodegraph = data.pop("NodeGraph", None)

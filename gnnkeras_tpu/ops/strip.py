@@ -83,6 +83,14 @@ def build_strip_operator(
         sr, dr, wr = src[~in_slot], dst[~in_slot], weight[~in_slot]
         residual = build_bcsr(sr, dr, wr, n_padded, max_band_factor=10**9)
         residual_t = transpose_bcsr(residual)
+    # Pre-pad the constant strips to a K_TILES multiple once at build time so
+    # the runtime path is a pure pallas_call (no per-call HBM re-copy of the
+    # operator).  The matmul slices the output back to the true N.
+    if t > K_TILES and t % K_TILES:
+        t_pad = -(-t // K_TILES) * K_TILES
+        pad = np.zeros((t_pad - t, SLOT, TILE), np.float32)
+        strip = np.concatenate([strip, pad], axis=0)
+        strip_t = np.concatenate([strip_t, pad], axis=0)
     return StripOperator(
         strip=jnp.asarray(strip),
         strip_t=jnp.asarray(strip_t),
@@ -91,8 +99,12 @@ def build_strip_operator(
     )
 
 
-K_TILES = 16  # tiles per grid step: amortizes per-step overhead (measured
-# 0.204 → 0.034-0.054 ms/iter on merged Mutagenicity, scripts/bench_strip_blocked.py)
+K_TILES = 16  # tiles per grid step: amortizes the per-grid-step overhead that
+# dominated the one-tile-per-step round-2 kernel (0.204 → 0.028-0.034 ms/iter
+# on merged Mutagenicity; BASELINE.md round-2 table, scripts/bench_strip_blocked.py).
+# K=16 and K=32 measure within noise of each other; 16 is shipped because it
+# halves the per-step VMEM working set (strip block K·32·128·4B) and divides
+# more tile counts evenly.
 
 
 def _strip_kernel(k_tiles: int):
@@ -113,19 +125,21 @@ def _strip_kernel(k_tiles: int):
 def _strip_matmul(state_t: jax.Array, strip: jax.Array) -> jax.Array:
     """(d_sub, N) × strips → (d_sub, N) of within-slot contributions.
 
-    Processes ``K_TILES`` tiles per grid step (strips zero-padded to a
-    multiple — inert in the matmul) so the per-grid-step overhead, which
-    dominated the one-tile-per-step round-2 kernel, amortizes away."""
+    Processes ``K_TILES`` tiles per grid step.  ``build_strip_operator``
+    pre-pads the constant strips to a K_TILES multiple, so for built
+    operators the only runtime work besides the pallas_call is padding the
+    (small) transposed state to the strip's tile count."""
     d_sub, n = state_t.shape
     t = strip.shape[0]
-    k_tiles = min(K_TILES, t) if t % min(K_TILES, t) == 0 else 1
-    if t % K_TILES != 0 and t > K_TILES:
-        t_pad = -(-t // K_TILES) * K_TILES
+    k_tiles = min(K_TILES, t)
+    if t % k_tiles:  # hand-built operator: pad the strip to the next multiple
+        t_pad = -(-t // k_tiles) * k_tiles
         strip = jnp.concatenate(
             [strip, jnp.zeros((t_pad - t, SLOT, TILE), strip.dtype)], axis=0
         )
-        state_t = jnp.pad(state_t, ((0, 0), (0, (t_pad - t) * TILE)))
-        t, k_tiles = t_pad, K_TILES
+        t = t_pad
+    if t * TILE != n:
+        state_t = jnp.pad(state_t, ((0, 0), (0, t * TILE - n)))
     out = pl.pallas_call(
         _strip_kernel(k_tiles),
         out_shape=jax.ShapeDtypeStruct((d_sub, t * TILE), state_t.dtype),

@@ -179,8 +179,6 @@ def main():
     timeit(combined, (stp,), n_edges, f"strip64+residual K={k}")
 
 
-if __name__ == "__main__":
-    main()
 
 
 # --- packed-lane variant: state rows pack 8 nodes x 16 features (dense lanes),
@@ -274,5 +272,10 @@ def main_packed():
                n_edges, f"packed_bf16 K={k}")
 
 
-if __name__ == "__main__" and os.environ.get("PACKED"):
-    main_packed()
+if __name__ == "__main__":
+    # single entry point: PACKED=1 runs the packed-lane variant instead of
+    # (not in addition to) the row-major benchmark
+    if os.environ.get("PACKED"):
+        main_packed()
+    else:
+        main()
