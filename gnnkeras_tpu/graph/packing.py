@@ -80,6 +80,112 @@ def packed_node_positions(graph_of_node: np.ndarray, tile: int = 128) -> Tuple[n
     return starts[graph_of_node] + ranks, n_padded
 
 
+def pack_slots(graph_sizes: np.ndarray, slot: int = 32, tile: int = 128) -> Tuple[np.ndarray, int]:
+    """Two-level first-fit-decreasing packing for the compact-strip kernel
+    (ops/strip.py): graphs ≤ ``slot`` nodes share slot bins (their edges are
+    all within-slot → captured by the strip), graphs of 2..tile/slot slots
+    take a contiguous slot run within ONE tile (their cross-slot edges go to
+    the strip operator's BCSR residual), and graphs > ``tile`` nodes take
+    exclusive aligned tile runs (as ``pack_tiles``) so the compact tile-wise
+    readout still applies.
+
+    Returns (start_offset_per_graph, total_padded_nodes).  ``slot == tile``
+    degenerates to ``pack_tiles`` (pure diagonal-block layout)."""
+    if tile % slot:
+        raise ValueError(f"tile {tile} must be a multiple of slot {slot}")
+    sizes = np.asarray(graph_sizes, dtype=np.int64)
+    order = np.argsort(-sizes, kind="stable")
+    starts = np.zeros(len(sizes), dtype=np.int64)
+    slots_per_tile = tile // slot
+    tiles: list = []  # [free_slot_count, next_free_slot, tile_index]
+    slot_bins: list = []  # [capacity_left, next_offset]
+    n_tiles = 0
+    for g in order:
+        size = int(sizes[g])
+        if size > tile:
+            starts[g] = n_tiles * tile
+            n_tiles += -(-size // tile)
+            continue
+        k = -(-max(size, 1) // slot)
+        if k > 1:
+            for t in tiles:
+                if t[0] >= k:
+                    starts[g] = t[2] * tile + t[1] * slot
+                    t[1] += k
+                    t[0] -= k
+                    break
+            else:
+                starts[g] = n_tiles * tile
+                tiles.append([slots_per_tile - k, k, n_tiles])
+                n_tiles += 1
+            continue
+        for b in slot_bins:
+            if b[0] >= size:
+                starts[g] = b[1]
+                b[1] += size
+                b[0] -= size
+                break
+        else:  # open a fresh slot in the first tile with one free
+            for t in tiles:
+                if t[0] >= 1:
+                    host = t
+                    break
+            else:
+                host = [slots_per_tile, 0, n_tiles]
+                tiles.append(host)
+                n_tiles += 1
+            off = host[2] * tile + host[1] * slot
+            host[1] += 1
+            host[0] -= 1
+            starts[g] = off
+            slot_bins.append([slot - size, off + size])
+    return starts, n_tiles * tile
+
+
+def positions_from_starts(graph_of_node: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Node positions for a given per-graph start layout: node i of graph g
+    lands at ``starts[g] + rank_of_i_within_g`` (original relative order)."""
+    graph_of_node = np.asarray(graph_of_node, dtype=np.int64)
+    n_graphs = int(graph_of_node.max()) + 1 if len(graph_of_node) else 0
+    sizes = np.bincount(graph_of_node, minlength=n_graphs)
+    if np.all(np.diff(graph_of_node) >= 0):
+        first = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        ranks = np.arange(len(graph_of_node)) - first[graph_of_node]
+    else:
+        order = np.argsort(graph_of_node, kind="stable")
+        grouped_ranks = np.arange(len(order)) - np.concatenate([[0], np.cumsum(sizes)[:-1]])[
+            graph_of_node[order]
+        ]
+        ranks = np.empty(len(order), dtype=np.int64)
+        ranks[order] = grouped_ranks
+    return starts[graph_of_node] + ranks
+
+
+def graph_slots_from_starts(starts: np.ndarray, graph_sizes: np.ndarray, tile: int = 128):
+    """Per-graph readout-slot assignment for ANY packing in which each graph
+    lies within one tile or (if larger than a tile) owns an exclusive aligned
+    tile run — both ``pack_tiles`` and ``pack_slots`` layouts qualify.
+
+    Returns ``(tile0, rank, n_tiles, g_max, spanning)`` with the same meaning
+    as ``packed_graph_slots``."""
+    starts = np.asarray(starts, dtype=np.int64)
+    sizes = np.asarray(graph_sizes, dtype=np.int64)
+    tile0 = starts // tile
+    spanning = sizes > tile
+    n_tiles = int(np.max((starts + np.maximum(sizes, 1) - 1) // tile)) + 1 if len(starts) else 0
+    order = np.argsort(starts, kind="stable")
+    rank = np.zeros(len(starts), np.int64)
+    last_tile, next_rank = -1, 0
+    for g in order:
+        t = int(tile0[g])
+        if t != last_tile:
+            last_tile, next_rank = t, 0
+        rank[g] = next_rank
+        next_rank += 1
+    g_max = int(rank.max()) + 1 if len(rank) else 1
+    return tile0, rank, n_tiles, g_max, spanning
+
+
 def packed_graph_slots(graph_sizes: np.ndarray, tile: int = 128):
     """Per-graph readout-slot assignment under ``pack_tiles``.
 

@@ -128,6 +128,21 @@ def _aggregate_impl(state: jax.Array, m: BcsrMatrix) -> jax.Array:
     return agg.reshape(m.n_dst_tiles * m.tile, d).astype(out_dtype)
 
 
+def bcsr_aggregate_t(state_t: jax.Array, m: BcsrMatrix) -> jax.Array:
+    """``Mᵀ·state`` on feature-major state: (d, n_src_tiles·T) →
+    (d, n_dst_tiles·T).  Same block einsum as ``bcsr_aggregate`` with the
+    feature axis leading, for the transposed unfold engine — the state never
+    changes layout at the operator boundary."""
+    d = state_t.shape[0]
+    out_dtype = state_t.dtype
+    operand = state_t.astype(m.blocks.dtype) if m.blocks.dtype != state_t.dtype else state_t
+    tiles = operand.reshape(d, m.n_src_tiles, m.tile)
+    gathered = tiles[:, m.src_tile]  # (d, B, T)
+    prod = jnp.einsum("dbi,bij->bdj", gathered, m.blocks, preferred_element_type=jnp.float32)
+    agg = segment_sum(prod, m.dst_tile, m.n_dst_tiles)  # (n_dst, d, T)
+    return agg.transpose(1, 0, 2).reshape(d, m.n_dst_tiles * m.tile).astype(out_dtype)
+
+
 def bcsr_aggregate(state: jax.Array, m: BcsrMatrix) -> jax.Array:
     """``Mᵀ·state`` through dense blocks.  state: (n_src_tiles*T, d) →
     (n_dst_tiles*T, d).

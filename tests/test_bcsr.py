@@ -209,3 +209,113 @@ class TestCustomVjp:
 
         dense = sp.coo_matrix((w, (src, dst)), shape=(384, 128)).toarray()
         np.testing.assert_allclose(np.asarray(got), dense @ np.asarray(x), rtol=1e-4, atol=1e-4)
+
+
+class TestPackSlots:
+    """pack_slots: two-level slot/tile packing for the compact-strip layout."""
+
+    def _check_layout(self, sizes, slot, tile=128):
+        from gnnkeras_tpu.graph.packing import pack_slots
+
+        starts, n_padded = pack_slots(sizes, slot=slot, tile=tile)
+        assert n_padded % tile == 0
+        # no overlap: occupied intervals are disjoint
+        intervals = sorted((int(s), int(s) + int(z)) for s, z in zip(starts, sizes) if z)
+        for (a0, a1), (b0, b1) in zip(intervals, intervals[1:]):
+            assert a1 <= b0, "graphs overlap"
+        assert intervals[-1][1] <= n_padded
+        for s, z in zip(starts, sizes):
+            s, z = int(s), int(z)
+            if z <= slot:
+                # fully inside one slot
+                assert s // slot == (s + z - 1) // slot
+            elif z <= tile:
+                # contiguous slot run inside ONE tile, slot-aligned
+                assert s % slot == 0
+                assert s // tile == (s + z - 1) // tile
+            else:
+                # exclusive aligned tile run
+                assert s % tile == 0
+        return starts, n_padded
+
+    def test_small_graphs_share_slots(self):
+        import numpy as np
+
+        sizes = np.array([10, 10, 10, 30, 20, 5])
+        starts, n_padded = self._check_layout(sizes, slot=32)
+        assert n_padded == 128  # 85 nodes fit four 32-slots of one tile
+
+    def test_mid_graphs_stay_within_tile(self):
+        import numpy as np
+
+        sizes = np.array([100, 60, 40, 33, 12, 12, 12])
+        self._check_layout(sizes, slot=32)
+
+    def test_oversize_graphs_take_aligned_runs(self):
+        import numpy as np
+
+        sizes = np.array([300, 20, 150, 8])
+        starts, _ = self._check_layout(sizes, slot=32)
+
+    def test_slot_equals_tile_degenerates_to_pack_tiles(self):
+        import numpy as np
+        from gnnkeras_tpu.graph.packing import pack_slots, pack_tiles
+
+        sizes = np.array([100, 60, 40, 33, 12, 12, 12, 300, 128])
+        s1, n1 = pack_slots(sizes, slot=128, tile=128)
+        s2, n2 = pack_tiles(sizes, tile=128)
+        assert n1 == n2 and (s1 == s2).all()
+
+    def test_graph_slots_from_starts_matches_packed_graph_slots(self):
+        import numpy as np
+        from gnnkeras_tpu.graph.packing import (
+            graph_slots_from_starts,
+            pack_tiles,
+            packed_graph_slots,
+        )
+
+        rng = np.random.default_rng(0)
+        sizes = rng.integers(1, 200, 80)
+        starts, _ = pack_tiles(sizes)
+        got = graph_slots_from_starts(starts, sizes)
+        want = packed_graph_slots(sizes)
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_positions_from_starts_matches_packed_node_positions(self):
+        import numpy as np
+        from gnnkeras_tpu.graph.packing import (
+            pack_tiles,
+            packed_node_positions,
+            positions_from_starts,
+        )
+
+        rng = np.random.default_rng(1)
+        g_of_n = np.sort(rng.integers(0, 40, 500))
+        sizes = np.bincount(g_of_n, minlength=41)
+        starts, _ = pack_tiles(sizes)
+        got = positions_from_starts(g_of_n, starts)
+        want, _ = packed_node_positions(g_of_n)
+        np.testing.assert_array_equal(got, want)
+
+    def test_mutag_slot_pack_stats(self):
+        """Real dataset: every ≤slot graph is slot-internal (its edges all
+        land in the strip); padding overhead stays bounded."""
+        import numpy as np
+        from gnnkeras_tpu.data.mutag import load_mutag
+        from gnnkeras_tpu.graph.graph import GraphObject
+        from gnnkeras_tpu.graph.packing import pack_slots, positions_from_starts
+
+        graphs = load_mutag()[:500]
+        merged = GraphObject.merge(graphs, focus="g", aggregation_mode="average")
+        g_of_n = merged.graph_of_node.astype(np.int64)
+        sizes = np.bincount(g_of_n)
+        starts, n_padded = pack_slots(sizes, slot=32)
+        pos = positions_from_starts(g_of_n, starts)
+        assert len(np.unique(pos)) == len(pos)
+        src = pos[merged.arcs[:, 0].astype(np.int64)]
+        dst = pos[merged.arcs[:, 1].astype(np.int64)]
+        small = sizes[g_of_n[merged.arcs[:, 0].astype(np.int64)]] <= 32
+        # all edges of ≤32-node graphs are within-slot by construction
+        assert ((src // 32) == (dst // 32))[small].all()
+        assert n_padded <= 2 * len(g_of_n)

@@ -6,7 +6,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from gnnkeras_tpu.ops.strip import SLOT, TILE, build_strip_operator, strip_aggregate
+from gnnkeras_tpu.ops.strip import (
+    SLOT,
+    TILE,
+    build_strip_operator,
+    strip_aggregate,
+    strip_aggregate_t,
+)
 
 
 def random_slot_graph(seed=0, n_tiles=3, cross_slot=True):
@@ -116,3 +122,77 @@ class TestStripAggregate:
         want = dense_oracle(src, dst, w, n, state)
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TestSlotGeneralization:
+    """slot=64 compacts two 64x64 blocks per tile; slot=128 degenerates to
+    plain dense diagonal blocks (no expansion)."""
+
+    @pytest.mark.parametrize("slot", [32, 64, 128])
+    @pytest.mark.parametrize("dtype", [np.float32, "bfloat16"])
+    def test_forward_matches_dense(self, slot, dtype):
+        src, dst, w, n = random_slot_graph(seed=11, cross_slot=True)
+        op = build_strip_operator(src, dst, w, n, slot=slot, dtype=jnp.dtype(dtype))
+        assert op.strip.shape[1] == slot and op.slot == slot
+        state = np.random.default_rng(12).normal(size=(n, 14)).astype(np.float32)
+        got = np.asarray(strip_aggregate(jnp.asarray(state), op))
+        want = dense_oracle(src, dst, w, n, state)
+        tol = 2e-2 if dtype == "bfloat16" else 1e-4
+        np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+    def test_slot128_has_no_within_tile_residual(self):
+        """At slot=TILE every within-tile edge lives in the (diagonal-block)
+        strip; only cross-tile edges go to the residual."""
+        rng = np.random.default_rng(13)
+        n = 4 * TILE
+        src = rng.integers(0, TILE, 500)  # tile-0 internal, incl. all slots
+        dst = rng.integers(0, TILE, 500)
+        w = rng.normal(size=500)
+        op = build_strip_operator(src, dst, w, n, slot=TILE)
+        assert op.residual is None
+        op32 = build_strip_operator(src, dst, w, n, slot=32)
+        assert op32.residual is not None  # 32-slot crossings exist
+
+
+class TestTransposedInterface:
+    @pytest.mark.parametrize("slot", [32, 128])
+    def test_forward_matches_row_major(self, slot):
+        src, dst, w, n = random_slot_graph(seed=21, cross_slot=True)
+        op = build_strip_operator(src, dst, w, n, slot=slot)
+        d, d_pad = 14, 16
+        state = np.random.default_rng(22).normal(size=(n, d)).astype(np.float32)
+        state_t = np.zeros((d_pad, n), np.float32)
+        state_t[:d] = state.T
+        got_t = np.asarray(strip_aggregate_t(jnp.asarray(state_t), op))
+        want = np.asarray(strip_aggregate(jnp.asarray(state), op))
+        np.testing.assert_allclose(got_t[:d].T, want, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(got_t[d:], 0.0, atol=1e-6)  # pad rows stay zero
+
+    def test_backward_matches_autodiff_oracle(self):
+        src, dst, w, n = random_slot_graph(seed=23, cross_slot=True)
+        op = build_strip_operator(src, dst, w, n)
+        d_pad = 8
+        state_t = jnp.asarray(np.random.default_rng(24).normal(size=(d_pad, n)).astype(np.float32))
+        ct = jnp.asarray(np.random.default_rng(25).normal(size=(d_pad, n)).astype(np.float32))
+
+        g_got = jax.grad(lambda s: jnp.sum(strip_aggregate_t(s, op) * ct))(state_t)
+
+        adj = np.zeros((n, n), np.float32)
+        np.add.at(adj, (src, dst), w.astype(np.float32))
+        adj_j = jnp.asarray(adj)
+        g_want = jax.grad(lambda s: jnp.sum((s @ adj_j) * ct))(state_t)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), rtol=1e-4, atol=1e-4)
+
+    def test_bcsr_aggregate_t_matches_row_major(self):
+        from gnnkeras_tpu.ops.bcsr import bcsr_aggregate, bcsr_aggregate_t, build_bcsr
+
+        rng = np.random.default_rng(26)
+        n_src, n_dst = 3 * TILE, 2 * TILE
+        src = rng.integers(0, n_src, 400)
+        dst = rng.integers(0, n_dst, 400)
+        w = rng.normal(size=400)
+        m = build_bcsr(src, dst, w, n_src, n_dst)
+        state = rng.normal(size=(n_src, 10)).astype(np.float32)
+        got = np.asarray(bcsr_aggregate_t(jnp.asarray(state.T.copy()), m))
+        want = np.asarray(bcsr_aggregate(jnp.asarray(state), m))
+        np.testing.assert_allclose(got.T, want, rtol=1e-4, atol=1e-4)
