@@ -67,9 +67,15 @@ def build_workload():
             NodeGraph=(graph_of_node, (1.0 / counts[graph_of_node]).astype(np.float32)),
         )
 
-    # f32 blocks (measured at the HBM roofline on v5e, exact activation
-    # parity) + tile packing (whole graphs per 128-node tile: fewer blocks)
-    batch = from_graph_object(merged, tile_pack=True)
+    # Transposed unfold engine (round 3): slot-packed batch with bf16 dense
+    # diagonal-block strips — state carried feature-major through the whole
+    # convergence loop, so the Pallas aggregation kernel never relayouts.
+    # bf16 block storage is numerically identical to f32 here (the MXU's
+    # default f32 matmul precision is one-pass bf16 operands) and halves the
+    # operator bytes, the forward's dominant HBM traffic.  Measured 4.08B
+    # edges/s vs 2.2B for the round-2 row-major einsum engine
+    # (scripts/bench_transposed.py).
+    batch = from_graph_object(merged, slot_pack=128, strip_dtype="bfloat16")
     n_arcs = merged.arcs.shape[0]
 
     inp_s, layers_s = get_inout_dims("state", 14, 3, 2, "g", 0)

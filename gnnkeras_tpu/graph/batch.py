@@ -92,6 +92,7 @@ class CompactReadout:
         "sample_weight",
         "type_mask",
         "bcsr",
+        "strip",
         "nodegraph_bcsr",
         "compact_readout",
         "agg_arc_labels",
@@ -134,6 +135,8 @@ class GraphBatch:
     sample_weight: jax.Array
     type_mask: Optional[jax.Array]
     bcsr: Optional[object]  # BcsrMatrix when block-sparse aggregation applies
+    strip: Optional[object]  # StripOperator (slot-packed batches): the
+    # transposed unfold engine's aggregation operator (ops/strip.py)
     nodegraph_bcsr: Optional[object]  # BcsrMatrix (N x G) for graph readout
     compact_readout: Optional[CompactReadout]  # tile-packed per-tile readout
     # batch-constant neighbor sums, precomputed host-side in f64 so the
@@ -266,6 +269,8 @@ def from_graph_object(
     dense_blocks: bool = True,
     agg_dtype: Optional[str] = None,
     tile_pack: bool = False,
+    slot_pack: Optional[int] = None,
+    strip_dtype: str = "float32",
     compact_gmax: Optional[int] = None,
     compact_nspan: Optional[int] = None,
 ) -> GraphBatch:
@@ -278,16 +283,41 @@ def from_graph_object(
     ``tile_pack`` re-positions whole graphs into 128-node tiles (no graph
     straddles a tile boundary), shrinking the BCSR block count — node rows are
     then permuted with gaps; all consumers are mask-driven so semantics are
-    unchanged, but per-node output row ORDER differs from the reference's."""
+    unchanged, but per-node output row ORDER differs from the reference's.
+
+    ``slot_pack`` (32/64/128) packs at slot granularity instead and
+    additionally builds the compact-strip operator (ops/strip.py) in
+    ``strip_dtype``, enabling the transposed unfold engine; ``slot_pack=128``
+    positions identically to ``tile_pack`` (dense diagonal-block strips)."""
     n, a = g.nodes.shape[0], g.arcs.shape[0]
     n_graphs = max(g.num_graphs, 1)
 
-    # node position map: identity, or the tile-packed permutation-with-gaps
-    if tile_pack and dense_blocks and n_graphs > 1 and n > 0:
-        from gnnkeras_tpu.graph.packing import packed_node_positions
+    # node position map: identity, or the packed permutation-with-gaps
+    pack_width = slot_pack if slot_pack is not None else (128 if tile_pack else None)
+    n_strip_tiles = None
+    # n_graphs == 1 included: packed positions degenerate to the identity,
+    # but the batch must still carry the compact readout / strip operator so
+    # a trailing 1-graph batch keeps the sequencer's pytree structure
+    if pack_width is not None and dense_blocks and n_graphs >= 1 and n > 0:
+        from gnnkeras_tpu.graph.packing import (
+            order_tiles_by_format,
+            pack_slots,
+            positions_from_starts,
+        )
 
-        pos, n_rows_needed = packed_node_positions(g.graph_of_node)
+        pack_sizes = np.bincount(g.graph_of_node.astype(np.int64), minlength=n_graphs)
+        pack_starts, n_rows_needed = pack_slots(pack_sizes, slot=pack_width, tile=128)
+        if slot_pack is not None and slot_pack < 128:
+            # mixed-format layout: slot-pure tiles first (compact strips),
+            # tiles holding >slot graphs after (full diagonal blocks)
+            from gnnkeras_tpu.ops.strip import K_TILES
+
+            pack_starts, n_strip_tiles, n_rows_needed = order_tiles_by_format(
+                pack_starts, pack_sizes, slot_pack, 128, align=K_TILES
+            )
+        pos = positions_from_starts(g.graph_of_node, pack_starts)
     else:
+        pack_width = None  # packing disabled (single graph / no dense blocks)
         pos = np.arange(n, dtype=np.int64)
         n_rows_needed = n
 
@@ -298,13 +328,13 @@ def from_graph_object(
     # compact tile-wise readout: graph rows become packing slots tile·Gmax+rank
     compact_info = None
     if (
-        tile_pack and dense_blocks and g.focus == "g" and n_graphs >= 1 and n > 0
+        pack_width is not None and g.focus == "g" and n_graphs >= 1 and n > 0
         and pad_graphs is None and N % 128 == 0
     ):
-        from gnnkeras_tpu.graph.packing import packed_graph_slots
+        from gnnkeras_tpu.graph.packing import graph_slots_from_starts
 
-        sizes = np.bincount(g.graph_of_node.astype(np.int64), minlength=n_graphs)
-        tile0, rank, _, g_max, spanning = packed_graph_slots(sizes, 128)
+        sizes = pack_sizes
+        tile0, rank, _, g_max, spanning = graph_slots_from_starts(pack_starts, sizes, 128)
         if compact_gmax is not None:  # sequencer-uniform slot width
             g_max = max(g_max, int(compact_gmax))
         T_n = N // 128
@@ -393,6 +423,7 @@ def from_graph_object(
         type_mask[pos] = g.type_mask
 
     bcsr = None
+    strip_op = None
     nodegraph_bcsr = None
     compact_readout = None
     if dense_blocks:
@@ -400,6 +431,13 @@ def from_graph_object(
 
         if N % TILE == 0:
             bcsr = build_bcsr(src[:a], dst[:a], w[:a], N)
+            if slot_pack is not None and pack_width is not None:
+                from gnnkeras_tpu.ops.strip import build_strip_operator
+
+                strip_op = build_strip_operator(
+                    src[:a], dst[:a], w[:a], N, slot=slot_pack,
+                    dtype=jnp.dtype(strip_dtype), n_strip_tiles=n_strip_tiles,
+                )
             if compact_info is not None:
                 tile0, rank, g_max, spanning, T_n, graph_rows_np = compact_info
                 sel = np.zeros((T_n, g_max, 128), dtype=dtype)
@@ -472,6 +510,7 @@ def from_graph_object(
         sample_weight=jnp.asarray(sample_weight),
         type_mask=None if type_mask is None else jnp.asarray(type_mask),
         bcsr=bcsr,
+        strip=strip_op,
         nodegraph_bcsr=nodegraph_bcsr,
         compact_readout=compact_readout,
         agg_arc_labels=jnp.asarray(agg_arc.astype(dtype)),
@@ -517,15 +556,18 @@ def graphs_to_batch(
     dense_blocks: bool = True,
     agg_dtype: Optional[str] = None,
     tile_pack: bool = False,
+    slot_pack: Optional[int] = None,
+    strip_dtype: str = "float32",
 ) -> GraphBatch:
     """Merge a list of host graphs (disjoint union) and pad to a device batch.
-    The fast-path knobs (``tile_pack``, ``agg_dtype``) pass
+    The fast-path knobs (``tile_pack``, ``slot_pack``, ``agg_dtype``) pass
     through to ``from_graph_object``."""
     cls = CompositeGraphObject if isinstance(graphs[0], CompositeGraphObject) else GraphObject
     merged = cls.merge(list(graphs), focus=focus, aggregation_mode=aggregation_mode)
     return from_graph_object(
         merged, pad_nodes, pad_arcs, pad_graphs,
         dense_blocks=dense_blocks, agg_dtype=agg_dtype, tile_pack=tile_pack,
+        slot_pack=slot_pack, strip_dtype=strip_dtype,
     )
 
 

@@ -38,24 +38,36 @@ from gnnkeras_tpu.utils.dtypes import floatx
 
 STATE_INIT_STDDEV = 0.1  # reference: tf.random.normal(..., stddev=0.1), GNN.py:257
 
+# rematerialization policy for the unfolding scan: save ONLY the per-step
+# aggregation output (tagged 'unfold_agg' in the transitions) — the backward
+# recomputes the cheap MLP part from the saved carry + aggregation instead of
+# either storing the whole residual tree (remat=False) or re-reading the
+# multi-MB aggregation operator to recompute the aggregation (plain remat).
+_AGG_POLICY = jax.checkpoint_policies.save_only_these_names("unfold_agg")
+
 
 def unconverged(
     state: jax.Array,
     state_old: jax.Array,
     node_mask: jax.Array,
     threshold: float,
+    feature_axis: int = 1,
 ) -> jax.Array:
     """True while any *real* node moved more than threshold·‖old‖₂
-    (reference ``condition``, GNN.py:196-214; padding is excluded)."""
+    (reference ``condition``, GNN.py:196-214; padding is excluded).
+
+    ``feature_axis=0`` handles feature-major (d_pad, N) state from the
+    transposed unfold engine: per-node reductions run over sublanes and the
+    node mask gates lanes."""
     if threshold == 0.0:
         # ‖s−s_old‖₂ > 0 ⟺ some element changed — one comparison pass
         # instead of two sum-of-squares reductions.  (Equal up to f32
         # underflow: per-element deltas below ~1e-23 square to 0 in the
         # norm formula but still compare unequal here.)
-        changed = jnp.any(state != state_old, axis=1)
+        changed = jnp.any(state != state_old, axis=feature_axis)
         return jnp.any(jnp.logical_and(changed, node_mask))
-    distance = jnp.sqrt(jnp.sum(jnp.square(state - state_old), axis=1))
-    norm = jnp.sqrt(jnp.sum(jnp.square(state_old), axis=1))
+    distance = jnp.sqrt(jnp.sum(jnp.square(state - state_old), axis=feature_axis))
+    norm = jnp.sqrt(jnp.sum(jnp.square(state_old), axis=feature_axis))
     check = distance > threshold * norm
     return jnp.any(jnp.logical_and(check, node_mask))
 
@@ -74,6 +86,7 @@ def run_unfold_loops(
     training: bool,
     transition,
     peel_agg: Optional[jax.Array] = None,
+    feature_axis: int = 1,
 ):
     """The ONE loop driver behind every unfold variant (homogeneous and
     composite models share it, so the loop semantics cannot drift):
@@ -94,7 +107,17 @@ def run_unfold_loops(
     K = model.max_iteration
     threshold = model.state_threshold
     per_iter = getattr(model, "per_iteration_bn", False) and K >= 1
-    maybe_remat = jax.checkpoint if model.remat else (lambda f: f)
+    remat = model.remat
+    if remat is None:  # auto: measured best per engine (BASELINE.md round 3)
+        remat = "agg" if feature_axis == 0 else False
+    if remat == "agg":
+        from functools import partial as _partial
+
+        maybe_remat = _partial(jax.checkpoint, policy=_AGG_POLICY)
+    elif remat:
+        maybe_remat = jax.checkpoint
+    else:
+        maybe_remat = lambda f: f
     take = lambda tree, i: jax.tree_util.tree_map(lambda x: x[i], tree)
     peel = peel_agg is not None and K >= 1
 
@@ -103,12 +126,12 @@ def run_unfold_loops(
             k, state, running = carry
             step_rng, bn_i = xs
             new_state, new_bn = transition(state, bn_i, step_rng, aggregated_states)
-            changed = unconverged(new_state, state, batch.node_mask, threshold)
+            changed = unconverged(new_state, state, batch.node_mask, threshold, feature_axis)
             state_next = jnp.where(running, new_state, state)
             bn_out = _select_tree(running, new_bn, bn_i)
             return (k + running.astype(floatx()), state_next, jnp.logical_and(running, changed)), bn_out
 
-        running0 = unconverged(state0, state_old0, batch.node_mask, threshold)
+        running0 = unconverged(state0, state_old0, batch.node_mask, threshold, feature_axis)
         carry = (jnp.zeros((), floatx()), state0, running0)
         if peel:
             peeled = maybe_remat(lambda c, x: step_body(c, x, aggregated_states=peel_agg))
@@ -135,10 +158,10 @@ def run_unfold_loops(
             k, state, changed = carry
             idx = jnp.minimum(k.astype(jnp.int32), K - 1)
             new_state, _ = transition(state, take(bn0, idx), step_rngs[idx], aggregated_states)
-            changed = unconverged(new_state, state, batch.node_mask, threshold)
+            changed = unconverged(new_state, state, batch.node_mask, threshold, feature_axis)
             return (k + 1.0, new_state, changed)
 
-        changed0 = unconverged(state0, state_old0, batch.node_mask, threshold)
+        changed0 = unconverged(state0, state_old0, batch.node_mask, threshold, feature_axis)
         carry = (jnp.zeros((), floatx()), state0, changed0)
         if peel:
             carry = jax.lax.cond(
@@ -155,14 +178,14 @@ def run_unfold_loops(
         # full-state select + carry per iteration).
         k, state, running, bn_state = carry
         new_state, new_bn = transition(state, bn_state, step_rng, aggregated_states)
-        changed = unconverged(new_state, state, batch.node_mask, threshold)
+        changed = unconverged(new_state, state, batch.node_mask, threshold, feature_axis)
         state_next = jnp.where(running, new_state, state)
         bn_next = _select_tree(running, new_bn, bn_state)
         running_next = jnp.logical_and(running, changed)
         return (k + running.astype(floatx()), state_next, running_next, bn_next)
 
     if training or K == 0:
-        running0 = unconverged(state0, state_old0, batch.node_mask, threshold)
+        running0 = unconverged(state0, state_old0, batch.node_mask, threshold, feature_axis)
         carry = (jnp.zeros((), floatx()), state0, running0, bn0)
         rest = step_rngs
         length = K
@@ -187,10 +210,10 @@ def run_unfold_loops(
         k, state, changed, bn_state = carry
         idx = jnp.minimum(k.astype(jnp.int32), K - 1)
         new_state, new_bn = transition(state, bn_state, step_rngs[idx], aggregated_states)
-        changed = unconverged(new_state, state, batch.node_mask, threshold)
+        changed = unconverged(new_state, state, batch.node_mask, threshold, feature_axis)
         return (k + 1.0, new_state, changed, new_bn)
 
-    changed0 = unconverged(state0, state_old0, batch.node_mask, threshold)
+    changed0 = unconverged(state0, state_old0, batch.node_mask, threshold, feature_axis)
     carry = (jnp.zeros((), floatx()), state0, changed0, bn0)
     if peel:
         carry = jax.lax.cond(
@@ -233,12 +256,19 @@ class GNNnodeBased(GraphModel):
         # accuracy gap (BASELINE.md).  Per-iteration statistics remove that
         # mismatch at the cost of K× the (tiny) BN state.
         self.per_iteration_bn = bool(per_iteration_bn)
-        # rematerialize the unfolding steps in the backward pass.  The scan
-        # residuals are k·(N·d + transition activations) — tens of MB for
-        # typical graph batches, so storing them (remat=False, measured 24%
-        # faster training steps on v5e) costs ~nothing in HBM; set True to
-        # trade the forward recompute back for memory on huge graphs.
-        self.remat = False
+        # rematerialize the unfolding steps in the backward pass.  None =
+        # auto (measured best per engine, BASELINE.md): the row-major engine
+        # stores the residual tree (remat off, 24% faster round 2), the
+        # transposed engine saves only the per-step aggregation ('agg'
+        # policy — backward recomputes the cheap MLP part and never re-reads
+        # the aggregation operator for recompute).  False / True / 'agg'
+        # force a mode; True trades forward recompute for memory on huge
+        # graphs.
+        self.remat = None
+        # transposed (feature-major) unfold engine: None = auto (on when the
+        # batch carries a compact-strip operator and dim_state == 0), False =
+        # force row-major, True = require (raise when inapplicable).
+        self.transposed = None
 
     # -- parameters -----------------------------------------------------------
     def init(self, rng: jax.Array) -> dict:
@@ -309,7 +339,16 @@ class GNNnodeBased(GraphModel):
         Returns (k, state, new_net_state_bn).  Training uses a checkpointed
         ``lax.scan`` with a running-mask (reverse-differentiable, matching the
         reference's backprop-through-unfolding); inference a ``lax.while_loop``.
+
+        When the batch carries a compact-strip operator (slot-packed batches,
+        graph/batch.py ``slot_pack``) and ``dim_state == 0``, the loop runs
+        the TRANSPOSED engine — state carried feature-major so the Pallas
+        strip aggregation never relayouts — and transposes back before
+        returning; semantics are identical up to f32 reduction order.  Set
+        ``self.transposed = False`` to force the row-major engine.
         """
+        if self._use_transposed(batch):
+            return self._unfold_transposed(variables, batch, training=training, rng=rng)
         n = batch.num_nodes
         # batch-constant: precomputed host-side when the batch carries it
         # (TPU scatter is ~100x off roofline; see graph/batch.py)
@@ -331,7 +370,9 @@ class GNNnodeBased(GraphModel):
 
         def transition(state, bn_state, step_rng, aggregated_states=None):
             if aggregated_states is None:
-                aggregated_states = batch.aggregate(state)
+                from jax.ad_checkpoint import checkpoint_name
+
+                aggregated_states = checkpoint_name(batch.aggregate(state), "unfold_agg")
             inp = self._transition_input(state, batch, aggregated_states, aggregated_nodes, aggregated_arcs)
             new_state, new_bn = self.net_state.apply(
                 {"params": net_state_params, "state": bn_state},
@@ -351,6 +392,90 @@ class GNNnodeBased(GraphModel):
             self, batch, state0, state_old0, bn0, step_rngs, training, transition,
             peel_agg=peel_agg,
         )
+
+    # -- transposed (feature-major) unfold engine --------------------------------
+    def _use_transposed(self, batch: GraphBatch) -> bool:
+        if self.transposed is False:
+            return False
+        ok = (
+            getattr(batch, "strip", None) is not None
+            and self.state_vect_dim == 0
+            and batch.nodes.shape[1] > 0
+        )
+        if self.transposed and not ok:
+            raise ValueError(
+                "transposed unfold requires a slot-packed batch (graph/batch.py "
+                "slot_pack) and dim_state == 0"
+            )
+        return ok
+
+    def _unfold_transposed(
+        self,
+        variables: dict,
+        batch: GraphBatch,
+        *,
+        training: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array, list]:
+        """The unfolding with state carried feature-major (d_pad, N): the
+        compact-strip aggregation (ops/strip.py strip_aggregate_t) and the
+        transition MLP (mlp.py apply_t, Wᵀ@X with lane-masked BatchNorm) run
+        in the layout the TPU wants at d≪128 — nothing is lane-padded and the
+        Pallas boundary never transposes.  One transpose at entry (node
+        labels → state₀) and one at exit (before the readout).  Same
+        reference semantics as ``unfold`` (GNN.py:217-236,254-259);
+        activations match the row-major engine up to f32 reduction order."""
+        from gnnkeras_tpu.ops.strip import strip_aggregate_t
+
+        n = batch.num_nodes
+        d = batch.nodes.shape[1]
+        d_pad = -(-d // 8) * 8
+        if batch.agg_arc_labels is not None:
+            agg_arcs_t = batch.agg_arc_labels.T
+        else:
+            agg_arcs_t = aggregate_edges(
+                batch.arc_label, batch.arc_dst, batch.arcnode_weight, n
+            ).T
+        state0 = jnp.pad(batch.nodes.T, ((0, d_pad - d), (0, 0)))
+        # pad rows of old-state are ZERO (not one) so threshold>0 norms see
+        # exactly the row-major engine's sums
+        state_old0 = jnp.pad(jnp.ones((d, n), floatx()), ((0, d_pad - d), (0, 0)))
+
+        net_state_params = variables["params"]["net_state"]
+        bn0 = variables["state"]["net_state"]
+        n_steps = max(self.max_iteration, 1)
+        if rng is not None:
+            step_rngs = jax.random.split(rng, n_steps)
+        else:
+            step_rngs = jnp.zeros(
+                (n_steps,) + jax.random.PRNGKey(0).shape, dtype=jax.random.PRNGKey(0).dtype
+            )
+
+        def transition(state_t, bn_state, step_rng, aggregated_states=None):
+            if aggregated_states is None:
+                from jax.ad_checkpoint import checkpoint_name
+
+                aggregated_states = checkpoint_name(
+                    strip_aggregate_t(state_t, batch.strip), "unfold_agg"
+                )[:d]
+            inp = jnp.concatenate([state_t[:d], aggregated_states, agg_arcs_t], axis=0)
+            new_state, new_bn = self.net_state.apply_t(
+                {"params": net_state_params, "state": bn_state},
+                inp,
+                training=training,
+                mask=batch.node_mask,
+                rng=step_rng if rng is not None else None,
+            )
+            if d_pad != d:
+                new_state = jnp.pad(new_state, ((0, d_pad - d), (0, 0)))
+            return new_state, new_bn
+
+        peel_agg = batch.agg_node_labels.T if batch.agg_node_labels is not None else None
+        k, state_t, bn_final = run_unfold_loops(
+            self, batch, state0, state_old0, bn0, step_rngs, training, transition,
+            peel_agg=peel_agg, feature_axis=0,
+        )
+        return k, state_t[:d].T, bn_final
 
     # -- fused whole-unfold fast path (ops/fused.py) ----------------------------
     def fold_transition(self, variables: dict):

@@ -185,6 +185,43 @@ def _batch_norm_apply(params, state, x, training, mask, axis_name=None):
     return y, new_state
 
 
+def _masked_moments_t(
+    x: jax.Array, mask: Optional[jax.Array], axis_name: Optional[str] = None
+) -> Tuple[jax.Array, jax.Array]:
+    """``_masked_moments`` for feature-major (d, N) activations: statistics
+    per feature (sublane) over the masked lane (batch) axis."""
+    if mask is None:
+        m = jnp.ones((1, x.shape[1]), x.dtype)
+    else:
+        m = mask.astype(x.dtype)[None, :]
+    s, c = jnp.sum(x * m, axis=1), jnp.sum(m)
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+        c = jax.lax.psum(c, axis_name)
+    count = jnp.maximum(c, 1.0)
+    mean = s / count
+    var_local = jnp.sum(jnp.square(x - mean[:, None]) * m, axis=1)
+    if axis_name is not None:
+        var_local = jax.lax.psum(var_local, axis_name)
+    var = var_local / count
+    return mean, var
+
+
+def _batch_norm_apply_t(params, state, x, training, mask, axis_name=None):
+    if training:
+        mean, var = _masked_moments_t(x, mask, axis_name)
+        new_state = {
+            "moving_mean": _BN_MOMENTUM * state["moving_mean"] + (1.0 - _BN_MOMENTUM) * mean,
+            "moving_var": _BN_MOMENTUM * state["moving_var"] + (1.0 - _BN_MOMENTUM) * var,
+        }
+    else:
+        mean, var = state["moving_mean"], state["moving_var"]
+        new_state = state
+    scale = jax.lax.rsqrt(var + _BN_EPS) * params["gamma"]
+    y = (x - mean[:, None]) * scale[:, None] + params["beta"][:, None]
+    return y, new_state
+
+
 def _dropout_apply(rate, alpha, x, training, rng):
     if not training or rate <= 0.0 or rng is None:
         return x
@@ -356,6 +393,48 @@ class MLP:
                 new_state.append({})
             elif layer[0] == "batch_norm":
                 x, s_new = _batch_norm_apply(p, s, x, training, mask, axis_name)
+                new_state.append(s_new)
+            else:
+                _, rate, alpha = layer
+                if rng is not None:
+                    rng, sub = jax.random.split(rng)
+                else:
+                    sub = None
+                x = _dropout_apply(rate, alpha, x, training, sub)
+                new_state.append({})
+        return x, new_state
+
+    def apply_t(
+        self,
+        variables: dict,
+        x: jax.Array,
+        *,
+        training: bool = False,
+        mask: Optional[jax.Array] = None,
+        rng: Optional[jax.Array] = None,
+        axis_name: Optional[str] = None,
+    ) -> Tuple[jax.Array, List[dict]]:
+        """Feature-major (transposed) forward: ``x`` is (features, batch) and
+        ``mask`` selects real LANES (batch entries).  Same math as ``apply``
+        with the axes swapped — the transposed unfold engine (models/gnn.py)
+        keeps state feature-major through the convergence loop so the Pallas
+        strip kernels never relayout.  Softmax activations normalize over the
+        feature (sublane) axis.  Dropout draws its keep mask in (features,
+        batch) order, so with a fixed key the realized mask differs from
+        ``apply``'s (same distribution)."""
+        params, state = variables["params"], variables["state"]
+        new_state: List[dict] = []
+        for layer, p, s in zip(self.program, params, state):
+            if layer[0] == "dense":
+                _, _, act, _, _, _, _ = layer
+                x = p["kernel"].T @ x + p["bias"][:, None]
+                if isinstance(act, str) and act == "softmax":
+                    x = jax.nn.softmax(x, axis=0)
+                else:
+                    x = get_activation(act)(x)
+                new_state.append({})
+            elif layer[0] == "batch_norm":
+                x, s_new = _batch_norm_apply_t(p, s, x, training, mask, axis_name)
                 new_state.append(s_new)
             else:
                 _, rate, alpha = layer

@@ -40,7 +40,7 @@ D_SUB = 8  # sublane granularity for the transposed state
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["strip", "strip_t", "residual", "residual_t"],
+    data_fields=["strip", "strip_t", "blocks", "blocks_t", "residual", "residual_t"],
     meta_fields=["slot"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -49,10 +49,20 @@ class StripOperator:
     cross-slot BCSR residual.  ``slot`` is the sub-slot width: 32/64 store
     the within-slot block diagonal compactly ((T, slot, TILE) strips, the
     kernel expands in VMEM); ``slot == TILE`` degenerates to plain dense
-    diagonal blocks (no expansion, no compaction)."""
+    diagonal blocks (no expansion, no compaction).
 
-    strip: jax.Array  # (T, slot, TILE)
-    strip_t: jax.Array  # (T, slot, TILE): per-slot transposed blocks
+    MIXED format (``blocks`` is not None): the tile axis is partitioned —
+    tiles [0, Ts) are slot-pure (compact strips), tiles [Ts, T) hold graphs
+    larger than the slot and store FULL diagonal blocks covering all their
+    within-tile edges, so no within-tile edge ever pays the BCSR residual.
+    One fused kernel runs both regions (grid step switches format on the
+    region boundary); the residual carries only cross-tile (spanning-graph)
+    edges.  Layouts come from packing.order_tiles_by_format."""
+
+    strip: jax.Array  # (Ts, slot, TILE)
+    strip_t: jax.Array  # (Ts, slot, TILE): per-slot transposed blocks
+    blocks: Optional[jax.Array]  # (Tb, TILE, TILE) mixed-format block tiles
+    blocks_t: Optional[jax.Array]
     residual: Optional[BcsrMatrix]
     residual_t: Optional[BcsrMatrix]
     slot: int
@@ -65,12 +75,17 @@ def build_strip_operator(
     n_padded: int,
     slot: int = SLOT,
     dtype=np.float32,
+    n_strip_tiles: Optional[int] = None,
 ) -> StripOperator:
     """Host-side construction over slot-packed node positions (every graph
     ≤ ``slot`` nodes lives inside one slot; larger graphs produce residual
     edges).  ``dtype`` (float32/bfloat16) is the strip storage type — the
     kernel accumulates in f32 either way, and on the MXU the default f32
-    matmul precision is already one-pass bf16 operands (BASELINE.md)."""
+    matmul precision is already one-pass bf16 operands (BASELINE.md).
+
+    ``n_strip_tiles`` selects the MIXED format: tiles [0, n_strip_tiles)
+    store compact strips, the rest full diagonal blocks; it must be a
+    K_TILES multiple (packing.order_tiles_by_format aligns it)."""
     assert n_padded % TILE == 0
     if TILE % slot:
         raise ValueError(f"slot {slot} must divide TILE {TILE}")
@@ -84,6 +99,46 @@ def build_strip_operator(
     src, dst, weight = src[live], dst[live], weight[live]
 
     in_slot = (src // slot) == (dst // slot)
+    blocks = blocks_t = None
+    if n_strip_tiles is not None:
+        ns = int(n_strip_tiles)
+        if ns % K_TILES and ns != t:
+            raise ValueError(f"n_strip_tiles {ns} must be a K_TILES ({K_TILES}) multiple")
+        if ns > t:
+            raise ValueError(f"n_strip_tiles {ns} exceeds tile count {t}")
+        boundary = ns * TILE
+        within_tile = (src // TILE) == (dst // TILE)
+        in_strip = in_slot & within_tile & (dst < boundary)
+        in_block = within_tile & (dst >= boundary)
+        s, d, w = src[in_strip], dst[in_strip], weight[in_strip]
+        strip = np.zeros((ns, slot, TILE), np.float32)
+        np.add.at(strip, (d // TILE, s % slot, d % TILE), w)
+        strip_t = np.zeros_like(strip)
+        np.add.at(strip_t, (s // TILE, d % slot, s % TILE), w)
+        # full blocks for the [ns, t) region, trailing-padded to a K multiple
+        tb = t - ns
+        tb_pad = -(-max(tb, 1) // K_TILES) * K_TILES
+        sb, db, wb = src[in_block], dst[in_block], weight[in_block]
+        blocks = np.zeros((tb_pad, TILE, TILE), np.float32)
+        np.add.at(blocks, (db // TILE - ns, sb % TILE, db % TILE), wb)
+        blocks_t = np.zeros_like(blocks)
+        np.add.at(blocks_t, (sb // TILE - ns, db % TILE, sb % TILE), wb)
+        rest = ~(in_strip | in_block)
+        residual = residual_t = None
+        if np.any(rest):
+            residual = build_bcsr(src[rest], dst[rest], weight[rest], n_padded,
+                                  max_band_factor=10**9)
+            residual_t = transpose_bcsr(residual)
+        return StripOperator(
+            strip=jnp.asarray(strip.astype(dtype)),
+            strip_t=jnp.asarray(strip_t.astype(dtype)),
+            blocks=jnp.asarray(blocks.astype(dtype)),
+            blocks_t=jnp.asarray(blocks_t.astype(dtype)),
+            residual=residual,
+            residual_t=residual_t,
+            slot=slot,
+        )
+
     s, d, w = src[in_slot], dst[in_slot], weight[in_slot]
     strip = np.zeros((t, slot, TILE), np.float32)
     np.add.at(strip, (d // TILE, s % slot, d % TILE), w)
@@ -107,6 +162,8 @@ def build_strip_operator(
     return StripOperator(
         strip=jnp.asarray(strip.astype(dtype)),
         strip_t=jnp.asarray(strip_t.astype(dtype)),
+        blocks=None,
+        blocks_t=None,
         residual=residual,
         residual_t=residual_t,
         slot=slot,
@@ -135,8 +192,14 @@ def _strip_kernel(k_tiles: int, slot: int):
             else:  # slot == TILE: the strip IS the dense diagonal block
                 bd = a
             x = state_ref[:, k * TILE : (k + 1) * TILE]
+            # cast the OPERATOR up to the state dtype (VPU work on VMEM-resident
+            # data) rather than the state down: bf16 strips then halve HBM
+            # operator bytes while the matmul runs the standard f32 MXU pass
+            # (itself one-pass bf16 operands — numerically identical)
+            if bd.dtype != x.dtype:
+                bd = bd.astype(x.dtype)
             out_ref[:, k * TILE : (k + 1) * TILE] = jnp.dot(
-                x.astype(bd.dtype), bd, preferred_element_type=jnp.float32
+                x, bd, preferred_element_type=jnp.float32
             ).astype(out_ref.dtype)
 
     return kernel
@@ -182,11 +245,96 @@ def strip_aggregate(state: jax.Array, op: StripOperator) -> jax.Array:
     return _strip_forward(state, op)
 
 
+def _mixed_kernel(k_tiles: int, slot: int, ns: int):
+    """Region-switched kernel: grid steps [0, ns) expand compact strips,
+    steps [ns, ·) run full diagonal blocks — one launch for both formats."""
+    expand = TILE // slot
+
+    def kernel(strip_ref, blocks_ref, state_ref, out_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i < ns)
+        def _():
+            col_group = jax.lax.broadcasted_iota(jnp.int32, (slot, TILE), 1) // slot
+            for k in range(k_tiles):
+                a = strip_ref[k]
+                parts = [a * (col_group == g_i).astype(a.dtype) for g_i in range(expand)]
+                bd = jnp.concatenate(parts, axis=0)
+                x = state_ref[:, k * TILE : (k + 1) * TILE]
+                if bd.dtype != x.dtype:
+                    bd = bd.astype(x.dtype)
+                out_ref[:, k * TILE : (k + 1) * TILE] = jnp.dot(
+                    x, bd, preferred_element_type=jnp.float32
+                ).astype(out_ref.dtype)
+
+        @pl.when(i >= ns)
+        def _():
+            for k in range(k_tiles):
+                bd = blocks_ref[k]
+                x = state_ref[:, k * TILE : (k + 1) * TILE]
+                if bd.dtype != x.dtype:
+                    bd = bd.astype(x.dtype)
+                out_ref[:, k * TILE : (k + 1) * TILE] = jnp.dot(
+                    x, bd, preferred_element_type=jnp.float32
+                ).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _strip_matmul_mixed(
+    state_t: jax.Array, strip: jax.Array, blocks: jax.Array, slot: int
+) -> jax.Array:
+    """Mixed-format aggregation: strips over tiles [0, Ts), full diagonal
+    blocks over [Ts, Ts+Tb).  Both region sizes are K_TILES multiples (the
+    layout guarantees it); the per-region input index maps pin the *other*
+    operand's block index so it is fetched once, not per step."""
+    d_sub, n = state_t.shape
+    ts, tb = strip.shape[0], blocks.shape[0]
+    if ts == 0:
+        out = _strip_matmul(state_t, blocks, TILE)
+        return out
+    k = min(K_TILES, ts)
+    assert ts % k == 0 and tb % k == 0, (ts, tb, k)
+    t = ts + tb
+    if t * TILE != n:
+        state_t = jnp.pad(state_t, ((0, 0), (0, t * TILE - n)))
+    ns = ts // k
+    nb = tb // k
+    out = pl.pallas_call(
+        _mixed_kernel(k, slot, ns),
+        out_shape=jax.ShapeDtypeStruct((d_sub, t * TILE), state_t.dtype),
+        grid=(ns + nb,),
+        in_specs=[
+            pl.BlockSpec(
+                (k, slot, TILE), lambda i: (jnp.minimum(i, ns - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (k, TILE, TILE), lambda i: (jnp.maximum(i - ns, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((d_sub, k * TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((d_sub, k * TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=jax.default_backend() != "tpu",
+    )(strip, blocks, state_t)
+    return out[:, :n]
+
+
+def _diag_matmul(state_t: jax.Array, op: StripOperator, transpose: bool) -> jax.Array:
+    """The block-diagonal part of the operator (mixed or single-format)."""
+    strip = op.strip_t if transpose else op.strip
+    if op.blocks is not None:
+        blocks = op.blocks_t if transpose else op.blocks
+        return _strip_matmul_mixed(state_t, strip, blocks, op.slot)
+    return _strip_matmul(state_t, strip, op.slot)
+
+
 def _strip_forward(state: jax.Array, op: StripOperator) -> jax.Array:
     n, d = state.shape
     d_pad = -(-d // D_SUB) * D_SUB
     state_t = jnp.pad(state, ((0, 0), (0, d_pad - d))).T  # (d_pad, N)
-    out_t = _strip_matmul(state_t, op.strip, op.slot)
+    out_t = _diag_matmul(state_t, op, transpose=False)
     out = out_t.T[:, :d]
     if op.residual is not None:
         out = out + bcsr_aggregate(state, op.residual)
@@ -202,7 +350,7 @@ def _strip_bwd(res, ct):
     n, d = ct.shape
     d_pad = -(-d // D_SUB) * D_SUB
     ct_t = jnp.pad(ct, ((0, 0), (0, d_pad - d))).T
-    dstate_t = _strip_matmul(ct_t, op.strip_t, op.slot)
+    dstate_t = _diag_matmul(ct_t, op, transpose=True)
     dstate = dstate_t.T[:, :d]
     if op.residual_t is not None:
         dstate = dstate + bcsr_aggregate(ct, op.residual_t)
@@ -221,7 +369,7 @@ strip_aggregate.defvjp(_strip_fwd, _strip_bwd)
 
 
 def _strip_forward_t(state_t: jax.Array, op: StripOperator) -> jax.Array:
-    out = _strip_matmul(state_t, op.strip, op.slot)
+    out = _diag_matmul(state_t, op, transpose=False)
     if op.residual is not None:
         from gnnkeras_tpu.ops.bcsr import bcsr_aggregate_t
 
@@ -244,7 +392,7 @@ def _strip_t_fwd(state_t, op):
 
 def _strip_t_bwd(res, ct_t):
     (op,) = res
-    dstate_t = _strip_matmul(ct_t, op.strip_t, op.slot)
+    dstate_t = _diag_matmul(ct_t, op, transpose=True)
     if op.residual_t is not None:
         from gnnkeras_tpu.ops.bcsr import bcsr_aggregate_t
 
