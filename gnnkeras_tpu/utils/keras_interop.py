@@ -12,6 +12,12 @@ framework:
   does, scripts/parity_mutag.py).
 - ``load_reference_gnn(path)``: read a reference-saved model directory into
   the matching ``GNN{node,arc,graph}Based``.
+- ``load_reference_composite(path)``: the per-type ``net_state_{i}`` layout
+  (CompositeGNN.py:87-133) → ``CompositeGNN{node,arc,graph}Based``.
+- ``load_reference_lgnn(path)``: the per-layer ``GNN{i}/`` layout
+  (LGNN.py:83-130) → ``LGNN`` / ``CompositeLGNN`` (composite layers are
+  auto-detected from the subfolder contents, as in CompositeLGNN.py:21-22
+  where both share the node/arc/graph class names).
 
 Note: under the Keras 3 installed here, ``tf.keras.models.save_model`` to a
 directory is no longer supported (the reference's own ``save`` raises), so
@@ -159,3 +165,115 @@ def load_reference_gnn(path: str, focus: str = "n"):
         "state": {"net_state": as_jnp(vs["state"]), "net_output": as_jnp(vo["state"])},
     }
     return model
+
+
+def _as_jnp(tree):
+    import jax.numpy as jnp
+
+    return [{k: jnp.asarray(v) for k, v in d.items()} for d in tree]
+
+
+def _numbered_entries(path: str, pattern: str):
+    """Directory entries matching ``pattern`` (a regex with one numeric
+    group), returned as (index, stem) sorted NUMERICALLY — the reference's
+    own ``listdir`` order is filesystem-dependent (LGNN.py:128,
+    CompositeGNN.py:128) and would interleave e.g. GNN10 before GNN2."""
+    import re
+
+    found = {}
+    for name in os.listdir(path):
+        m = re.fullmatch(pattern, name)
+        if m:
+            # strip a .keras archive suffix back to the probe stem
+            stem = name[: -len(".keras")] if name.endswith(".keras") else name
+            found[int(m.group(1))] = stem
+    idx = sorted(found)
+    if idx != list(range(len(idx))):
+        raise FileNotFoundError(
+            f"non-contiguous numbered entries under {path}: indices {idx}"
+        )
+    return [(i, found[i]) for i in idx]
+
+
+def load_reference_composite(path: str, focus: str = "n"):
+    """Load a reference-format CompositeGNN directory — config.json + one
+    ``net_state_{i}`` Keras model per node type + ``net_output``
+    (CompositeGNN.py:87-133) — into the matching ``CompositeGNN*Based`` with
+    transplanted weights.  As in the reference, the class is the caller's
+    choice via ``focus``."""
+    from gnnkeras_tpu.models.composite import (
+        CompositeGNNarcBased,
+        CompositeGNNgraphBased,
+        CompositeGNNnodeBased,
+    )
+
+    if path[-1] != "/":
+        path += "/"
+    with open(os.path.join(path, "config.json")) as f:
+        config = json.load(f)
+
+    entries = _numbered_entries(path, r"net_state_(\d+)(?:\.keras)?")
+    if not entries:
+        raise FileNotFoundError(f"no net_state_{{i}} models under {path}")
+    nets_k = [_load_keras_model(path, stem) for _, stem in entries]
+    net_output_k = _load_keras_model(path, "net_output")
+    net_state = [mlp_spec_from_keras(k) for k in nets_k]
+    net_output = mlp_spec_from_keras(net_output_k)
+
+    cls = {"n": CompositeGNNnodeBased, "a": CompositeGNNarcBased, "g": CompositeGNNgraphBased}[focus]
+    model = cls(
+        net_state,
+        net_output,
+        state_vect_dim=int(config.get("state_vect_dim", 0)),
+        max_iteration=int(config.get("max_iteration", 10)),
+        state_threshold=float(config.get("state_threshold", 0.01)),
+    )
+    ws = [weights_from_keras(k, spec) for k, spec in zip(nets_k, net_state)]
+    wo = weights_from_keras(net_output_k, net_output)
+    model.variables = {
+        "params": {
+            "net_state": [_as_jnp(w["params"]) for w in ws],
+            "net_output": _as_jnp(wo["params"]),
+        },
+        "state": {
+            "net_state": [_as_jnp(w["state"]) for w in ws],
+            "net_output": _as_jnp(wo["state"]),
+        },
+    }
+    return model
+
+
+def load_reference_lgnn(path: str):
+    """Load a reference-format LGNN directory — config.json (get_state /
+    get_output / gnn_class) + per-layer ``GNN{i}/`` subfolders (LGNN.py:83-130)
+    — into ``LGNN`` (or ``CompositeLGNN`` when the layer folders carry the
+    composite ``net_state_{i}`` layout; the reference's CompositeLGNN shares
+    the node/arc/graph gnn_class names, CompositeLGNN.py:21-22)."""
+    from gnnkeras_tpu.models.lgnn import LGNN, CompositeLGNN
+
+    if path[-1] != "/":
+        path += "/"
+    with open(os.path.join(path, "config.json")) as f:
+        config = json.load(f)
+    focus = {"node": "n", "arc": "a", "graph": "g"}[config.get("gnn_class", "node")]
+
+    layers = [
+        (i, os.path.join(path, stem) + "/")
+        for i, stem in _numbered_entries(path, r"GNN(\d+)")
+        if os.path.isdir(os.path.join(path, stem))
+    ]
+    if not layers:
+        raise FileNotFoundError(f"no GNN{{i}}/ layer folders under {path}")
+    composite = any(
+        _numbered_entries(layers[0][1], r"net_state_(\d+)(?:\.keras)?")
+    )
+    loader = load_reference_composite if composite else load_reference_gnn
+    gnns = [loader(sub, focus=focus) for _, sub in layers]
+
+    lgnn_cls = CompositeLGNN if composite else LGNN
+    lgnn = lgnn_cls(gnns, bool(config.get("get_state", True)), bool(config.get("get_output", True)))
+    lgnn.variables = {
+        "params": {"gnns": [g.variables["params"] for g in gnns]},
+        "state": {"gnns": [g.variables["state"] for g in gnns]},
+    }
+    return lgnn
