@@ -184,3 +184,134 @@ def fused_unfold(
         out_specs=pl.BlockSpec((b * op.tile, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=jax.default_backend() != "tpu",
     )(op.blocks, state0, const_contrib, w_state.astype(compute_dtype), w_agg.astype(compute_dtype))
+
+
+# -----------------------------------------------------------------------------
+# Transposed whole-unfold kernel: the round-3 production variant.
+#
+# The row-major kernel above pays the d=14→128 lane-padding tax on every MXU
+# pass (aggregation dots are (128,128)@(128,14): 8/9 of the lanes idle), which
+# is why it inverted vs XLA above ~16 tiles (BASELINE.md round-2 serving
+# table).  The transposed variant carries state feature-major (d_pad, N) —
+# the same layout the flagship's transposed unfold engine and the compact
+# strip kernels use (ops/strip.py) — so the per-tile aggregation is a
+# lane-full (d_pad,128)@(128,128) dot and the transition two (d_pad,d_pad)
+# dots over k·128 lanes.  Blocks are stored src-rows × dst-cols (aggᵀ = sᵀ·A),
+# the orientation build_strip_operator(slot=TILE) already produces.
+# -----------------------------------------------------------------------------
+
+D_SUB = 8  # sublane granularity for the transposed state
+
+K_TILES = 16  # tiles per grid step (same blocking as ops/strip.py: amortizes
+# per-grid-step overhead; build pre-pads the constant blocks so the runtime
+# path is a pure pallas_call)
+
+
+def build_fused_diag_t(
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: np.ndarray,
+    n_padded: int,
+    dtype=jnp.bfloat16,
+    tile: int = TILE,
+) -> Optional[FusedDiagOperator]:
+    """Blocks for the TRANSPOSED whole-unfold kernel: src-rows × dst-cols
+    (``agg_tᵀ = state_tᵀ · A_t`` per tile), pre-padded to a K_TILES multiple.
+    Returns None when any edge crosses a tile boundary."""
+    if n_padded % tile != 0:
+        return None
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    weight = np.asarray(weight, dtype=np.float64)
+    live = weight != 0.0
+    src, dst, weight = src[live], dst[live], weight[live]
+    if np.any(src // tile != dst // tile):
+        return None
+    t = n_padded // tile
+    t_pad = -(-t // min(K_TILES, t)) * min(K_TILES, t) if t else 1
+    blocks = np.zeros((t_pad, tile, tile), np.float32)
+    np.add.at(blocks, (dst // tile, src % tile, dst % tile), weight)
+    return FusedDiagOperator(blocks=jnp.asarray(blocks, dtype=dtype), tile=tile)
+
+
+def _unfold_kernel_t(n_iter: int, activation: str, k_tiles: int, tile: int):
+    act = _ACTIVATIONS[activation]
+
+    def kernel(blocks_ref, state_ref, const_ref, ws_ref, wa_ref, out_ref):
+        ws = ws_ref[...].astype(jnp.float32)  # (d_pad, d_pad) = W_sᵀ
+        wa = wa_ref[...].astype(jnp.float32)
+        c = const_ref[...].astype(jnp.float32)  # (d_pad, k·tile)
+        s = state_ref[...].astype(jnp.float32)
+        for _ in range(n_iter):
+            # per-tile sᵀ·A (blocks stored src-rows × dst-cols): lane-full
+            # (d_pad, tile)@(tile, tile) MXU passes
+            parts = []
+            for j in range(k_tiles):
+                a = blocks_ref[j]
+                x = s[:, j * tile : (j + 1) * tile]
+                if a.dtype != x.dtype:
+                    a = a.astype(x.dtype)
+                parts.append(jnp.dot(x, a, preferred_element_type=jnp.float32))
+            agg = jnp.concatenate(parts, axis=1)
+            # transition zᵀ = W_sᵀ·sᵀ + W_aᵀ·aggᵀ + cᵀ over all k·tile lanes
+            s = act(
+                jnp.dot(ws, s, preferred_element_type=jnp.float32)
+                + jnp.dot(wa, agg, preferred_element_type=jnp.float32)
+                + c
+            )
+        out_ref[...] = s.astype(out_ref.dtype)
+
+    return kernel
+
+
+def fused_unfold_t(
+    state0_t: jax.Array,
+    const_t: jax.Array,
+    w_state: jax.Array,
+    w_agg: jax.Array,
+    op: FusedDiagOperator,
+    n_iter: int,
+    activation: str = "selu",
+    k_tiles: int = K_TILES,
+) -> jax.Array:
+    """Transposed whole-unfold: state0_t / const_t are (d_pad, N)
+    feature-major with zero pad rows; w_state / w_agg are the ROW-MAJOR
+    (d, h) Dense weights (transposed + zero-padded to (d_pad, d_pad) here —
+    the zero pad COLUMNS guarantee pad rows of the state never leak into real
+    rows, whatever the activation maps 0 to).  Returns the converged
+    (d_pad, N) state; the caller slices rows [:h] after transposing."""
+    d_pad, n = state0_t.shape
+    d, h = w_state.shape
+    assert d == h, "state width must be invariant across iterations"
+    assert d_pad % D_SUB == 0 and d_pad >= d
+    t = op.blocks.shape[0]
+    k = min(k_tiles, t)
+    if t % k:  # hand-built operator; build_fused_diag_t pre-pads
+        t_pad = -(-t // k) * k
+        op = FusedDiagOperator(
+            blocks=jnp.concatenate(
+                [op.blocks, jnp.zeros((t_pad - t, op.tile, op.tile), op.blocks.dtype)]
+            ),
+            tile=op.tile,
+        )
+        t = t_pad
+    if t * op.tile != n:
+        pad = t * op.tile - n
+        state0_t = jnp.pad(state0_t, ((0, 0), (0, pad)))
+        const_t = jnp.pad(const_t, ((0, 0), (0, pad)))
+    pad_w = lambda w: jnp.pad(w.T, ((0, d_pad - h), (0, d_pad - d)))
+    out = pl.pallas_call(
+        _unfold_kernel_t(int(n_iter), activation, k, op.tile),
+        out_shape=jax.ShapeDtypeStruct((d_pad, t * op.tile), state0_t.dtype),
+        grid=(t // k,),
+        in_specs=[
+            pl.BlockSpec((k, op.tile, op.tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, k * op.tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, k * op.tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((d_pad, k * op.tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=jax.default_backend() != "tpu",
+    )(op.blocks, state0_t, const_t, pad_w(w_state), pad_w(w_agg))
+    return out[:, :n]

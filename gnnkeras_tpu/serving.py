@@ -69,7 +69,8 @@ class Predictor:
         max_graphs: int,
         aggregation_mode: str = "average",
         fused: object = False,
-        tiles_per_step: int = 8,
+        tiles_per_step: int = 8,  # legacy row-major fused_unfold knob; the
+        # transposed production kernel blocks at ops/fused.py K_TILES
         dims: Optional[Tuple[int, int, int]] = None,
         warmup_graph: Optional[GraphObject] = None,
     ) -> None:
@@ -94,10 +95,11 @@ class Predictor:
                 raise ValueError(
                     "fused=True requires dim_state==0, threshold==0 and a single-Dense state net"
                 )
-            if fused == "auto" and self.max_nodes // 128 > 16:
-                # measured crossover (BASELINE.md serving latency table): the
-                # one-launch kernel wins below ~16 tiles, XLA wins above
-                ok = False
+            # no template-size gate: the transposed whole-unfold kernel
+            # (ops/fused.py fused_unfold_t) beats the XLA path at every
+            # measured request size (3.9-7.6x, BASELINE.md round-3 serving
+            # table) — the round-2 >16-tile inversion was the row-major
+            # kernel's d=14→128 lane padding
             self._folded = folded if ok else None
         self.fused = self._folded is not None
 
@@ -157,13 +159,12 @@ class Predictor:
 
     def _fused(self):
         if self._fused_step is None:
-            from gnnkeras_tpu.ops.fused import FusedDiagOperator, fused_unfold
+            from gnnkeras_tpu.ops.fused import FusedDiagOperator, fused_unfold_t
 
             model = self.model
             act = self._folded[4]  # architecture-static; weights ride as args
-            tps = self.tiles_per_step
 
-            def step(params, mstate, batch, blocks):
+            def step(params, mstate, batch, blocks, nodes_t, agg_arcs_t):
                 variables = {"params": params, "state": mstate}
                 # fold the live weights INSIDE the trace: serves post-
                 # construction weight updates like the XLA path, without the
@@ -171,11 +172,23 @@ class Predictor:
                 # would dispatch on this latency-critical path
                 w_state, w_agg, w_arc, bias, _ = model.fold_transition(variables)
                 op = FusedDiagOperator(blocks=blocks, tile=128)
-                const = batch.agg_arc_labels @ w_arc + bias
-                state = fused_unfold(
-                    batch.nodes, const, w_state, w_agg, op, model.max_iteration, act,
-                    tiles_per_step=tps,
+                # transposed whole-unfold (ops/fused.py round 3): state rides
+                # feature-major so every MXU pass is lane-full — the row-major
+                # kernel's d=14→128 lane padding was why it inverted vs XLA
+                # above ~16 tiles (BASELINE.md round-2 serving table).
+                # nodes_t / agg_arcs_t arrive HOST-pre-transposed (built per
+                # request anyway); padding the tiny (da, h) folded weight
+                # instead of the (N, h) const keeps the in-jit prologue to
+                # two d×d-scale ops (~1 us off the 1-molecule latency).
+                h = bias.shape[0]
+                d_pad = nodes_t.shape[0]
+                w_arc_p = jnp.pad(w_arc, ((0, 0), (0, d_pad - h)))
+                bias_p = jnp.pad(bias, (0, d_pad - h))
+                const_t = w_arc_p.T @ agg_arcs_t + bias_p[:, None]
+                state_t = fused_unfold_t(
+                    nodes_t, const_t, w_state, w_agg, op, model.max_iteration, act,
                 )
+                state = state_t.T[:, :h]
                 out, out_mask, _ = model.apply_output(variables, state, batch, training=False, rng=None)
                 return out, out_mask
 
@@ -218,7 +231,7 @@ class Predictor:
         return np.asarray(out)[batch.host_pred_rows]
 
     def _predict_fused(self, merged: GraphObject) -> Optional[np.ndarray]:
-        from gnnkeras_tpu.ops.fused import build_fused_diag
+        from gnnkeras_tpu.ops.fused import build_fused_diag_t
 
         try:
             batch = from_graph_object(
@@ -237,17 +250,28 @@ class Predictor:
             return None
         batch = self._uniform_operators(batch)
         a = merged.arcs.shape[0]
-        op = build_fused_diag(
+        op = build_fused_diag_t(
             np.asarray(batch.arc_src)[:a], np.asarray(batch.arc_dst)[:a],
             np.asarray(batch.arcnode_weight)[:a], batch.num_nodes,
             dtype=jnp.bfloat16,
         )
         if op is None:  # an edge crosses tiles → XLA fallback (same contract)
             return None
+        from gnnkeras_tpu.ops.fused import D_SUB
+
+        # host-side transposed/padded inputs for the transposed kernel (the
+        # batch is freshly built per request anyway, so this is free)
+        d = batch.nodes.shape[1]
+        h = self._folded[3].shape[0]  # folded bias width = state width
+        d_pad = -(-max(d, h) // D_SUB) * D_SUB
+        nodes_t = np.zeros((d_pad, batch.num_nodes), dtype=np.asarray(batch.nodes).dtype)
+        nodes_t[:d] = np.asarray(batch.nodes).T
+        agg_arcs_t = np.ascontiguousarray(np.asarray(batch.agg_arc_labels).T)
         # the step folds the live variables inside the trace, so weight
         # updates after construction are served (like the XLA path)
         out, _ = self._fused()(
             self.model.variables["params"], self.model.variables["state"], batch, op.blocks,
+            nodes_t, agg_arcs_t,
         )
         # host_pred_rows undoes the tile-pack permutation (graph/batch.py)
         return np.asarray(out)[batch.host_pred_rows]

@@ -157,3 +157,74 @@ class TestFusedUnfold:
         state, out, _ = gnn.forward_fused(gnn.variables, batch, op)
         m = np.asarray(batch.node_mask)
         np.testing.assert_allclose(np.asarray(state)[m], np.asarray(state_ref)[m], rtol=2e-5, atol=2e-6)
+
+
+class TestFusedUnfoldTransposed:
+    """The transposed whole-unfold kernel (round 3 production serving path):
+    feature-major state, src-rows × dst-cols blocks, K_TILES grid blocking
+    with build-time pre-padding."""
+
+    @staticmethod
+    def _op_t(batch, merged, dtype):
+        from gnnkeras_tpu.ops.fused import build_fused_diag_t
+
+        a = merged.arcs.shape[0]
+        return build_fused_diag_t(
+            np.asarray(batch.arc_src)[:a], np.asarray(batch.arc_dst)[:a],
+            np.asarray(batch.arcnode_weight)[:a], batch.num_nodes, dtype=dtype,
+        )
+
+    def _run(self, gnn, batch, op):
+        from gnnkeras_tpu.ops.fused import D_SUB, fused_unfold_t
+
+        w_state, w_agg, w_arc, bias, act = gnn.fold_transition(gnn.variables)
+        d, h = batch.nodes.shape[1], int(bias.shape[0])
+        d_pad = -(-max(d, h) // D_SUB) * D_SUB
+        nodes_t = np.zeros((d_pad, batch.num_nodes), np.float32)
+        nodes_t[:d] = np.asarray(batch.nodes).T
+        const = np.asarray(batch.agg_arc_labels @ w_arc + bias)
+        const_t = np.zeros((d_pad, batch.num_nodes), np.float32)
+        const_t[:h] = const.T
+        out_t = fused_unfold_t(
+            jnp.asarray(nodes_t), jnp.asarray(const_t), w_state, w_agg, op,
+            gnn.max_iteration, act,
+        )
+        return np.asarray(out_t).T[:, :h]
+
+    def test_f32_matches_xla_eval_forward(self):
+        graphs = _random_graphs(seed=7)
+        gnn = _starter_gnn(seed=7)
+        merged = GraphObject.merge(graphs, focus="g", aggregation_mode="average")
+        batch = from_graph_object(merged, tile_pack=True)
+        op = self._op_t(batch, merged, jnp.float32)
+        assert op is not None
+        _, state_ref, _ = gnn.unfold(gnn.variables, batch, training=False)
+        state = self._run(gnn, batch, op)
+        m = np.asarray(batch.node_mask)
+        np.testing.assert_allclose(state[m], np.asarray(state_ref)[m], rtol=2e-5, atol=2e-6)
+
+    def test_pre_padded_grid_many_tiles(self):
+        """>K_TILES, non-multiple tile count: blocks pre-pad to the K_TILES
+        multiple and the output slices back to the true N."""
+        from gnnkeras_tpu.ops.fused import K_TILES
+
+        graphs = _random_graphs(seed=11, n_graphs=130)
+        gnn = _starter_gnn(seed=11, max_iter=2)
+        merged = GraphObject.merge(graphs, focus="g", aggregation_mode="average")
+        batch = from_graph_object(merged, tile_pack=True)
+        t = batch.num_nodes // 128
+        assert t > K_TILES, f"workload too small ({t} tiles) to exercise the pad path"
+        op = self._op_t(batch, merged, jnp.float32)
+        assert op is not None and op.blocks.shape[0] % min(K_TILES, t) == 0
+        assert op.blocks.shape[0] >= t
+        _, state_ref, _ = gnn.unfold(gnn.variables, batch, training=False)
+        state = self._run(gnn, batch, op)
+        m = np.asarray(batch.node_mask)
+        np.testing.assert_allclose(state[m], np.asarray(state_ref)[m], rtol=2e-5, atol=2e-6)
+
+    def test_cross_tile_edges_refused(self):
+        from gnnkeras_tpu.ops.fused import build_fused_diag_t
+
+        assert build_fused_diag_t(
+            np.array([0, 130]), np.array([130, 0]), np.ones(2), 256
+        ) is None
