@@ -87,6 +87,7 @@ def run_unfold_loops(
     transition,
     peel_agg: Optional[jax.Array] = None,
     feature_axis: int = 1,
+    predicate=unconverged,
 ):
     """The ONE loop driver behind every unfold variant (homogeneous and
     composite models share it, so the loop semantics cannot drift):
@@ -103,6 +104,10 @@ def run_unfold_loops(
 
     ``transition(state, bn_state, step_rng, aggregated_states=None)`` is the
     model-specific per-step function.  Returns ``(k, state, bn_final)``.
+
+    ``predicate`` is the convergence test (``unconverged`` signature); the
+    partitioned engine passes a pmax-wrapped variant so every device agrees
+    on the mesh-global trip count (parallel/partition.py).
     """
     K = model.max_iteration
     threshold = model.state_threshold
@@ -126,12 +131,12 @@ def run_unfold_loops(
             k, state, running = carry
             step_rng, bn_i = xs
             new_state, new_bn = transition(state, bn_i, step_rng, aggregated_states)
-            changed = unconverged(new_state, state, batch.node_mask, threshold, feature_axis)
+            changed = predicate(new_state, state, batch.node_mask, threshold, feature_axis)
             state_next = jnp.where(running, new_state, state)
             bn_out = _select_tree(running, new_bn, bn_i)
             return (k + running.astype(floatx()), state_next, jnp.logical_and(running, changed)), bn_out
 
-        running0 = unconverged(state0, state_old0, batch.node_mask, threshold, feature_axis)
+        running0 = predicate(state0, state_old0, batch.node_mask, threshold, feature_axis)
         carry = (jnp.zeros((), floatx()), state0, running0)
         if peel:
             peeled = maybe_remat(lambda c, x: step_body(c, x, aggregated_states=peel_agg))
@@ -158,10 +163,10 @@ def run_unfold_loops(
             k, state, changed = carry
             idx = jnp.minimum(k.astype(jnp.int32), K - 1)
             new_state, _ = transition(state, take(bn0, idx), step_rngs[idx], aggregated_states)
-            changed = unconverged(new_state, state, batch.node_mask, threshold, feature_axis)
+            changed = predicate(new_state, state, batch.node_mask, threshold, feature_axis)
             return (k + 1.0, new_state, changed)
 
-        changed0 = unconverged(state0, state_old0, batch.node_mask, threshold, feature_axis)
+        changed0 = predicate(state0, state_old0, batch.node_mask, threshold, feature_axis)
         carry = (jnp.zeros((), floatx()), state0, changed0)
         if peel:
             carry = jax.lax.cond(
@@ -178,14 +183,14 @@ def run_unfold_loops(
         # full-state select + carry per iteration).
         k, state, running, bn_state = carry
         new_state, new_bn = transition(state, bn_state, step_rng, aggregated_states)
-        changed = unconverged(new_state, state, batch.node_mask, threshold, feature_axis)
+        changed = predicate(new_state, state, batch.node_mask, threshold, feature_axis)
         state_next = jnp.where(running, new_state, state)
         bn_next = _select_tree(running, new_bn, bn_state)
         running_next = jnp.logical_and(running, changed)
         return (k + running.astype(floatx()), state_next, running_next, bn_next)
 
     if training or K == 0:
-        running0 = unconverged(state0, state_old0, batch.node_mask, threshold, feature_axis)
+        running0 = predicate(state0, state_old0, batch.node_mask, threshold, feature_axis)
         carry = (jnp.zeros((), floatx()), state0, running0, bn0)
         rest = step_rngs
         length = K
@@ -210,10 +215,10 @@ def run_unfold_loops(
         k, state, changed, bn_state = carry
         idx = jnp.minimum(k.astype(jnp.int32), K - 1)
         new_state, new_bn = transition(state, bn_state, step_rngs[idx], aggregated_states)
-        changed = unconverged(new_state, state, batch.node_mask, threshold, feature_axis)
+        changed = predicate(new_state, state, batch.node_mask, threshold, feature_axis)
         return (k + 1.0, new_state, changed, new_bn)
 
-    changed0 = unconverged(state0, state_old0, batch.node_mask, threshold, feature_axis)
+    changed0 = predicate(state0, state_old0, batch.node_mask, threshold, feature_axis)
     carry = (jnp.zeros((), floatx()), state0, changed0, bn0)
     if peel:
         carry = jax.lax.cond(

@@ -470,11 +470,6 @@ class PartitionedGNN:
 
         from gnnkeras_tpu.models.composite import CompositeGNNnodeBased
 
-        if getattr(gnn, "per_iteration_bn", False):
-            raise ValueError(
-                "per_iteration_bn models are not supported by PartitionedGNN "
-                "(the partitioned unfold runs shared BatchNorm moments)"
-            )
         self.composite = isinstance(gnn, CompositeGNNnodeBased)
         assert transport in ("collective", "pallas_ring")
         self.gnn = gnn
@@ -581,10 +576,14 @@ class PartitionedGNN:
         rng_loop, rng_out = jax.random.split(rng)
         step_rngs = jax.random.split(rng_loop, n_steps)
 
-        def local_unconverged(state, state_old):
-            distance = jnp.sqrt(jnp.sum(jnp.square(state - state_old), axis=1))
-            norm = jnp.sqrt(jnp.sum(jnp.square(state_old), axis=1))
-            local_any = jnp.any(jnp.logical_and(distance > gnn.state_threshold * norm, pg.node_mask))
+        def mesh_unconverged(state, state_old, node_mask, threshold, feature_axis=1):
+            """The shared engine's predicate lifted to the mesh: every device
+            sees the pmax'd flag, so the whole mesh agrees on the trip count
+            (one straggler partition keeps everyone iterating, as the single
+            chip would)."""
+            from gnnkeras_tpu.models.gnn import unconverged
+
+            local_any = unconverged(state, state_old, node_mask, threshold, feature_axis)
             return jax.lax.pmax(local_any.astype(jnp.int32), axis) > 0
 
         def transition(state, bn_state, step_rng, agg_states=None):
@@ -643,58 +642,18 @@ class PartitionedGNN:
         # exchange + aggregation per unfold.
         peel = gnn.state_vect_dim == 0 and pg.agg_node_labels is not None and gnn.max_iteration >= 1
 
-        def step_body(carry, step_rng, agg_states=None):
-            # predicate refreshed from the just-computed operands, as in
-            # models/gnn.py step_body — no second full-state carry
-            k, state, running, bn_state = carry
-            new_state, new_bn = transition(state, bn_state, step_rng, agg_states)
-            changed = local_unconverged(new_state, state)
-            return (
-                k + running.astype(floatx()),
-                jnp.where(running, new_state, state),
-                jnp.logical_and(running, changed),
-                jax.tree_util.tree_map(lambda a, b: jnp.where(running, a, b), new_bn, bn_state),
-            )
+        # the SHARED loop driver (models/gnn.py run_unfold_loops) with the
+        # mesh-global predicate: training scan / inference while_loop /
+        # per-iteration-BN stacks / remat policy all behave exactly as on the
+        # single chip — this replaced a drifted local copy of the loop, and
+        # is what makes per_iteration_bn compose with partitioning.
+        from gnnkeras_tpu.models.gnn import run_unfold_loops
 
-        if training:
-            maybe_remat = jax.checkpoint if gnn.remat else (lambda f: f)
-            running0 = local_unconverged(state0, state_old0)
-            carry = (jnp.zeros((), floatx()), state0, running0, bn0)
-            rest, length = step_rngs, gnn.max_iteration
-            if peel:
-                peeled = maybe_remat(
-                    lambda c, r: step_body(c, r, agg_states=pg.agg_node_labels)
-                )
-                carry = peeled(carry, step_rngs[0])
-                rest, length = step_rngs[1:], gnn.max_iteration - 1
-
-            step = maybe_remat(lambda c, r: (step_body(c, r), None))
-            (k, state, _, bn_final), _ = jax.lax.scan(step, carry, rest, length=length)
-        else:
-            # carried ``changed`` flag instead of a second full-state copy,
-            # as in models/gnn.py's inference loop (mesh-global predicate)
-            def cond_fn(carry):
-                k, state, changed, _ = carry
-                return jnp.logical_and(changed, k < gnn.max_iteration)
-
-            def body_fn(carry, agg_states=None):
-                k, state, changed, bn_state = carry
-                idx = jnp.minimum(k.astype(jnp.int32), gnn.max_iteration - 1)
-                new_state, new_bn = transition(state, bn_state, step_rngs[idx], agg_states)
-                changed = local_unconverged(new_state, state)
-                return (k + 1.0, new_state, changed, new_bn)
-
-            changed0 = local_unconverged(state0, state_old0)
-            carry = (jnp.zeros((), floatx()), state0, changed0, bn0)
-            if peel:
-                carry = jax.lax.cond(
-                    cond_fn(carry),
-                    lambda c: body_fn(c, agg_states=pg.agg_node_labels),
-                    lambda c: c,
-                    carry,
-                )
-
-            k, state, _, bn_final = jax.lax.while_loop(cond_fn, body_fn, carry)
+        k, state, bn_final = run_unfold_loops(
+            gnn, pg, state0, state_old0, bn0, step_rngs, training, transition,
+            peel_agg=pg.agg_node_labels if peel else None,
+            predicate=mesh_unconverged,
+        )
 
         # readout
         row_mask = jnp.logical_and(

@@ -32,7 +32,8 @@ def big_graph(seed=0, n=60, a=300, dn=3, da=2, T=2, focus="n", mode="average"):
     )
 
 
-def build_gnn(cls, focus, dn=3, da=2, T=2, dim_state=0, max_iter=6, bn=True):
+def build_gnn(cls, focus, dn=3, da=2, T=2, dim_state=0, max_iter=6, bn=True,
+              per_iteration_bn=False):
     inp_s, layers_s = get_inout_dims("state", dn, da, T, focus, dim_state)
     inp_o, layers_o = get_inout_dims("output", dn, da, T, focus, dim_state)
     net_st = MLP(input_dim=inp_s[0], layers=layers_s, activations="selu",
@@ -41,7 +42,7 @@ def build_gnn(cls, focus, dn=3, da=2, T=2, dim_state=0, max_iter=6, bn=True):
     net_out = MLP(input_dim=inp_o[0], layers=layers_o, activations="softmax",
                   kernel_initializer="glorot_normal", bias_initializer="glorot_normal",
                   batch_normalization=bn)
-    gnn = cls(net_st, net_out, dim_state, max_iter, 0.01)
+    gnn = cls(net_st, net_out, dim_state, max_iter, 0.01, per_iteration_bn=per_iteration_bn)
     gnn.build(seed=5)
     return gnn
 
@@ -110,6 +111,40 @@ class TestPartitionedEqualsSingle:
         np.testing.assert_allclose(
             got[mask], np.asarray(out_ref)[order], rtol=2e-4, atol=1e-5
         )
+
+    @pytest.mark.parametrize("training", [False, True])
+    def test_per_iteration_bn_parity(self, mesh8, training):
+        """per_iteration_bn (the repo's best eval-quality option, BASELINE.md)
+        composes with partitioning: state, trip count AND the updated
+        per-iteration BatchNorm stacks match the single-chip engine — the
+        partitioned loop now delegates to the shared run_unfold_loops driver
+        with a mesh-global predicate."""
+        g = big_graph(seed=9)
+        gnn = build_gnn(GNNnodeBased, "n", per_iteration_bn=True)
+        batch = from_graph_object(g)
+        rng = jax.random.PRNGKey(3)  # no dropout layers: keys are inert
+        k_ref, state_ref, bn_ref = gnn.unfold(
+            gnn.variables, batch, training=training, rng=rng
+        )
+
+        pg = partition_graph(g, 8)
+        pgnn = PartitionedGNN(gnn, mesh8)
+        k, state, out, new_mstate = pgnn.forward(pg, training=training, rng=rng)
+
+        assert float(k) == float(k_ref)
+        got = np.asarray(state).reshape(-1, state.shape[-1])
+        mask = np.asarray(pg.node_mask).reshape(-1)
+        np.testing.assert_allclose(
+            got[mask], np.asarray(state_ref)[: g.nodes.shape[0]], rtol=2e-4, atol=1e-5
+        )
+        if training:
+            # per-iteration moments: psum'd masked sums == whole-batch sums
+            for ours, ref in zip(new_mstate["net_state"], bn_ref):
+                for key in ref:
+                    np.testing.assert_allclose(
+                        np.asarray(ours[key]), np.asarray(ref[key]),
+                        rtol=2e-4, atol=1e-5, err_msg=key,
+                    )
 
     def test_dim_state_random_init_runs(self, mesh8):
         g = big_graph(seed=4)

@@ -608,7 +608,10 @@ class TestPerIterationBN:
         ev = trainer.evaluate(cgnn, seq)
         assert np.isfinite(ev["loss"])
 
-    def test_parallel_wrappers_reject_per_iteration_bn(self):
+    def test_parallel_wrapper_support_matrix_per_iteration_bn(self):
+        """TP still rejects per_iteration_bn; PartitionedGNN supports it
+        since round 3 (shared run_unfold_loops driver — equality test in
+        tests/test_parallel.py::test_per_iteration_bn_parity)."""
         from gnnkeras_tpu.parallel.mesh import make_mesh
         from gnnkeras_tpu.parallel.partition import PartitionedGNN
         from gnnkeras_tpu.parallel.tensor_parallel import TensorParallelGNN
@@ -617,8 +620,7 @@ class TestPerIterationBN:
         mesh = make_mesh(("model",))
         with pytest.raises(ValueError, match="per_iteration_bn"):
             TensorParallelGNN(model, mesh)
-        with pytest.raises(ValueError, match="per_iteration_bn"):
-            PartitionedGNN(model, make_mesh(("graph",)))
+        assert PartitionedGNN(model, make_mesh(("graph",))).gnn is model
 
     def test_copy_preserves_flag(self):
         model = self._model(per_iteration_bn=True)
