@@ -100,6 +100,7 @@ class CompositeGNNnodeBased(GNNnodeBased):
         *,
         training: bool = False,
         rng: Optional[jax.Array] = None,
+        axis_name: Optional[str] = None,
     ) -> Tuple[jax.Array, jax.Array, list]:
         if batch.type_mask is None:
             raise ValueError("CompositeGNN requires a composite batch (type_mask set)")
@@ -154,12 +155,13 @@ class CompositeGNNnodeBased(GNNnodeBased):
                     training=training,
                     mask=mask_t,
                     rng=rngs_t[t] if rng is not None else None,
+                    axis_name=axis_name,
                 )
                 new_state = new_state + jnp.where(mask_t[:, None], out_t, 0.0)
                 new_bns.append(bn_t)
             return new_state, new_bns
 
-        from gnnkeras_tpu.models.gnn import run_unfold_loops
+        from gnnkeras_tpu.models.gnn import _mesh_predicate, run_unfold_loops
 
         # iteration-0 peel: at dim_state==0 the first (un-gated) neighbor-
         # state sum IS the precomputed label sum, exactly as in models/gnn.py
@@ -170,7 +172,7 @@ class CompositeGNNnodeBased(GNNnodeBased):
         )
         return run_unfold_loops(
             self, batch, state0, state_old0, bn0, step_rngs, training, transition,
-            peel_agg=peel_agg,
+            peel_agg=peel_agg, predicate=_mesh_predicate(axis_name),
         )
 
     def fold_transition(self, variables: dict):
@@ -262,7 +264,9 @@ class CompositeGNNgraphBased(CompositeGNNnodeBased):
 
     name = "graph"
 
-    def apply_output(self, variables, state, batch, *, training, rng):
-        out_nodes, _, new_bn = self.node_level_output(variables, state, batch, training=training, rng=rng)
+    def apply_output(self, variables, state, batch, *, training, rng, axis_name=None):
+        out_nodes, _, new_bn = self.node_level_output(
+            variables, state, batch, training=training, rng=rng, axis_name=axis_name
+        )
         out_graph = batch.readout(out_nodes)
         return out_graph, batch.graph_mask, new_bn

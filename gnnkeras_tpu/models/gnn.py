@@ -76,6 +76,20 @@ def _select_tree(pred: jax.Array, on_true, on_false):
     return jax.tree_util.tree_map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
 
 
+def _mesh_predicate(axis_name: Optional[str]):
+    """``unconverged`` lifted over a named mesh axis: the pmax'd flag makes
+    every device agree on the trip count, exactly as a single chip running
+    the union batch would (one straggler shard keeps everyone iterating)."""
+    if axis_name is None:
+        return unconverged
+
+    def predicate(state, state_old, node_mask, threshold, feature_axis=1):
+        local = unconverged(state, state_old, node_mask, threshold, feature_axis)
+        return jax.lax.pmax(local.astype(jnp.int32), axis_name) > 0
+
+    return predicate
+
+
 def run_unfold_loops(
     model,
     batch: GraphBatch,
@@ -338,12 +352,18 @@ class GNNnodeBased(GraphModel):
         *,
         training: bool = False,
         rng: Optional[jax.Array] = None,
+        axis_name: Optional[str] = None,
     ) -> Tuple[jax.Array, jax.Array, list]:
         """Run the state unfolding to convergence.
 
         Returns (k, state, new_net_state_bn).  Training uses a checkpointed
         ``lax.scan`` with a running-mask (reverse-differentiable, matching the
         reference's backprop-through-unfolding); inference a ``lax.while_loop``.
+
+        ``axis_name`` (inside shard_map/pmap): BatchNorm moments are psum'd
+        and the convergence predicate pmax'd over the named axis, so a
+        device-sharded batch behaves exactly like the merged single-chip
+        batch (parallel/partition.py PackedPartitionedGNN).
 
         When the batch carries a compact-strip operator (slot-packed batches,
         graph/batch.py ``slot_pack``) and ``dim_state == 0``, the loop runs
@@ -353,7 +373,9 @@ class GNNnodeBased(GraphModel):
         ``self.transposed = False`` to force the row-major engine.
         """
         if self._use_transposed(batch):
-            return self._unfold_transposed(variables, batch, training=training, rng=rng)
+            return self._unfold_transposed(
+                variables, batch, training=training, rng=rng, axis_name=axis_name
+            )
         n = batch.num_nodes
         # batch-constant: precomputed host-side when the batch carries it
         # (TPU scatter is ~100x off roofline; see graph/batch.py)
@@ -385,6 +407,7 @@ class GNNnodeBased(GraphModel):
                 training=training,
                 mask=batch.node_mask,
                 rng=step_rng if rng is not None else None,
+                axis_name=axis_name,
             )
             return new_state, new_bn
 
@@ -395,7 +418,7 @@ class GNNnodeBased(GraphModel):
         )
         return run_unfold_loops(
             self, batch, state0, state_old0, bn0, step_rngs, training, transition,
-            peel_agg=peel_agg,
+            peel_agg=peel_agg, predicate=_mesh_predicate(axis_name),
         )
 
     # -- transposed (feature-major) unfold engine --------------------------------
@@ -421,6 +444,7 @@ class GNNnodeBased(GraphModel):
         *,
         training: bool = False,
         rng: Optional[jax.Array] = None,
+        axis_name: Optional[str] = None,
     ) -> Tuple[jax.Array, jax.Array, list]:
         """The unfolding with state carried feature-major (d_pad, N): the
         compact-strip aggregation (ops/strip.py strip_aggregate_t) and the
@@ -470,6 +494,7 @@ class GNNnodeBased(GraphModel):
                 training=training,
                 mask=batch.node_mask,
                 rng=step_rng if rng is not None else None,
+                axis_name=axis_name,
             )
             if d_pad != d:
                 new_state = jnp.pad(new_state, ((0, d_pad - d), (0, 0)))
@@ -478,7 +503,7 @@ class GNNnodeBased(GraphModel):
         peel_agg = batch.agg_node_labels.T if batch.agg_node_labels is not None else None
         k, state_t, bn_final = run_unfold_loops(
             self, batch, state0, state_old0, bn0, step_rngs, training, transition,
-            peel_agg=peel_agg, feature_axis=0,
+            peel_agg=peel_agg, feature_axis=0, predicate=_mesh_predicate(axis_name),
         )
         return k, state_t[:d].T, bn_final
 
@@ -572,6 +597,7 @@ class GNNnodeBased(GraphModel):
         *,
         training: bool,
         rng: Optional[jax.Array],
+        axis_name: Optional[str] = None,
     ) -> Tuple[jax.Array, jax.Array, list]:
         """net_output over the readout rows WITHOUT the graph-level readout —
         the per-layer processing function LGNN uses for every focus but 'a'
@@ -583,13 +609,16 @@ class GNNnodeBased(GraphModel):
             training=training,
             mask=row_mask,
             rng=rng,
+            axis_name=axis_name,
         )
         return out, row_mask, new_bn
 
-    def apply_output(self, variables, state, batch, *, training, rng):
+    def apply_output(self, variables, state, batch, *, training, rng, axis_name=None):
         """Focus-specific final output.  Overridden by the graph-focused model
         to add the NodeGraph readout."""
-        return self.node_level_output(variables, state, batch, training=training, rng=rng)
+        return self.node_level_output(
+            variables, state, batch, training=training, rng=rng, axis_name=axis_name
+        )
 
     def forward(
         self,
@@ -598,6 +627,7 @@ class GNNnodeBased(GraphModel):
         *,
         training: bool = False,
         rng: Optional[jax.Array] = None,
+        axis_name: Optional[str] = None,
     ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, dict]:
         """Full forward pass (reference ``Loop``, GNN.py:245-274).
 
@@ -609,8 +639,12 @@ class GNNnodeBased(GraphModel):
             rng_loop, rng_out = jax.random.split(rng)
         else:
             rng_loop = rng_out = None
-        k, state, bn_state = self.unfold(variables, batch, training=training, rng=rng_loop)
-        out, out_mask, bn_out = self.apply_output(variables, state, batch, training=training, rng=rng_out)
+        k, state, bn_state = self.unfold(
+            variables, batch, training=training, rng=rng_loop, axis_name=axis_name
+        )
+        out, out_mask, bn_out = self.apply_output(
+            variables, state, batch, training=training, rng=rng_out, axis_name=axis_name
+        )
         new_model_state = {"net_state": bn_state, "net_output": bn_out}
         return k, state, out, out_mask, new_model_state
 
@@ -713,7 +747,9 @@ class GNNgraphBased(GNNnodeBased):
 
     name = "graph"
 
-    def apply_output(self, variables, state, batch, *, training, rng):
-        out_nodes, _, new_bn = self.node_level_output(variables, state, batch, training=training, rng=rng)
+    def apply_output(self, variables, state, batch, *, training, rng, axis_name=None):
+        out_nodes, _, new_bn = self.node_level_output(
+            variables, state, batch, training=training, rng=rng, axis_name=axis_name
+        )
         out_graph = batch.readout(out_nodes)
         return out_graph, batch.graph_mask, new_bn

@@ -7,6 +7,11 @@ from gnnkeras_tpu.parallel.data_parallel import (
     DataParallelTrainer,
 )
 from gnnkeras_tpu.parallel.partition import partition_graph, PartitionedGraph, PartitionedGNN
+from gnnkeras_tpu.parallel.packed import (
+    PackedPartitionedGNN,
+    partition_packed,
+    split_merged_by_graph,
+)
 from gnnkeras_tpu.parallel.expert import ExpertParallelCompositeGNN
 from gnnkeras_tpu.parallel.hybrid import make_hybrid_train_step, stack_partitioned
 from gnnkeras_tpu.parallel.tensor_parallel import TensorParallelGNN, TensorParallelMLP
@@ -24,6 +29,9 @@ __all__ = [
     "make_dp_epoch_step",
     "DataParallelTrainer",
     "partition_graph",
+    "partition_packed",
+    "PackedPartitionedGNN",
+    "split_merged_by_graph",
     "PartitionedGraph",
     "PartitionedGNN",
     "ExpertParallelCompositeGNN",
