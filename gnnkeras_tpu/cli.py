@@ -96,22 +96,106 @@ def _load_model(model_dir: str):
     return cls.load(model_dir)
 
 
+def _train_parallel(par, cfg, model, tr, va, args):
+    """Drive one of the distributed engines from the CLI.  Every engine
+    writes the trained weights back into ``model``, so evaluation and
+    ``--save`` below run on the ordinary single-device surface."""
+    import jax
+
+    from gnnkeras_tpu.parallel.mesh import make_mesh
+
+    n_dev = cfg.parallel_devices or len(jax.devices())
+    epochs = cfg.epochs
+
+    if par == "dp":
+        from gnnkeras_tpu.parallel.data_parallel import DataParallelTrainer
+
+        dp = DataParallelTrainer(model, make_mesh(("data",), devices=jax.devices()[:n_dev]))
+        h = dp.fit(
+            cfg.build_sequencer(tr), epochs=epochs,
+            validation_data=cfg.build_sequencer(va, shuffle=False),
+            verbose=args.verbose, checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        )
+        return {k: v[-1] for k, v in h.history.items()}
+
+    from gnnkeras_tpu.graph.graph import GraphObject
+
+    if par == "partitioned":
+        from gnnkeras_tpu.parallel.partition import PartitionedGNN, partition_graph
+
+        merged = type(tr[0]).merge(list(tr), focus=cfg.focus, aggregation_mode=cfg.aggregation_mode)
+        pg = partition_graph(merged, n_dev, dense_blocks=True)
+        pgnn = PartitionedGNN(model, make_mesh(("graph",), devices=jax.devices()[:n_dev]))
+        h = pgnn.fit(pg, epochs=epochs, verbose=args.verbose,
+                     checkpoint_dir=args.checkpoint_dir, resume=args.resume)
+        return {k: v[-1] for k, v in h.items()}
+
+    if par == "packed":
+        from gnnkeras_tpu.parallel.packed import PackedPartitionedGNN, partition_packed
+
+        merged = type(tr[0]).merge(list(tr), focus="g", aggregation_mode=cfg.aggregation_mode)
+        stacked, _ = partition_packed(merged, n_dev)
+        pgnn = PackedPartitionedGNN(model, make_mesh(("graph",), devices=jax.devices()[:n_dev]))
+        h = pgnn.fit(stacked, epochs=epochs, verbose=args.verbose)
+        return {k: v[-1] for k, v in h.items()}
+
+    if par == "pipeline":
+        from gnnkeras_tpu.graph.batch import graphs_to_batch
+        from gnnkeras_tpu.parallel.pipeline import PipelineLGNN
+
+        pp = PipelineLGNN(model, make_mesh(("stage",), devices=jax.devices()[:n_dev]))
+        # two microbatches of uniform padded shape (GPipe needs >= 2 in flight)
+        n_pad = max(sum(g.nodes.shape[0] for g in tr[i::2]) for i in range(2))
+        a_pad = max(sum(g.arcs.shape[0] for g in tr[i::2]) for i in range(2))
+        mbs = [
+            graphs_to_batch(tr[i::2], cfg.focus, cfg.aggregation_mode,
+                            pad_nodes=-(-n_pad // 8) * 8, pad_arcs=-(-a_pad // 8) * 8)
+            for i in range(2)
+        ]
+        h = pp.fit([mbs], epochs=epochs, verbose=args.verbose)
+        return {k: v[-1] for k, v in h.items()}
+
+    if par == "expert":
+        from gnnkeras_tpu.parallel.expert import ExpertParallelCompositeGNN
+
+        ep = ExpertParallelCompositeGNN(model, make_mesh(("expert",), devices=jax.devices()[:n_dev]))
+        h = ep.fit(cfg.build_sequencer(tr), epochs=epochs, verbose=args.verbose)
+        return {k: v[-1] for k, v in h.items()}
+
+    raise SystemExit(f"unknown --parallel {par!r}")
+
+
 def cmd_train(args) -> int:
     cfg = _config(args)
+    if args.parallel is not None:
+        cfg.parallel = args.parallel
+    if args.parallel_devices is not None:
+        cfg.parallel_devices = args.parallel_devices
+    cfg.__post_init__()  # re-validate the CLI overrides
+    class_weight = None
+    if args.class_weight:
+        class_weight = {int(k): float(v) for k, v in json.loads(args.class_weight).items()}
     graphs = _load_dataset(args.dataset, verbose=args.verbose > 0)
     tr, te, va = _splits(graphs, cfg, args)
     node_dim, arc_dim, t_dim = _dims(graphs)
     model = cfg.build_model(node_dim, arc_dim, t_dim)
-    history = model.fit(
-        cfg.build_sequencer(tr),
-        epochs=cfg.epochs,
-        validation_data=cfg.build_sequencer(va, shuffle=False),
-        verbose=args.verbose,
-        checkpoint_dir=args.checkpoint_dir,
-        resume=args.resume,
-    )
+    if cfg.parallel != "none":
+        if class_weight is not None:
+            raise SystemExit("--class-weight is supported on the single-device path only")
+        final_train = _train_parallel(cfg.parallel, cfg, model, tr, va, args)
+    else:
+        history = model.fit(
+            cfg.build_sequencer(tr),
+            epochs=cfg.epochs,
+            validation_data=cfg.build_sequencer(va, shuffle=False),
+            verbose=args.verbose,
+            checkpoint_dir=args.checkpoint_dir,
+            resume=args.resume,
+            class_weight=class_weight,
+        )
+        final_train = {k: v[-1] for k, v in history.history.items()}
     logs = model.evaluate(cfg.build_sequencer(te, shuffle=False), verbose=args.verbose)
-    print(json.dumps({"test": logs, "final_train": {k: v[-1] for k, v in history.history.items()}}))
+    print(json.dumps({"test": logs, "final_train": final_train}))
     if args.save:
         model.save(args.save)
         print(f"saved model to {args.save}", file=sys.stderr)
@@ -192,6 +276,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--save", help="save the trained model to this directory")
     p.add_argument("--checkpoint-dir", help="resumable Orbax checkpoints")
     p.add_argument("--resume", action="store_true", help="resume from --checkpoint-dir")
+    p.add_argument("--parallel", default=None,
+                   choices=["none", "dp", "partitioned", "packed", "pipeline", "expert"],
+                   help="distributed engine (overrides config.parallel)")
+    p.add_argument("--parallel-devices", type=int, default=None,
+                   help="devices for --parallel (default: all visible)")
+    p.add_argument("--class-weight", default=None,
+                   help='JSON {class index: weight}, e.g. \'{"0": 2.0}\' (Keras fit semantics)')
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("evaluate", help="evaluate a saved model on the test split")

@@ -60,6 +60,14 @@ class GNNConfig:
     # (Recurrent BatchNorm; see models/gnn.py) — off = reference semantics
     per_iteration_bn: bool = False
 
+    # beyond-reference: distributed execution engine (parallel/ tier).
+    # none | dp (data parallel) | partitioned (range-sharded halo engine) |
+    # packed (molecule-granular, graph focus) | pipeline (GPipe over LGNN
+    # layers, needs layers>1 and dim_state>0) | expert (per-type experts,
+    # composite models)
+    parallel: str = "none"
+    parallel_devices: int = 0  # 0 = all visible devices
+
     def __post_init__(self):
         # ValueError, not assert: validation must survive ``python -O``
         if self.focus not in ("a", "n", "g"):
@@ -70,6 +78,17 @@ class GNNConfig:
             raise ValueError("dim_state, max_iter and state_threshold must be >= 0")
         if self.layers < 1:
             raise ValueError(f"layers must be >= 1, got {self.layers}")
+        if self.parallel not in ("none", "dp", "partitioned", "packed", "pipeline", "expert"):
+            raise ValueError(
+                f"bad parallel {self.parallel!r} "
+                "(none | dp | partitioned | packed | pipeline | expert)"
+            )
+        if self.parallel == "pipeline" and (self.layers < 2 or self.dim_state <= 0):
+            raise ValueError("parallel='pipeline' needs layers >= 2 and dim_state > 0")
+        if self.parallel == "packed" and self.focus != "g":
+            raise ValueError("parallel='packed' is graph-focused (focus='g') only")
+        if self.parallel_devices < 0:
+            raise ValueError("parallel_devices must be >= 0 (0 = all devices)")
 
     # -- persistence ---------------------------------------------------------
     def to_json(self) -> str:

@@ -221,6 +221,28 @@ def _reduce_logs(accum: list, prefix: str = "") -> dict:
     return out
 
 
+def _class_weight_vector(class_weight):
+    """dict {class index: weight} → dense lookup vector (missing classes
+    weight 1.0), the stock ``Model.fit(class_weight=...)`` convention the
+    reference inherits from Keras."""
+    from gnnkeras_tpu.utils.dtypes import floatx
+
+    n = max(int(k) for k in class_weight) + 1
+    vec = np.ones(n, dtype=floatx())
+    for k, v in class_weight.items():
+        vec[int(k)] = float(v)
+    return jnp.asarray(vec)
+
+
+def _apply_class_weight(batch, cw_vec):
+    """Scale each supervised row's sample weight by the weight of its TRUE
+    class (argmax of the one-hot target row).  Rows outside target_mask are
+    already excluded by the masked loss.  Composes multiplicatively with
+    per-graph sample_weight, as in Keras."""
+    cls = jnp.clip(jnp.argmax(batch.targets, axis=-1), 0, cw_vec.shape[0] - 1)
+    return batch.replace(sample_weight=batch.sample_weight * cw_vec[cls])
+
+
 def fit(
     model,
     sequencer,
@@ -233,8 +255,14 @@ def fit(
     checkpoint_every: int = 1,
     resume: bool = False,
     scan_batches: Optional[bool] = None,
+    class_weight: Optional[dict] = None,
 ):
     """Keras-like fit loop over a graph sequencer.  Returns a History.
+
+    ``class_weight`` ({class index: weight}) scales each supervised row's
+    TRAINING loss by the weight of its true class — the stock Keras ``fit``
+    behavior the reference gets for free (GNN models inherit keras.Model);
+    validation/evaluate are unaffected, as in Keras.
 
     With ``checkpoint_dir`` every ``checkpoint_every`` epochs a full resumable
     checkpoint (params + BN state + optimizer state + PRNG) is written;
@@ -264,6 +292,7 @@ def fit(
                 print(f"resumed from {checkpoint_dir} at epoch {start_epoch}")
         callbacks = list(callbacks or []) + [ckpt_cb]
 
+    cw_vec = _class_weight_vector(class_weight) if class_weight else None
     train_step = _get_train_step(model)
     history = History()
     cbs = [history] + list(callbacks or [])
@@ -277,6 +306,10 @@ def fit(
         batches = [sequencer[i] for i in range(len(sequencer))]
         stacked = _try_stack(batches, cache_host=sequencer) if scan_batches in (None, True) else None
         if stacked is not None:
+            if cw_vec is not None:
+                # applied AFTER stacking so the sequencer's cached stack stays
+                # weight-free (argmax over the trailing class axis broadcasts)
+                stacked = _apply_class_weight(stacked, cw_vec)
             rngs = jnp.stack([model.next_rng() for _ in batches])
             params, mstate, opt_state, logs = _get_epoch_step(model)(
                 params, mstate, opt_state, stacked, rngs
@@ -285,6 +318,8 @@ def fit(
         else:
             accum = []
             for batch in batches:
+                if cw_vec is not None:
+                    batch = _apply_class_weight(batch, cw_vec)
                 params, mstate, opt_state, logs = train_step(
                     params, mstate, opt_state, batch, model.next_rng()
                 )
