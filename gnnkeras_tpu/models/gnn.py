@@ -425,16 +425,24 @@ class GNNnodeBased(GraphModel):
     def _use_transposed(self, batch: GraphBatch) -> bool:
         if self.transposed is False:
             return False
+        has_strip = getattr(batch, "strip", None) is not None
+        has_bcsr = getattr(batch, "bcsr", None) is not None
         ok = (
-            getattr(batch, "strip", None) is not None
+            (has_strip or has_bcsr)
             and self.state_vect_dim == 0
             and batch.nodes.shape[1] > 0
         )
         if self.transposed and not ok:
             raise ValueError(
-                "transposed unfold requires a slot-packed batch (graph/batch.py "
-                "slot_pack) and dim_state == 0"
+                "transposed unfold requires a block operator (slot_pack strips "
+                "or dense_blocks BCSR) and dim_state == 0"
             )
+        if self.transposed is None:
+            # auto engages on slot-packed batches only (the measured-always-
+            # faster config); plain BCSR batches opt in with transposed=True
+            # (measured faster on the large banded workload,
+            # scripts/bench_large_graph.py, but not flipped by default)
+            return has_strip
         return ok
 
     def _unfold_transposed(
@@ -484,9 +492,13 @@ class GNNnodeBased(GraphModel):
             if aggregated_states is None:
                 from jax.ad_checkpoint import checkpoint_name
 
-                aggregated_states = checkpoint_name(
-                    strip_aggregate_t(state_t, batch.strip), "unfold_agg"
-                )[:d]
+                if batch.strip is not None:
+                    agg = strip_aggregate_t(state_t, batch.strip)
+                else:  # plain dense-block operator, feature-major einsum
+                    from gnnkeras_tpu.ops.bcsr import bcsr_aggregate_t
+
+                    agg = bcsr_aggregate_t(state_t, batch.bcsr)
+                aggregated_states = checkpoint_name(agg, "unfold_agg")[:d]
             inp = jnp.concatenate([state_t[:d], aggregated_states, agg_arcs_t], axis=0)
             new_state, new_bn = self.net_state.apply_t(
                 {"params": net_state_params, "state": bn_state},

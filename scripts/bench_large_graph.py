@@ -56,10 +56,12 @@ def build():
     return gnn, batch, n_arcs
 
 
-def main():
+def main(transposed=None):
     gnn, batch, n_arcs = build()
+    gnn.transposed = transposed
     print(f"graph: {N_NODES} nodes, {n_arcs} arcs, bcsr={'on' if batch.bcsr is not None else 'off'}"
-          + (f" B={batch.bcsr.blocks.shape[0]}" if batch.bcsr is not None else ""), flush=True)
+          + (f" B={batch.bcsr.blocks.shape[0]}" if batch.bcsr is not None else "")
+          + f" engine={'transposed' if transposed else 'row-major'}", flush=True)
 
     @jax.jit
     def forward_k(variables, batch):
@@ -166,6 +168,11 @@ def partitioned(dense_blocks: bool):
 
 
 if __name__ == "__main__":
+    import os as _os
+
     dt_plain = main()
-    dt_part = partitioned(dense_blocks=True)
-    print(f"partitioned-engine overhead vs plain: {dt_part / dt_plain:.2f}x")
+    dt_t = main(transposed=True)
+    print(f"transposed vs row-major: {dt_plain / dt_t:.2f}x faster")
+    if _os.environ.get("PARTITIONED", "1") != "0":
+        dt_part = partitioned(dense_blocks=True)
+        print(f"partitioned-engine overhead vs plain: {dt_part / dt_plain:.2f}x")

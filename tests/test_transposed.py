@@ -78,14 +78,20 @@ class TestEngineEquality:
             assert float(jnp.abs(l1 - l2).max()) / denom < 1e-3
 
     def test_row_major_batch_stays_row_major(self):
-        """Without a strip operator the dispatch must not engage."""
+        """Without a strip operator AUTO must not engage; transposed=True is
+        honored via the plain-BCSR feature-major path (TestTransposedOverBcsr)
+        and raises only when the batch carries no block operator at all."""
         graphs = load_mutag()[:50]
         batch = graphs_to_batch(graphs, "g", "average", tile_pack=True)
         gnn = build_model()
-        assert not gnn._use_transposed(batch)
+        assert not gnn._use_transposed(batch)  # auto: strip-only
+        gnn.transposed = True
+        assert gnn._use_transposed(batch)  # explicit opt-in → BCSR path
+        gnn.transposed = None
+        edge_batch = graphs_to_batch(graphs, "g", "average", dense_blocks=False)
         gnn.transposed = True
         with pytest.raises(ValueError):
-            gnn.unfold(gnn.variables, batch)
+            gnn.unfold(gnn.variables, edge_batch)
 
     def test_node_focus(self):
         from gnnkeras_tpu.graph.graph import GraphObject
@@ -141,3 +147,47 @@ class TestApplyT:
         x = jnp.asarray(np.random.default_rng(1).normal(size=(5, 7)).astype(np.float32))
         y, _ = mlp.apply_t(variables, x)
         np.testing.assert_allclose(np.asarray(jnp.sum(y, axis=0)), np.ones(7), rtol=1e-5)
+
+
+class TestTransposedOverBcsr:
+    """transposed=True engages the feature-major engine over plain BCSR
+    operators (no slot packing — single large graphs); auto stays strip-only."""
+
+    def test_bcsr_transposed_matches_row_major(self):
+        from gnnkeras_tpu.graph.batch import from_graph_object
+        from gnnkeras_tpu.graph.graph import GraphObject
+        from gnnkeras_tpu.models.gnn import GNNnodeBased
+        from gnnkeras_tpu.models.mlp import MLP, get_inout_dims
+
+        rng = np.random.default_rng(0)
+        n, a, dn, da, T = 300, 1400, 8, 2, 2
+        arcs = np.concatenate([rng.integers(0, n, (a, 2)), rng.normal(size=(a, da))], axis=1)
+        g = GraphObject(nodes=rng.normal(size=(n, dn)), arcs=arcs,
+                        targets=rng.normal(size=(n, T)), focus="n", aggregation_mode="average")
+        batch = from_graph_object(g)
+        assert batch.strip is None and batch.bcsr is not None
+        ins, ls = get_inout_dims("state", dn, da, T, "n", 0)
+        ino, lo = get_inout_dims("output", dn, da, T, "n", 0)
+        gnn = GNNnodeBased(MLP(input_dim=ins[0], layers=ls, activations="selu"),
+                           MLP(input_dim=ino[0], layers=lo, activations="softmax"), 0, 5, 0.01)
+        gnn.build(seed=0)
+        assert not gnn._use_transposed(batch)  # auto: strip-only
+        for training in (False, True):
+            k1, s1, _ = gnn.unfold(gnn.variables, batch, training=training)
+            gnn.transposed = True
+            k2, s2, _ = gnn.unfold(gnn.variables, batch, training=training)
+            gnn.transposed = None
+            assert float(k1) == float(k2)
+            np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=2e-4, atol=1e-5)
+
+        # backward path (autodiff through bcsr_aggregate_t)
+        def loss(p, transposed):
+            gnn.transposed = transposed
+            k, s, _ = gnn.unfold({"params": p, "state": gnn.variables["state"]}, batch, training=True)
+            gnn.transposed = None
+            return jnp.sum(s ** 2)
+
+        g1 = jax.grad(lambda p: loss(p, False))(gnn.variables["params"])
+        g2 = jax.grad(lambda p: loss(p, True))(gnn.variables["params"])
+        for x, y in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=2e-3, atol=2e-3)
