@@ -111,6 +111,10 @@ class CompositeGNNnodeBased(GNNnodeBased):
                 f"batch has {batch.num_types} node types but the model has "
                 f"{len(self.net_state)} per-type state nets"
             )
+        if self._use_transposed(batch):
+            return self._unfold_transposed(
+                variables, batch, training=training, rng=rng, axis_name=axis_name
+            )
         n = batch.num_nodes
         n_types = len(self.net_state)
         aggregated_component = self._aggregated_component(batch)
@@ -174,6 +178,95 @@ class CompositeGNNnodeBased(GNNnodeBased):
             self, batch, state0, state_old0, bn0, step_rngs, training, transition,
             peel_agg=peel_agg, predicate=_mesh_predicate(axis_name),
         )
+
+    def _unfold_transposed(
+        self,
+        variables: dict,
+        batch: GraphBatch,
+        *,
+        training: bool = False,
+        rng: Optional[jax.Array] = None,
+        axis_name: Optional[str] = None,
+    ) -> Tuple[jax.Array, jax.Array, list]:
+        """The composite unfolding with state carried feature-major (sd_pad, N):
+        the per-type transition MLPs run via ``apply_t`` (type rows = lanes,
+        BatchNorm statistics still restricted per type) over inputs stacked on
+        the sublane axis in the reference's concat order
+        ([nodes[:, :d_t] | state | Σstate | component], CompositeGNN.py:224),
+        and the shared un-gated aggregation (CompositeGNN.py:219) runs through
+        the Pallas strip / feature-major BCSR operator with no relayout.  Same
+        semantics as the row-major ``unfold`` up to f32 reduction order; at
+        dim_state>0 the random init is drawn in row order and transposed so
+        both engines consume identical randomness."""
+        from gnnkeras_tpu.models.gnn import _mesh_predicate, aggregate_t, run_unfold_loops
+
+        n = batch.num_nodes
+        d = batch.nodes.shape[1]
+        ds = self.state_vect_dim
+        sd = ds if ds > 0 else d
+        sd_pad = -(-sd // 8) * 8
+        n_types = len(self.net_state)
+        comp_t = self._aggregated_component(batch).T  # batch-constant
+        labels_t = batch.nodes.T
+
+        if ds > 0:
+            if rng is None:
+                raise ValueError("state_vect_dim > 0 requires an rng for the random state init")
+            state0_rm = STATE_INIT_STDDEV * jax.random.normal(rng, (n, ds), dtype=floatx())
+            state0 = jnp.pad(state0_rm.T, ((0, sd_pad - ds), (0, 0)))
+        else:
+            state0 = jnp.pad(labels_t, ((0, sd_pad - d), (0, 0)))
+        # pad rows of old-state are ZERO so threshold>0 norms see exactly the
+        # row-major engine's sums
+        state_old0 = jnp.pad(jnp.ones((sd, n), floatx()), ((0, sd_pad - sd), (0, 0)))
+
+        net_state_params = variables["params"]["net_state"]
+        bn0 = variables["state"]["net_state"]
+        n_steps = max(self.max_iteration, 1)
+        key_shape = jax.random.PRNGKey(0).shape
+        if rng is not None:
+            step_rngs = jax.random.split(rng, n_steps * n_types).reshape(
+                (n_steps, n_types) + key_shape
+            )
+        else:
+            step_rngs = jnp.zeros((n_steps, n_types) + key_shape, dtype=jax.random.PRNGKey(0).dtype)
+
+        type_cols = [batch.type_mask[:, t] for t in range(n_types)]
+
+        def transition(state_t, bn_states, rngs_t, aggregated_states=None):
+            if aggregated_states is None:
+                aggregated_states = aggregate_t(state_t, batch, sd)
+            new_state = jnp.zeros((sd, n), dtype=floatx())
+            new_bns = []
+            for t, (net, d_t) in enumerate(zip(self.net_state, batch.dim_node_label)):
+                inp = jnp.concatenate(
+                    [labels_t[:d_t], state_t[:sd], aggregated_states, comp_t], axis=0
+                )
+                mask_t = jnp.logical_and(type_cols[t], batch.node_mask)
+                out_t, bn_t = net.apply_t(
+                    {"params": net_state_params[t], "state": bn_states[t]},
+                    inp,
+                    training=training,
+                    mask=mask_t,
+                    rng=rngs_t[t] if rng is not None else None,
+                    axis_name=axis_name,
+                )
+                new_state = new_state + jnp.where(mask_t[None, :], out_t, 0.0)
+                new_bns.append(bn_t)
+            if sd_pad != sd:
+                new_state = jnp.pad(new_state, ((0, sd_pad - sd), (0, 0)))
+            return new_state, new_bns
+
+        peel_agg = (
+            batch.agg_node_labels.T
+            if ds == 0 and batch.agg_node_labels is not None
+            else None
+        )
+        k, state_t, bn_final = run_unfold_loops(
+            self, batch, state0, state_old0, bn0, step_rngs, training, transition,
+            peel_agg=peel_agg, feature_axis=0, predicate=_mesh_predicate(axis_name),
+        )
+        return k, state_t[:sd].T, bn_final
 
     def fold_transition(self, variables: dict):
         """Composite state nets are per-type MLP lists — the single-Dense

@@ -76,6 +76,25 @@ def _select_tree(pred: jax.Array, on_true, on_false):
     return jax.tree_util.tree_map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
 
 
+def aggregate_t(state_t: jax.Array, batch: GraphBatch, sd: int) -> jax.Array:
+    """Feature-major ``Adjᵀ·state`` on (sd_pad, N) state through the batch's
+    block operator (compact strips when present, else dense-block BCSR),
+    named 'unfold_agg' for the agg-save remat policy; sliced back to the real
+    feature count.  Shared by the homogeneous and composite transposed
+    engines so the operator dispatch cannot drift."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    if batch.strip is not None:
+        from gnnkeras_tpu.ops.strip import strip_aggregate_t
+
+        agg = strip_aggregate_t(state_t, batch.strip)
+    else:
+        from gnnkeras_tpu.ops.bcsr import bcsr_aggregate_t
+
+        agg = bcsr_aggregate_t(state_t, batch.bcsr)
+    return checkpoint_name(agg, "unfold_agg")[:sd]
+
+
 def _mesh_predicate(axis_name: Optional[str]):
     """``unconverged`` lifted over a named mesh axis: the pmax'd flag makes
     every device agree on the trip count, exactly as a single chip running
@@ -285,7 +304,7 @@ class GNNnodeBased(GraphModel):
         # graphs.
         self.remat = None
         # transposed (feature-major) unfold engine: None = auto (on when the
-        # batch carries a compact-strip operator and dim_state == 0), False =
+        # batch carries a compact-strip operator; any dim_state), False =
         # force row-major, True = require (raise when inapplicable).
         self.transposed = None
 
@@ -366,10 +385,12 @@ class GNNnodeBased(GraphModel):
         batch (parallel/partition.py PackedPartitionedGNN).
 
         When the batch carries a compact-strip operator (slot-packed batches,
-        graph/batch.py ``slot_pack``) and ``dim_state == 0``, the loop runs
-        the TRANSPOSED engine — state carried feature-major so the Pallas
-        strip aggregation never relayouts — and transposes back before
-        returning; semantics are identical up to f32 reduction order.  Set
+        graph/batch.py ``slot_pack``), the loop runs the TRANSPOSED engine —
+        state carried feature-major so the Pallas strip aggregation never
+        relayouts — and transposes back before returning; semantics are
+        identical up to f32 reduction order (any ``dim_state``; at
+        dim_state>0 the random init is drawn in row order and transposed, so
+        both engines consume identical randomness).  Set
         ``self.transposed = False`` to force the row-major engine.
         """
         if self._use_transposed(batch):
@@ -427,15 +448,13 @@ class GNNnodeBased(GraphModel):
             return False
         has_strip = getattr(batch, "strip", None) is not None
         has_bcsr = getattr(batch, "bcsr", None) is not None
-        ok = (
-            (has_strip or has_bcsr)
-            and self.state_vect_dim == 0
-            and batch.nodes.shape[1] > 0
+        ok = (has_strip or has_bcsr) and (
+            self.state_vect_dim > 0 or batch.nodes.shape[1] > 0
         )
         if self.transposed and not ok:
             raise ValueError(
                 "transposed unfold requires a block operator (slot_pack strips "
-                "or dense_blocks BCSR) and dim_state == 0"
+                "or dense_blocks BCSR)"
             )
         if self.transposed is None:
             # auto engages on slot-packed batches only (the measured-always-
@@ -462,21 +481,40 @@ class GNNnodeBased(GraphModel):
         labels → state₀) and one at exit (before the readout).  Same
         reference semantics as ``unfold`` (GNN.py:217-236,254-259);
         activations match the row-major engine up to f32 reduction order."""
-        from gnnkeras_tpu.ops.strip import strip_aggregate_t
-
         n = batch.num_nodes
         d = batch.nodes.shape[1]
-        d_pad = -(-d // 8) * 8
+        ds = self.state_vect_dim
+        sd = ds if ds > 0 else d  # the state's feature count
+        sd_pad = -(-sd // 8) * 8
         if batch.agg_arc_labels is not None:
             agg_arcs_t = batch.agg_arc_labels.T
         else:
             agg_arcs_t = aggregate_edges(
                 batch.arc_label, batch.arc_dst, batch.arcnode_weight, n
             ).T
-        state0 = jnp.pad(batch.nodes.T, ((0, d_pad - d), (0, 0)))
+        if ds > 0:
+            # same draw as the row-major _initial_state (N(0, 0.1²) in (n, ds)
+            # row order, reference GNN.py:256-259), transposed once at entry
+            if rng is None:
+                raise ValueError("state_vect_dim > 0 requires an rng for the random state init")
+            state0_rm = STATE_INIT_STDDEV * jax.random.normal(rng, (n, ds), dtype=floatx())
+            state0 = jnp.pad(state0_rm.T, ((0, sd_pad - ds), (0, 0)))
+            # batch constants of the dim_state>0 transition input
+            # (_transition_input: [state | labels | Σstate | Σlabels | Σarcs])
+            labels_t = batch.nodes.T
+            agg_nodes = (
+                batch.agg_node_labels
+                if batch.agg_node_labels is not None
+                else batch.aggregate(batch.nodes)
+            )
+            agg_nodes_t = agg_nodes.T
+        else:
+            state0 = jnp.pad(batch.nodes.T, ((0, sd_pad - d), (0, 0)))
+            labels_t = None
+            agg_nodes_t = None
         # pad rows of old-state are ZERO (not one) so threshold>0 norms see
         # exactly the row-major engine's sums
-        state_old0 = jnp.pad(jnp.ones((d, n), floatx()), ((0, d_pad - d), (0, 0)))
+        state_old0 = jnp.pad(jnp.ones((sd, n), floatx()), ((0, sd_pad - sd), (0, 0)))
 
         net_state_params = variables["params"]["net_state"]
         bn0 = variables["state"]["net_state"]
@@ -490,16 +528,14 @@ class GNNnodeBased(GraphModel):
 
         def transition(state_t, bn_state, step_rng, aggregated_states=None):
             if aggregated_states is None:
-                from jax.ad_checkpoint import checkpoint_name
-
-                if batch.strip is not None:
-                    agg = strip_aggregate_t(state_t, batch.strip)
-                else:  # plain dense-block operator, feature-major einsum
-                    from gnnkeras_tpu.ops.bcsr import bcsr_aggregate_t
-
-                    agg = bcsr_aggregate_t(state_t, batch.bcsr)
-                aggregated_states = checkpoint_name(agg, "unfold_agg")[:d]
-            inp = jnp.concatenate([state_t[:d], aggregated_states, agg_arcs_t], axis=0)
+                aggregated_states = aggregate_t(state_t, batch, sd)
+            if ds > 0:
+                inp = jnp.concatenate(
+                    [state_t[:sd], labels_t, aggregated_states, agg_nodes_t, agg_arcs_t],
+                    axis=0,
+                )
+            else:
+                inp = jnp.concatenate([state_t[:sd], aggregated_states, agg_arcs_t], axis=0)
             new_state, new_bn = self.net_state.apply_t(
                 {"params": net_state_params, "state": bn_state},
                 inp,
@@ -508,16 +544,20 @@ class GNNnodeBased(GraphModel):
                 rng=step_rng if rng is not None else None,
                 axis_name=axis_name,
             )
-            if d_pad != d:
-                new_state = jnp.pad(new_state, ((0, d_pad - d), (0, 0)))
+            if sd_pad != sd:
+                new_state = jnp.pad(new_state, ((0, sd_pad - sd), (0, 0)))
             return new_state, new_bn
 
-        peel_agg = batch.agg_node_labels.T if batch.agg_node_labels is not None else None
+        peel_agg = (
+            batch.agg_node_labels.T
+            if ds == 0 and batch.agg_node_labels is not None
+            else None
+        )
         k, state_t, bn_final = run_unfold_loops(
             self, batch, state0, state_old0, bn0, step_rngs, training, transition,
             peel_agg=peel_agg, feature_axis=0, predicate=_mesh_predicate(axis_name),
         )
-        return k, state_t[:d].T, bn_final
+        return k, state_t[:sd].T, bn_final
 
     # -- fused whole-unfold fast path (ops/fused.py) ----------------------------
     def fold_transition(self, variables: dict):

@@ -122,6 +122,160 @@ class TestEngineEquality:
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-5)
 
 
+class TestDimStateTransposed:
+    """dim_state>0 through the transposed engine: random state init drawn in
+    row order and transposed, the wider transition input ([state | labels |
+    Σstate | Σlabels | Σarcs], GNN/Models/GNN.py:221-231) stacked
+    feature-major — both engines consume identical randomness and must agree."""
+
+    def build(self, ds=10, threshold=0.01, per_iteration_bn=False):
+        inp_s, layers_s = get_inout_dims("state", 14, 3, 2, "g", ds)
+        inp_o, layers_o = get_inout_dims("output", 14, 3, 2, "g", ds)
+        net_st = MLP(input_dim=inp_s[0], layers=layers_s, activations="selu",
+                     kernel_initializer="lecun_normal", bias_initializer="lecun_normal")
+        net_out = MLP(input_dim=inp_o[0], layers=layers_o, activations="softmax",
+                      kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+        gnn = GNNgraphBased(net_st, net_out, ds, 5, threshold,
+                            per_iteration_bn=per_iteration_bn)
+        gnn.build(seed=3)
+        return gnn
+
+    @pytest.mark.parametrize("training", [False, True])
+    @pytest.mark.parametrize("threshold", [0.0, 0.01])
+    def test_unfold_matches_row_major(self, slot_batch, training, threshold):
+        gnn = self.build(threshold=threshold)
+        rng = jax.random.PRNGKey(42)
+        gnn.transposed = False
+        k1, s1, bn1 = gnn.unfold(gnn.variables, slot_batch, training=training, rng=rng)
+        gnn.transposed = True
+        k2, s2, bn2 = gnn.unfold(gnn.variables, slot_batch, training=training, rng=rng)
+        assert float(k1) == float(k2)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(bn1), jax.tree_util.tree_leaves(bn2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+    def test_requires_rng(self, slot_batch):
+        gnn = self.build()
+        gnn.transposed = True
+        with pytest.raises(ValueError, match="rng"):
+            gnn.unfold(gnn.variables, slot_batch, training=False, rng=None)
+
+    def test_gradients_match(self, slot_batch):
+        gnn = self.build()
+        rng = jax.random.PRNGKey(7)
+
+        def loss_fn(params, transposed):
+            gnn.transposed = transposed
+            variables = {"params": params, "state": gnn.variables["state"]}
+            _, _, out, mask, _ = gnn.forward(variables, slot_batch, training=True, rng=rng)
+            return jnp.sum(
+                jnp.where(slot_batch.target_mask[:, None], (out - slot_batch.targets) ** 2, 0.0)
+            )
+
+        g1 = jax.grad(loss_fn)(gnn.variables["params"], False)
+        g2 = jax.grad(loss_fn)(gnn.variables["params"], True)
+        for l1, l2 in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+            denom = float(jnp.abs(l1).max()) + 1e-12
+            assert float(jnp.abs(l1 - l2).max()) / denom < 2e-3
+
+
+class TestCompositeTransposed:
+    """Composite (per-type state nets) through the feature-major engine —
+    both the plain-BCSR opt-in and the slot-packed strip auto path must match
+    the row-major composite unfold (CompositeGNN.py:215-234 semantics)."""
+
+    def _multi_type(self):
+        from gnnkeras_tpu.graph.batch import from_graph_object
+        from gnnkeras_tpu.graph.graph import CompositeGraphObject
+        from gnnkeras_tpu.models.composite import CompositeGNNnodeBased
+
+        rng = np.random.default_rng(5)
+        n, a, n_types, ds = 80, 320, 3, 6
+        dims = (4, 3, 5)
+        nodes = rng.normal(size=(n, max(dims)))
+        arcs = np.concatenate([rng.integers(0, n, (a, 2)), rng.normal(size=(a, 2))], axis=1)
+        tm = np.zeros((n, n_types), dtype=bool)
+        tm[np.arange(n), rng.integers(0, n_types, n)] = True
+        g = CompositeGraphObject(
+            nodes=nodes, arcs=arcs, targets=rng.normal(size=(n, 2)), type_mask=tm,
+            dim_node_label=dims, focus="n", aggregation_mode="composite_average",
+        )
+        batch = from_graph_object(g)
+        inp_s, layers_s = get_inout_dims(
+            "state", dims, g.DIM_ARC_LABEL, g.DIM_TARGET, "n", ds
+        )
+        nets = [MLP(input_dim=shape, layers=layers_s, activations="selu",
+                    kernel_initializer="lecun_normal", bias_initializer="lecun_normal")
+                for shape in inp_s]
+        ot = MLP(input_dim=(ds,), layers=[2], activations="softmax",
+                 kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+        cgnn = CompositeGNNnodeBased(nets, ot, ds, 4, 0.01)
+        cgnn.build(seed=11)
+        return cgnn, batch
+
+    @pytest.mark.parametrize("training", [False, True])
+    def test_multi_type_bcsr_matches_row_major(self, training):
+        cgnn, batch = self._multi_type()
+        assert batch.bcsr is not None and batch.strip is None
+        assert not cgnn._use_transposed(batch)  # auto: strip-only
+        rng = jax.random.PRNGKey(9)
+        k1, s1, bn1 = cgnn.unfold(cgnn.variables, batch, training=training, rng=rng)
+        cgnn.transposed = True
+        k2, s2, bn2 = cgnn.unfold(cgnn.variables, batch, training=training, rng=rng)
+        cgnn.transposed = None
+        assert float(k1) == float(k2)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=2e-4, atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(bn1), jax.tree_util.tree_leaves(bn2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+
+    def test_multi_type_gradients_match(self):
+        cgnn, batch = self._multi_type()
+        rng = jax.random.PRNGKey(13)
+
+        def loss_fn(params, transposed):
+            cgnn.transposed = transposed
+            k, s, _ = cgnn.unfold(
+                {"params": params, "state": cgnn.variables["state"]},
+                batch, training=True, rng=rng,
+            )
+            cgnn.transposed = None
+            return jnp.sum(jnp.where(batch.node_mask[:, None], s, 0.0) ** 2)
+
+        g1 = jax.grad(lambda p: loss_fn(p, False))(cgnn.variables["params"])
+        g2 = jax.grad(lambda p: loss_fn(p, True))(cgnn.variables["params"])
+        for l1, l2 in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+            denom = float(jnp.abs(l1).max()) + 1e-12
+            assert float(jnp.abs(l1 - l2).max()) / denom < 2e-3
+
+    def test_mutag_composite_strip_auto(self):
+        """Slot-packed composite MUTAG batch: AUTO engages the transposed
+        engine (strip present) and matches the forced row-major result in the
+        starter_composite config family (1 type, dim_state=10)."""
+        from gnnkeras_tpu.data.mutag import load_mutag
+        from gnnkeras_tpu.models.composite import CompositeGNNgraphBased
+
+        graphs = load_mutag(composite=True)[:200]
+        batch = graphs_to_batch(graphs, "g", "average", slot_pack=32)
+        assert batch.strip is not None and batch.type_mask is not None
+        ds = 10
+        inp_s, layers_s = get_inout_dims("state", (14,), 3, 2, "g", ds)
+        nets = [MLP(input_dim=inp_s[0], layers=layers_s, activations="selu",
+                    kernel_initializer="lecun_normal", bias_initializer="lecun_normal")]
+        ot = MLP(input_dim=(ds,), layers=[2], activations="softmax",
+                 kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+        cgnn = CompositeGNNgraphBased(nets, ot, ds, 5, 0.01)
+        cgnn.build(seed=2)
+        assert cgnn._use_transposed(batch)
+        rng = jax.random.PRNGKey(3)
+        k2, s2, bn2 = cgnn.unfold(cgnn.variables, batch, training=True, rng=rng)
+        cgnn.transposed = False
+        k1, s1, bn1 = cgnn.unfold(cgnn.variables, batch, training=True, rng=rng)
+        assert float(k1) == float(k2)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=2e-4, atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(bn1), jax.tree_util.tree_leaves(bn2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+
+
 class TestApplyT:
     """MLP.apply_t == MLP.apply with the axes swapped."""
 
@@ -191,3 +345,87 @@ class TestTransposedOverBcsr:
         g2 = jax.grad(lambda p: loss(p, True))(gnn.variables["params"])
         for x, y in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
             np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=2e-3, atol=2e-3)
+
+
+class TestSlotPackedSequencer:
+    """MultiGraphSequencer(slot_pack=128): the standard fit surface builds
+    strip-operator batches so training runs the transposed engine — with
+    uniform pytrees across batches (residual padded to the identity operator
+    where a merge produced no cross-tile edges)."""
+
+    def _graphs(self, n_graphs=24, big_every=0, seed=11):
+        from gnnkeras_tpu.graph.graph import GraphObject
+
+        rng = np.random.default_rng(seed)
+        graphs = []
+        for i in range(n_graphs):
+            n = 200 if (big_every and i % big_every == 0) else int(rng.integers(8, 40))
+            a = int(rng.integers(n, 3 * n))
+            arcs = np.concatenate([rng.integers(0, n, (a, 2)), rng.normal(size=(a, 3))], axis=1)
+            t = np.zeros((1, 2)); t[0, i % 2] = 1
+            graphs.append(GraphObject(nodes=rng.normal(size=(n, 14)), arcs=arcs,
+                                      targets=t, focus="g", aggregation_mode="average"))
+        return graphs
+
+    def test_batches_carry_strip_uniformly(self):
+        from gnnkeras_tpu.data.sequencers import MultiGraphSequencer
+
+        # every 6th graph has 200 nodes → spans tiles → some merges carry a
+        # cross-tile residual, others don't; structure must still be uniform
+        seq = MultiGraphSequencer(self._graphs(24, big_every=6), "g", "average",
+                                  batch_size=6, shuffle=False, slot_pack=128,
+                                  strip_dtype="float32")
+        tds = {jax.tree_util.tree_structure(b) for b in seq.batches}
+        assert len(tds) == 1
+        for b in seq.batches:
+            assert b.strip is not None and b.compact_readout is not None
+            assert b.strip.residual is not None  # padded-uniform (some real)
+
+    def test_fit_matches_row_major(self):
+        """One epoch through the slot-packed sequencer (transposed engine)
+        reaches the same parameters as the forced row-major engine on the
+        SAME batches — the engine swap is semantics-free end-to-end."""
+        from gnnkeras_tpu.data.sequencers import MultiGraphSequencer
+
+        graphs = self._graphs(18, big_every=5, seed=12)
+
+        def run(force_row_major):
+            gnn = build_model(threshold=0.01)
+            gnn.compile(optimizer="sgd:0.1", loss="categorical_crossentropy")
+            if force_row_major:
+                gnn.transposed = False
+            seq = MultiGraphSequencer(graphs, "g", "average", batch_size=6,
+                                      shuffle=False, slot_pack=128,
+                                      strip_dtype="float32")
+            gnn.fit(seq, epochs=1, verbose=0, seed=5)
+            return gnn.variables["params"]
+
+        p_t = run(False)
+        p_r = run(True)
+        for a, b in zip(jax.tree_util.tree_leaves(p_t), jax.tree_util.tree_leaves(p_r)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+    def test_rejects_sub128_slots(self):
+        from gnnkeras_tpu.data.sequencers import MultiGraphSequencer
+
+        with pytest.raises(ValueError, match="slot_pack=128"):
+            MultiGraphSequencer(self._graphs(6), "g", "average", batch_size=3,
+                                slot_pack=64)
+
+    def test_epoch_rebuild_keeps_structure(self):
+        """Shuffled epoch rebuilds keep all batches of ONE epoch on a single
+        treedef, with the residual latched present — pads are monotonic, so
+        a rebuild may grow the tile count (one recompile, the documented
+        sequencer behavior) but never flips residual presence back."""
+        from gnnkeras_tpu.data.sequencers import MultiGraphSequencer
+
+        seq = MultiGraphSequencer(self._graphs(24, big_every=6), "g", "average",
+                                  batch_size=6, shuffle=True, slot_pack=128,
+                                  strip_dtype="float32")
+        np.random.seed(0)
+        for _ in range(3):
+            seq.on_epoch_end()
+            tds = {jax.tree_util.tree_structure(seq[i]) for i in range(len(seq))}
+            assert len(tds) == 1
+            for i in range(len(seq)):
+                assert seq[i].strip.residual is not None
