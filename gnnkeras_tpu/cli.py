@@ -131,11 +131,16 @@ def _train_parallel(par, cfg, model, tr, va, args):
         return {k: v[-1] for k, v in h.items()}
 
     if par == "packed":
-        from gnnkeras_tpu.parallel.packed import PackedPartitionedGNN, partition_packed
+        from gnnkeras_tpu.parallel.packed import (
+            PackedPartitionedGNN,
+            PackedPartitionedLGNN,
+            partition_packed,
+        )
 
         merged = type(tr[0]).merge(list(tr), focus="g", aggregation_mode=cfg.aggregation_mode)
         stacked, _ = partition_packed(merged, n_dev)
-        pgnn = PackedPartitionedGNN(model, make_mesh(("graph",), devices=jax.devices()[:n_dev]))
+        wrapper = PackedPartitionedLGNN if hasattr(model, "gnns") else PackedPartitionedGNN
+        pgnn = wrapper(model, make_mesh(("graph",), devices=jax.devices()[:n_dev]))
         h = pgnn.fit(stacked, epochs=epochs, verbose=args.verbose)
         return {k: v[-1] for k, v in h.items()}
 

@@ -87,6 +87,12 @@ class GNNConfig:
             raise ValueError("parallel='pipeline' needs layers >= 2 and dim_state > 0")
         if self.parallel == "packed" and self.focus != "g":
             raise ValueError("parallel='packed' is graph-focused (focus='g') only")
+        if self.parallel == "packed" and self.layers > 1 and self.training_mode == "serial":
+            raise ValueError(
+                "parallel='packed' with an LGNN stack needs training_mode "
+                "'parallel' or 'residual' (serial is the reference's outer "
+                "per-layer orchestration, LGNN.py:290-359)"
+            )
         if self.parallel_devices < 0:
             raise ValueError("parallel_devices must be >= 0 (0 = all devices)")
 

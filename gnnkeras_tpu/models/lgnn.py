@@ -145,12 +145,16 @@ class LGNN(GraphModel):
         *,
         training: bool = False,
         rng: Optional[jax.Array] = None,
+        axis_name: Optional[str] = None,
     ) -> Tuple[list, list, list, jax.Array, dict]:
         """Run all layers (reference LGNN.Loop, LGNN.py:217-249).
 
         Returns (ks, states, outs, out_mask, new_model_state); ``outs`` holds
         one output per layer (graph-level for graph focus), ``out_mask`` the
-        loss row mask shared by all layers."""
+        loss row mask shared by all layers.  ``axis_name`` threads into every
+        layer's unfold/output nets (BatchNorm moments psum'd, convergence
+        predicate pmax'd) so a device-sharded batch behaves exactly like the
+        merged single-chip batch (parallel/packed.py)."""
         batch0 = batch
         cur = batch
         ks, states, outs, new_states = [], [], [], []
@@ -163,12 +167,16 @@ class LGNN(GraphModel):
                 rng_loop = rng_out = None
             last = idx == self.LAYERS - 1
             if last:
-                k, state, out, out_mask, st_new = gnn.forward(vars_i, cur, training=training, rng=rng_loop)
+                k, state, out, out_mask, st_new = gnn.forward(
+                    vars_i, cur, training=training, rng=rng_loop, axis_name=axis_name
+                )
                 outs.append(out)
             else:
-                k, state, bn_state = gnn.unfold(vars_i, cur, training=training, rng=rng_loop)
+                k, state, bn_state = gnn.unfold(
+                    vars_i, cur, training=training, rng=rng_loop, axis_name=axis_name
+                )
                 out, row_mask, bn_out = gnn.node_level_output(
-                    vars_i, state, cur, training=training, rng=rng_out
+                    vars_i, state, cur, training=training, rng=rng_out, axis_name=axis_name
                 )
                 st_new = {"net_state": bn_state, "net_output": bn_out}
                 if self._is_graph:

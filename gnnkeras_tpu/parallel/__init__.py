@@ -9,6 +9,7 @@ from gnnkeras_tpu.parallel.data_parallel import (
 from gnnkeras_tpu.parallel.partition import partition_graph, PartitionedGraph, PartitionedGNN
 from gnnkeras_tpu.parallel.packed import (
     PackedPartitionedGNN,
+    PackedPartitionedLGNN,
     partition_packed,
     split_merged_by_graph,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "partition_graph",
     "partition_packed",
     "PackedPartitionedGNN",
+    "PackedPartitionedLGNN",
     "split_merged_by_graph",
     "PartitionedGraph",
     "PartitionedGNN",

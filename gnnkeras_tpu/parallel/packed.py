@@ -62,7 +62,9 @@ def split_merged_by_graph(g: GraphObject, graph_ids: np.ndarray) -> GraphObject:
     arcs, per-graph targets), with graph ids relabeled 0..len(ids)-1.
     Node relative order (and hence within-graph arc structure) is preserved;
     ``arcnode_weight`` values are identical because every weight is a
-    function of within-graph structure only (disjoint union)."""
+    function of within-graph structure only (disjoint union).  Composite
+    merged batches keep their node-type structure (type_mask rows travel
+    with the selected nodes; per-type label dims are global)."""
     if g.focus != "g":
         raise ValueError("split_merged_by_graph is for merged graph-focused batches")
     graph_ids = np.asarray(graph_ids, dtype=np.int64)
@@ -77,7 +79,7 @@ def split_merged_by_graph(g: GraphObject, graph_ids: np.ndarray) -> GraphObject:
     arcs[:, 0] = node_new[arcs[:, 0].astype(np.int64)]
     arcs[:, 1] = node_new[arcs[:, 1].astype(np.int64)]
 
-    sub = GraphObject(
+    kwargs = dict(
         nodes=g.nodes[node_sel],
         arcs=arcs,
         targets=g.targets[graph_ids],
@@ -88,7 +90,15 @@ def split_merged_by_graph(g: GraphObject, graph_ids: np.ndarray) -> GraphObject:
         NodeGraph=(gid_new[g.graph_of_node[node_sel]], g.nodegraph_weight[node_sel]),
         aggregation_mode=g.aggregation_mode,
     )
-    return sub
+    if getattr(g, "type_mask", None) is not None:
+        from gnnkeras_tpu.graph.graph import CompositeGraphObject
+
+        return CompositeGraphObject(
+            type_mask=g.type_mask[node_sel],
+            dim_node_label=tuple(int(d) for d in g.DIM_NODE_LABEL),
+            **kwargs,
+        )
+    return GraphObject(**kwargs)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -183,7 +193,10 @@ class PackedPartitionedGNN:
         from gnnkeras_tpu.parallel.mesh import make_mesh
 
         if hasattr(gnn, "gnns"):
-            raise ValueError("PackedPartitionedGNN wraps single GNN models (not LGNN stacks)")
+            raise ValueError(
+                "PackedPartitionedGNN wraps single GNN models — use "
+                "PackedPartitionedLGNN for layered stacks"
+            )
         self.gnn = gnn
         self.axis = axis
         self.mesh = mesh if mesh is not None else make_mesh((axis,))
@@ -265,7 +278,9 @@ class PackedPartitionedGNN:
                 grads = gnn.scale_state_grads(grads, k)
             updates, opt_state = gnn.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, new_mstate, opt_state, {"loss": loss, "k": k}
+            # LGNN stacks carry one trip count per layer — log the mean
+            # (identity for the single-model scalar)
+            return params, new_mstate, opt_state, {"loss": loss, "k": jnp.mean(jnp.asarray(k))}
 
         sharded = shard_map(
             device_step,
@@ -345,7 +360,8 @@ class PackedPartitionedGNN:
 
     def evaluate(self, batch, meta: Optional[PackedPartitionMeta] = None):
         """Loss + compiled-metric logs over the packed partition (inference
-        mode), matching trainer.evaluate's dict shape."""
+        mode), matching trainer.evaluate's dict shape.  LGNN stacks
+        (PackedPartitionedLGNN) score the last layer only (LGNN.py:167)."""
         gnn = self.gnn
         if gnn.loss is None:
             raise RuntimeError("call compile() before evaluate()")
@@ -369,3 +385,100 @@ class PackedPartitionedGNN:
             s_, c_ = fn(jnp.asarray(y), jnp.asarray(y_pred), jnp.asarray(ones), jnp.asarray(sw))
             logs[name] = float(s_) / max(float(c_), 1.0)
         return logs
+
+class PackedPartitionedLGNN(PackedPartitionedGNN):
+    """LGNN / CompositeLGNN stacks over a ``partition_packed`` batch.
+
+    Each device runs the UNMODIFIED layered forward (per-layer unfolding +
+    ``update_graph`` feature propagation, reference LGNN.py:217-249) on its
+    whole-molecule shard — feature propagation is node-local, so packing
+    keeps the zero-halo property layer by layer.  Cross-device traffic stays
+    the three psum families (per-layer BatchNorm moments, per-layer
+    convergence predicates, the loss sums).
+
+    Training modes follow the reference (LGNN.py:261-263): 'parallel' = mean
+    of per-layer masked losses, 'residual' = loss of the mean layer output —
+    each masked mean formed from psum'd sums so it equals the merged
+    single-chip objective exactly.  'serial' is the reference's OUTER
+    orchestration (per-layer standalone fits + host-side feature baking,
+    LGNN.py:290-359) — it is not a sharded program; wrap each layer's fit in
+    its own packed engine via ``training.serial.fit_serial`` instead.
+    Evaluation scores the last layer only (LGNN.py:167).
+    """
+
+    def __init__(self, lgnn, mesh, axis: str = "graph"):
+        from gnnkeras_tpu.parallel.mesh import make_mesh
+
+        if not hasattr(lgnn, "gnns"):
+            raise ValueError(
+                "PackedPartitionedLGNN wraps LGNN stacks — use "
+                "PackedPartitionedGNN for single models"
+            )
+        self.gnn = lgnn
+        self.axis = axis
+        self.mesh = mesh if mesh is not None else make_mesh((axis,))
+        self.n_devices = self.mesh.shape[axis]
+        self._cache = {}
+
+    def _check_mode(self) -> str:
+        mode = getattr(self.gnn, "training_mode", "parallel")
+        if mode == "serial":
+            raise ValueError(
+                "serial training is the reference's outer per-layer orchestration "
+                "(LGNN.py:290-359), not one sharded program — run fit_serial and "
+                "wrap each layer's fit in its own packed engine"
+            )
+        return mode
+
+    def _local_forward(self, params, mstate, batch, rng, training):
+        batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(self.axis))
+        ks, states, outs, out_mask, new_mstate = self.gnn.forward(
+            {"params": params, "state": mstate}, batch,
+            training=training, rng=rng, axis_name=self.axis,
+        )
+        return ks, states, outs, out_mask, new_mstate, batch
+
+    def _local_loss(self, params, mstate, batch, rng, loss_fn, training):
+        mode = self._check_mode()
+        ks, states, outs, out_mask, new_mstate, b = self._local_forward(
+            params, mstate, batch, rng, training
+        )
+        m = b.target_mask.astype(floatx())
+        count = jax.lax.psum(jnp.sum(m), self.axis)
+
+        def masked(out):
+            per_row = loss_fn(b.targets, out)
+            s = jax.lax.psum(jnp.sum(per_row * b.sample_weight * m), self.axis)
+            return s / jnp.maximum(count, 1.0)
+
+        if training and mode == "parallel":
+            data_loss = sum(masked(out) for out in outs) / len(outs)
+        elif training and mode == "residual":
+            data_loss = masked(sum(outs) / len(outs))
+        else:
+            data_loss = masked(outs[-1])
+        loss = data_loss + self.gnn.regularization_loss(params)
+        return loss, (jnp.stack(ks), outs[-1], new_mstate, count)
+
+    def make_forward(self, training: bool = False):
+        key = f"fwd_{training}"
+        if key in self._cache:
+            return self._cache[key]
+        axis = self.axis
+
+        def device_fwd(params, mstate, batch, rng):
+            ks, states, outs, out_mask, new_mstate, _ = self._local_forward(
+                params, mstate, batch, rng, training
+            )
+            return jnp.stack(ks), states[-1][None], outs[-1][None], out_mask[None], new_mstate
+
+        fn = jax.jit(shard_map(
+            device_fwd,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(axis), P()),
+            out_specs=(P(), P(axis), P(axis), P(axis), P()),
+            check_vma=False,
+        ))
+        self._cache[key] = fn
+        return fn

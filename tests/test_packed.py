@@ -163,3 +163,150 @@ class TestPackedPartitionedEqualsSingle:
         g0, g1 = build_gnn(), build_gnn()
         with pytest.raises(ValueError, match="single GNN"):
             PackedPartitionedGNN(LGNN([g0, g1], True, True), mesh8)
+
+
+def build_lgnn(layers=2, get_state=True, get_output=True, seed=4):
+    from gnnkeras_tpu.models.lgnn import LGNN
+
+    gnns = []
+    for i in range(layers):
+        ins, ls = get_inout_dims("state", DN, DA, T, "g", 0, layer=i,
+                                 get_state=get_state, get_output=get_output)
+        ino, lo = get_inout_dims("output", DN, DA, T, "g", 0, layer=i,
+                                 get_state=get_state, get_output=get_output)
+        gnns.append(GNNgraphBased(
+            MLP(input_dim=ins[0], layers=ls, activations="selu",
+                kernel_initializer="lecun_normal", bias_initializer="lecun_normal"),
+            MLP(input_dim=ino[0], layers=lo, activations="softmax",
+                kernel_initializer="glorot_normal", bias_initializer="glorot_normal"),
+            0, 3, 0.01,
+        ))
+    lgnn = LGNN(gnns, get_state, get_output)
+    lgnn.build(seed=seed)
+    return lgnn
+
+
+class TestPackedLGNN:
+    """PackedPartitionedLGNN == single-chip layered forward/step: the
+    update_graph feature propagation is node-local, so whole-molecule shards
+    reproduce the merged batch exactly (up to f32 reduction order)."""
+
+    @pytest.mark.parametrize("training", [False, True])
+    def test_forward_parity(self, mesh8, training):
+        from gnnkeras_tpu.parallel.packed import PackedPartitionedLGNN
+
+        merged = molecule_batch(40, seed=6)
+        lgnn = build_lgnn()
+        batch1 = from_graph_object(merged, slot_pack=128, strip_dtype="float32")
+        rng = jax.random.PRNGKey(2)
+        ks1, _, outs1, m1, ms1 = lgnn.forward(lgnn.variables, batch1, training=training, rng=rng)
+
+        stacked, meta = partition_packed(merged, 8, strip_dtype="float32")
+        plgnn = PackedPartitionedLGNN(lgnn, mesh8)
+        ks, state, out, om, new_mstate = plgnn.forward(stacked, training=training, rng=rng)
+
+        np.testing.assert_array_equal(
+            np.asarray(ks), np.asarray([float(k) for k in ks1])
+        )
+        ref = np.asarray(outs1[-1])[np.asarray(batch1.host_pred_rows)]
+        got = np.zeros_like(ref)
+        out = np.asarray(out)
+        for p in range(8):
+            got[meta.groups[p]] = out[p][meta.pred_rows[p]]
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-5)
+        if training:
+            for a, b in zip(jax.tree_util.tree_leaves(new_mstate),
+                            jax.tree_util.tree_leaves(ms1)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("mode", ["parallel", "residual"])
+    def test_one_sgd_step_parity(self, mesh8, mode):
+        """One packed LGNN step == one single-chip step under the reference's
+        layered objective (parallel: mean of per-layer losses, LGNN.py:262;
+        residual: loss of the mean output, LGNN.py:263)."""
+        from gnnkeras_tpu.parallel.packed import PackedPartitionedLGNN
+
+        merged = molecule_batch(40, seed=7)
+        lgnn = build_lgnn()
+        lgnn.compile(optimizer="sgd:0.1", loss="categorical_crossentropy",
+                     training_mode=mode)
+        loss_fn = lgnn.loss
+        batch1 = from_graph_object(merged, slot_pack=128, strip_dtype="float32")
+        params0 = jax.tree_util.tree_map(lambda x: x, lgnn.variables["params"])
+        mstate0 = lgnn.variables["state"]
+        rng = jax.random.PRNGKey(8)
+
+        def single_loss(p):
+            ks, _, outs, om, ms = lgnn.forward(
+                {"params": p, "state": mstate0}, batch1, training=True, rng=rng
+            )
+            m = batch1.target_mask.astype(jnp.float32)
+            cnt = jnp.maximum(jnp.sum(m), 1.0)
+
+            def masked(out):
+                return jnp.sum(loss_fn(batch1.targets, out) * batch1.sample_weight * m) / cnt
+
+            if mode == "parallel":
+                data = sum(masked(o) for o in outs) / len(outs)
+            else:
+                data = masked(sum(outs) / len(outs))
+            return data + lgnn.regularization_loss(p)
+
+        grads1 = jax.grad(single_loss)(params0)
+        expected = jax.tree_util.tree_map(lambda p, g: p - 0.1 * g, params0, grads1)
+
+        stacked, _ = partition_packed(merged, 8, strip_dtype="float32")
+        plgnn = PackedPartitionedLGNN(lgnn, mesh8)
+        lgnn._opt_state = lgnn.optimizer.init(lgnn.variables["params"])
+        h = plgnn.fit(stacked, epochs=1)
+        assert np.isfinite(h["loss"][0])
+
+        for a, b in zip(jax.tree_util.tree_leaves(lgnn.variables["params"]),
+                        jax.tree_util.tree_leaves(expected)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+    def test_serial_rejected_with_direction(self, mesh8):
+        from gnnkeras_tpu.parallel.packed import PackedPartitionedLGNN
+
+        merged = molecule_batch(16, seed=9)
+        lgnn = build_lgnn()
+        lgnn.compile(optimizer="sgd:0.1", loss="categorical_crossentropy",
+                     training_mode="serial")
+        stacked, _ = partition_packed(merged, 8)
+        plgnn = PackedPartitionedLGNN(lgnn, mesh8)
+        with pytest.raises(ValueError, match="fit_serial"):
+            plgnn.fit(stacked, epochs=1)
+
+    def test_rejects_single_gnn(self, mesh8):
+        from gnnkeras_tpu.parallel.packed import PackedPartitionedLGNN
+
+        with pytest.raises(ValueError, match="LGNN"):
+            PackedPartitionedLGNN(build_gnn(), mesh8)
+
+    def test_composite_split_keeps_types(self):
+        """split_merged_by_graph preserves composite type structure, so the
+        packed engine's 'homogeneous or composite' claim holds end-to-end."""
+        from gnnkeras_tpu.graph.graph import CompositeGraphObject
+
+        rng = np.random.default_rng(3)
+        graphs = []
+        for _ in range(10):
+            n = int(rng.integers(6, 20))
+            a = int(rng.integers(8, 30))
+            arcs = np.concatenate([rng.integers(0, n, (a, 2)), rng.normal(size=(a, DA))], axis=1)
+            tm = np.zeros((n, 2), dtype=bool)
+            tm[np.arange(n), rng.integers(0, 2, n)] = True
+            t = np.zeros((1, T)); t[0, rng.integers(T)] = 1
+            graphs.append(CompositeGraphObject(
+                nodes=rng.normal(size=(n, DN)), arcs=arcs, targets=t, type_mask=tm,
+                dim_node_label=(DN, DN), focus="g", aggregation_mode="average"))
+        merged = CompositeGraphObject.merge(graphs, focus="g", aggregation_mode="average")
+        ids = np.array([0, 3, 7])
+        sub = split_merged_by_graph(merged, ids)
+        assert getattr(sub, "type_mask", None) is not None
+        assert sub.type_mask.shape[1] == 2
+        sizes = np.bincount(merged.graph_of_node.astype(np.int64))
+        assert sub.type_mask.shape[0] == int(sizes[ids].sum())
+        # rows travel with their nodes
+        node_sel = np.isin(merged.graph_of_node, ids)
+        np.testing.assert_array_equal(sub.type_mask, merged.type_mask[node_sel])
