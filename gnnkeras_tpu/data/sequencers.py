@@ -50,16 +50,35 @@ class MultiGraphSequencer:
         agg_dtype: str = None,
         shuffle_mode: str = "graphs",
         tile_pack: Optional[bool] = None,
+        slot_pack: Optional[int] = None,
+        strip_dtype: str = "bfloat16",
     ):
         """``shuffle_mode='graphs'`` re-shuffles graphs into new merged batches
         each epoch (the reference's behavior, GraphSequencers.py:123-127, at
         the cost of re-merging + re-uploading); ``'batches'`` shuffles the
-        order of the prebuilt batches only — no host rebuild, no re-upload."""
+        order of the prebuilt batches only — no host rebuild, no re-upload.
+
+        ``slot_pack=128`` builds each batch with the compact-strip operator
+        (``strip_dtype`` storage), routing training through the transposed
+        (feature-major) unfold engine — the flagship kernel stack
+        (BASELINE.md round 3).  Residual/readout structure is made uniform
+        across batches so the compiled step and the scanned-epoch launch see
+        ONE pytree.  Sub-128 slot widths have batch-composition-dependent
+        mixed-format layouts; build those via graph.batch.from_graph_object."""
         assert shuffle_mode in ("graphs", "batches")
+        if slot_pack is not None and slot_pack != 128:
+            raise ValueError(
+                "sequencers support slot_pack=128 (uniform per-batch layout); "
+                "use from_graph_object for 32/64-slot mixed formats"
+            )
         # tile packing permutes node rows (loss/metric-invariant; per-node
         # output order changes) — default on for graph-focused batches where
         # outputs are graph-indexed and unaffected.
         self.tile_pack = (focus == "g") if tile_pack is None else bool(tile_pack)
+        if slot_pack is not None:
+            self.tile_pack = True  # slot packing subsumes tile packing
+        self.slot_pack = slot_pack
+        self.strip_dtype = strip_dtype
         self.data: List[GraphObject] = list(graphs) if isinstance(graphs, (list, tuple)) else [graphs]
         self.focus = focus
         self.aggregation_mode = aggregation_mode
@@ -89,17 +108,34 @@ class MultiGraphSequencer:
         # uniform _pad_graphs so batch shapes never vary.
         compact = self.tile_pack and self.focus == "g" and self.pad_multiple % 128 == 0
         if self.tile_pack:
-            from gnnkeras_tpu.graph.packing import packed_graph_slots, packed_node_positions
+            from gnnkeras_tpu.graph.packing import (
+                graph_slots_from_starts,
+                pack_slots,
+                packed_graph_slots,
+                packed_node_positions,
+            )
 
-            needed = max(packed_node_positions(g.graph_of_node)[1] for g in merged)
+            slot = getattr(self, "slot_pack", None)
+            if slot is not None:
+                # the slot-packed layout from_graph_object will use — the
+                # pad must cover ITS row count, not tile packing's
+                needed = 0
+                for g in merged:
+                    sizes = np.bincount(g.graph_of_node.astype(np.int64), minlength=g.num_graphs)
+                    needed = max(needed, pack_slots(sizes, slot=slot, tile=128)[1])
+            else:
+                needed = max(packed_node_positions(g.graph_of_node)[1] for g in merged)
             if compact:
                 # uniform compact-readout slot width (graph rows = tile·Gmax+rank)
                 # and span-slot count: both are STATIC batch metadata
                 g_max, n_span = 0, 1
                 for g in merged:
-                    slots = packed_graph_slots(
-                        np.bincount(g.graph_of_node.astype(np.int64), minlength=g.num_graphs)
-                    )
+                    sizes = np.bincount(g.graph_of_node.astype(np.int64), minlength=g.num_graphs)
+                    if slot is not None:
+                        starts, _ = pack_slots(sizes, slot=slot, tile=128)
+                        slots = graph_slots_from_starts(starts, sizes, 128)
+                    else:
+                        slots = packed_graph_slots(sizes)
                     g_max = max(g_max, slots[3])
                     n_span = max(n_span, int(np.sum(slots[4])) + 1)
                 self._compact_gmax = max(getattr(self, "_compact_gmax", 0), g_max)
@@ -116,12 +152,16 @@ class MultiGraphSequencer:
                 g, self._pad_nodes, self._pad_arcs,
                 None if compact else self._pad_graphs,
                 agg_dtype=self.agg_dtype, tile_pack=self.tile_pack,
+                slot_pack=getattr(self, "slot_pack", None),
+                strip_dtype=getattr(self, "strip_dtype", "bfloat16"),
                 compact_gmax=self._compact_gmax if compact else None,
                 compact_nspan=self._compact_nspan if compact else None,
             )
             for g in merged
         ]
         self._uniform_block_counts()
+        if getattr(self, "slot_pack", None) is not None:
+            self._uniform_strip()
 
     def _uniform_block_counts(self) -> None:
         """BCSR block counts are data-dependent STATIC shapes; pad them to a
@@ -163,6 +203,52 @@ class MultiGraphSequencer:
                 replace_keep_host(b, **{name: pad_bcsr(getattr(b, name), need)})
                 for b in self.batches
             ]
+
+    def _uniform_strip(self) -> None:
+        """Make the compact-strip operators share ONE pytree structure across
+        batches: the strip tensors are already uniform (they are shaped by the
+        sequencer-wide node pad), but the cross-tile RESIDUAL is data-dependent
+        — a merge whose big graphs span tile boundaries carries one, a merge of
+        small graphs does not.  Give every batch a residual padded to the
+        monotonic block maximum (an absent residual becomes the all-zero
+        operator — the identity of block aggregation), latched across epoch
+        rebuilds so the treedef never flips mid-training."""
+        import dataclasses as _dc
+
+        from gnnkeras_tpu.ops.bcsr import empty_bcsr, pad_bcsr
+
+        ops = [b.strip for b in self.batches]
+        if any(op is None for op in ops):
+            if any(op is not None for op in ops):
+                raise ValueError("mixed strip presence across batches")
+            return
+        have = [op.residual for op in ops if op.residual is not None]
+        need = max([int(r.blocks.shape[0]) for r in have], default=0)
+        need = max(need, getattr(self, "_pad_strip_res", 0))
+        self._pad_strip_res = need
+        if need == 0:
+            return  # no batch has ever produced cross-tile edges
+        n_tiles = self._pad_nodes // 128
+        new_batches = []
+        for b in self.batches:
+            op = b.strip
+            res = op.residual
+            res_t = op.residual_t
+            if res is None:
+                res = empty_bcsr(n_tiles, n_tiles, need)
+                res_t = empty_bcsr(n_tiles, n_tiles, need)
+            else:
+                res = pad_bcsr(res, need)
+                res_t = pad_bcsr(res_t, need)
+            if res is op.residual and res_t is op.residual_t:
+                new_batches.append(b)
+                continue
+            rows = getattr(b, "host_pred_rows", None)
+            nb = b.replace(strip=_dc.replace(op, residual=res, residual_t=res_t))
+            if rows is not None:
+                object.__setattr__(nb, "host_pred_rows", rows)
+            new_batches.append(nb)
+        self.batches = new_batches
 
     def __len__(self) -> int:
         return int(np.ceil(len(self.data) / self.batch_size))
@@ -228,6 +314,8 @@ class MultiGraphSequencer:
             "agg_dtype": self.agg_dtype,
             "shuffle_mode": self.shuffle_mode,
             "tile_pack": self.tile_pack,
+            "slot_pack": getattr(self, "slot_pack", None),
+            "strip_dtype": getattr(self, "strip_dtype", "bfloat16"),
         }
 
     @classmethod

@@ -223,3 +223,26 @@ def pad_bcsr(m: Optional[BcsrMatrix], n_blocks: int) -> Optional[BcsrMatrix]:
             [m.dst_tile, jnp.full(extra, m.n_dst_tiles - 1, m.dst_tile.dtype)]
         ),
     )
+
+
+def empty_bcsr(
+    n_src_tiles: int, n_dst_tiles: int, n_blocks: int, tile: int = TILE, dtype=None
+) -> BcsrMatrix:
+    """An all-zero operator with a uniform static block count — the identity
+    element of block aggregation.  Used to give every batch of a sequencer the
+    SAME pytree structure when only some merges produce cross-tile residual
+    edges (a strip residual that is absent on one batch and present on another
+    would otherwise flip the batch treedef and retrace the compiled step)."""
+    if dtype is None:
+        from gnnkeras_tpu.utils.dtypes import floatx
+
+        dtype = floatx()
+    n_blocks = max(int(n_blocks), 1)
+    return BcsrMatrix(
+        blocks=jnp.zeros((n_blocks, tile, tile), dtype),
+        src_tile=jnp.zeros(n_blocks, jnp.int32),
+        dst_tile=jnp.full(n_blocks, max(n_dst_tiles - 1, 0), jnp.int32),
+        n_src_tiles=int(n_src_tiles),
+        n_dst_tiles=int(n_dst_tiles),
+        tile=tile,
+    )

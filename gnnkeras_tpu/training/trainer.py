@@ -256,6 +256,7 @@ def fit(
     resume: bool = False,
     scan_batches: Optional[bool] = None,
     class_weight: Optional[dict] = None,
+    validation_freq: int = 1,
 ):
     """Keras-like fit loop over a graph sequencer.  Returns a History.
 
@@ -263,6 +264,11 @@ def fit(
     TRAINING loss by the weight of its true class — the stock Keras ``fit``
     behavior the reference gets for free (GNN models inherit keras.Model);
     validation/evaluate are unaffected, as in Keras.
+
+    ``validation_freq`` runs validation only every N epochs (Keras semantics:
+    epoch numbers 1-based, validated when ``(epoch+1) % N == 0``) — epochs
+    without validation produce no ``val_*`` log entries, so monitors like
+    EarlyStopping see the last validated value through History's dict.
 
     With ``checkpoint_dir`` every ``checkpoint_every`` epochs a full resumable
     checkpoint (params + BN state + optimizer state + PRNG) is written;
@@ -329,7 +335,7 @@ def fit(
 
         model.variables = {"params": params, "state": mstate}
         model._opt_state = opt_state
-        if validation_data is not None:
+        if validation_data is not None and (epoch + 1) % max(validation_freq, 1) == 0:
             logs.update(evaluate(model, validation_data, verbose=0, prefix="val_"))
         if verbose:
             dt = time.perf_counter() - t0

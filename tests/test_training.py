@@ -720,3 +720,41 @@ class TestClassWeight:
         for a, b in zip(jax.tree_util.tree_leaves(m1.variables["params"]),
                         jax.tree_util.tree_leaves(m2.variables["params"])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+class TestValidationFreq:
+    def test_validation_every_n_epochs(self):
+        """fit(validation_freq=N) validates on epochs N, 2N, ... (1-based,
+        Keras semantics); other epochs carry no val_* logs."""
+        from gnnkeras_tpu.data.sequencers import MultiGraphSequencer
+        from gnnkeras_tpu.graph.graph import GraphObject
+        from gnnkeras_tpu.models.gnn import GNNgraphBased
+        from gnnkeras_tpu.models.mlp import MLP, get_inout_dims
+        from gnnkeras_tpu.training.callbacks import Callback
+
+        rng = np.random.default_rng(1)
+        dn, da, T = 4, 2, 2
+        graphs = []
+        for i in range(8):
+            n, a = int(rng.integers(6, 12)), int(rng.integers(10, 20))
+            arcs = np.concatenate([rng.integers(0, n, (a, 2)), rng.normal(size=(a, da))], axis=1)
+            t = np.zeros((1, T)); t[0, i % 2] = 1
+            graphs.append(GraphObject(nodes=rng.normal(size=(n, dn)), arcs=arcs, targets=t,
+                                      focus="g", aggregation_mode="average"))
+        ins, ls = get_inout_dims("state", dn, da, T, "g", 0)
+        ino, lo = get_inout_dims("output", dn, da, T, "g", 0)
+        m = GNNgraphBased(MLP(input_dim=ins[0], layers=ls, activations="selu"),
+                          MLP(input_dim=ino[0], layers=lo, activations="softmax"), 0, 3, 0.01)
+        m.compile(optimizer="sgd:0.1", loss="categorical_crossentropy")
+
+        seen = []
+
+        class Spy(Callback):
+            def on_epoch_end(self, epoch, logs=None):
+                seen.append("val_loss" in (logs or {}))
+
+        seq = MultiGraphSequencer(graphs, "g", "average", batch_size=4, shuffle=False)
+        val = MultiGraphSequencer(graphs, "g", "average", batch_size=4, shuffle=False)
+        m.fit(seq, epochs=6, validation_data=val, validation_freq=3, verbose=0,
+              callbacks=[Spy()])
+        assert seen == [False, False, True, False, False, True]
