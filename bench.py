@@ -67,15 +67,16 @@ def build_workload():
             NodeGraph=(graph_of_node, (1.0 / counts[graph_of_node]).astype(np.float32)),
         )
 
-    # Transposed unfold engine (round 3): slot-packed batch with bf16 dense
+    # Transposed unfold engine (round 3): slot-packed batch with dense
     # diagonal-block strips — state carried feature-major through the whole
     # convergence loop, so the Pallas aggregation kernel never relayouts.
-    # bf16 block storage is numerically identical to f32 here (the MXU's
-    # default f32 matmul precision is one-pass bf16 operands) and halves the
-    # operator bytes, the forward's dominant HBM traffic.  Measured 4.08B
-    # edges/s vs 2.2B for the round-2 row-major einsum engine
-    # (scripts/bench_transposed.py).
-    batch = from_graph_object(merged, slot_pack=128, strip_dtype="bfloat16")
+    # int8 storage factors each block into a 0/1 mask + per-destination f32
+    # scale (exact for sum/normalized/average aggregation): half the bf16
+    # operator bytes AND no bf16 rounding of the 1/deg weights in the MXU.
+    # Measured 4.03 vs 3.94B edges/s (bf16) vs 2.2B for the round-2
+    # row-major einsum engine (scripts/bench_transposed.py).
+    strip_dtype = os.environ.get("GNNK_BENCH_STRIP_DTYPE", "int8")
+    batch = from_graph_object(merged, slot_pack=128, strip_dtype=strip_dtype)
     n_arcs = merged.arcs.shape[0]
 
     inp_s, layers_s = get_inout_dims("state", 14, 3, 2, "g", 0)

@@ -222,6 +222,29 @@ class MultiGraphSequencer:
             if any(op is not None for op in ops):
                 raise ValueError("mixed strip presence across batches")
             return
+
+        # int8 mask+scale storage is per-merge factorable: a reshuffled epoch
+        # whose merge contains parallel arcs falls back to dense bf16, which
+        # would flip the pytree (scale present → None) and retrace the step —
+        # LATCH the downgrade and convert every factored batch to dense
+        if any(op.scale is None for op in ops) and any(op.scale is not None for op in ops):
+            self._strip_scale_degraded = True
+        if getattr(self, "_strip_scale_degraded", False):
+            from gnnkeras_tpu.ops.strip import strip_to_dense
+
+            new = []
+            for b in self.batches:
+                if b.strip.scale is None:
+                    new.append(b)
+                    continue
+                rows = getattr(b, "host_pred_rows", None)
+                nb = b.replace(strip=strip_to_dense(b.strip))
+                if rows is not None:
+                    object.__setattr__(nb, "host_pred_rows", rows)
+                new.append(nb)
+            self.batches = new
+            ops = [b.strip for b in self.batches]
+
         have = [op.residual for op in ops if op.residual is not None]
         need = max([int(r.blocks.shape[0]) for r in have], default=0)
         need = max(need, getattr(self, "_pad_strip_res", 0))

@@ -432,12 +432,22 @@ def from_graph_object(
         if N % TILE == 0:
             bcsr = build_bcsr(src[:a], dst[:a], w[:a], N)
             if slot_pack is not None and pack_width is not None:
-                from gnnkeras_tpu.ops.strip import build_strip_operator
+                from gnnkeras_tpu.ops.strip import StripFactorError, build_strip_operator
 
-                strip_op = build_strip_operator(
-                    src[:a], dst[:a], w[:a], N, slot=slot_pack,
-                    dtype=jnp.dtype(strip_dtype), n_strip_tiles=n_strip_tiles,
-                )
+                try:
+                    strip_op = build_strip_operator(
+                        src[:a], dst[:a], w[:a], N, slot=slot_pack,
+                        dtype=jnp.dtype(strip_dtype), n_strip_tiles=n_strip_tiles,
+                    )
+                except StripFactorError:
+                    # int8 mask+scale needs one weight per destination column
+                    # (sum/normalized/average over deduplicated arcs) — fall
+                    # back to direct bf16 weight storage when it doesn't hold
+                    # (composite_average, parallel arcs)
+                    strip_op = build_strip_operator(
+                        src[:a], dst[:a], w[:a], N, slot=slot_pack,
+                        dtype=jnp.dtype("bfloat16"), n_strip_tiles=n_strip_tiles,
+                    )
             if compact_info is not None:
                 tile0, rank, g_max, spanning, T_n, graph_rows_np = compact_info
                 sel = np.zeros((T_n, g_max, 128), dtype=dtype)

@@ -38,9 +38,16 @@ TILE = 128
 D_SUB = 8  # sublane granularity for the transposed state
 
 
+class StripFactorError(ValueError):
+    """int8 mask+scale storage requested but the operator's weights are not
+    column-factorable (duplicate arcs, or per-arc weights that differ within
+    one destination column)."""
+
+
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["strip", "strip_t", "blocks", "blocks_t", "residual", "residual_t"],
+    data_fields=["strip", "strip_t", "blocks", "blocks_t", "residual", "residual_t",
+                 "scale", "blocks_scale"],
     meta_fields=["slot"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -57,7 +64,17 @@ class StripOperator:
     within-tile edges, so no within-tile edge ever pays the BCSR residual.
     One fused kernel runs both regions (grid step switches format on the
     region boundary); the residual carries only cross-tile (spanning-graph)
-    edges.  Layouts come from packing.order_tiles_by_format."""
+    edges.  Layouts come from packing.order_tiles_by_format.
+
+    INT8 mask+scale storage (``scale`` is not None): the reference's
+    aggregation modes give every destination node ONE weight shared by all
+    its incoming arcs (sum → 1, average → 1/indeg, normalized → 1/norm;
+    graph_class.py:105-121), so each strip/block COLUMN is constant and the
+    operator factors exactly into a 0/1 int8 mask times a per-column f32
+    scale — half the HBM bytes of bf16 storage, the forward's dominant
+    traffic.  The kernel applies the scale to the matmul's output columns
+    (forward) or input columns (the transposed VJP pass, where the scale sits
+    on the contraction axis)."""
 
     strip: jax.Array  # (Ts, slot, TILE)
     strip_t: jax.Array  # (Ts, slot, TILE): per-slot transposed blocks
@@ -65,7 +82,80 @@ class StripOperator:
     blocks_t: Optional[jax.Array]
     residual: Optional[BcsrMatrix]
     residual_t: Optional[BcsrMatrix]
+    scale: Optional[jax.Array]  # (Ts, TILE) f32 per-column scales (int8 mode)
+    blocks_scale: Optional[jax.Array]  # (Tb, TILE)
     slot: int
+
+
+def _factor_mask_scale(arr: np.ndarray):
+    """Factor ``arr == mask * scale[:, None, :]`` with a 0/1 mask: every
+    column's nonzeros must share one value (the reference's per-destination
+    aggregation weight, graph_class.py:105-121).  Returns (mask int8,
+    scale f32) or None when not factorable (duplicate arcs accumulated, or
+    per-arc weights)."""
+    mask = arr != 0
+    first = np.argmax(mask, axis=1)  # first nonzero row per (tile, col)
+    t_idx = np.arange(arr.shape[0])[:, None]
+    c_idx = np.arange(arr.shape[2])[None, :]
+    scale = arr[t_idx, first, c_idx] * mask.any(axis=1)
+    if not np.array_equal(arr, mask * scale[:, None, :]):
+        return None
+    return mask.astype(np.int8), scale.astype(np.float32)
+
+
+def _finalize_strips(strip: np.ndarray, strip_t: np.ndarray, dtype):
+    """Host f64 strips → storage arrays.  ``int8`` selects mask+scale
+    factorization (StripFactorError when the weights don't factor); any float
+    dtype stores the weights directly with no scale."""
+    if np.dtype(dtype) == np.int8:
+        fac = _factor_mask_scale(strip)
+        if fac is None:
+            raise StripFactorError(
+                "strip weights are not column-constant; int8 mask+scale "
+                "storage needs one weight per destination (sum/normalized/"
+                "average aggregation over deduplicated arcs)"
+            )
+        mask, scale = fac
+        mask_t = (strip_t != 0).astype(np.int8)
+        return jnp.asarray(mask), jnp.asarray(mask_t), jnp.asarray(scale)
+    return jnp.asarray(strip.astype(dtype)), jnp.asarray(strip_t.astype(dtype)), None
+
+
+def strip_to_dense(op: "StripOperator", dtype=jnp.bfloat16) -> "StripOperator":
+    """Convert an int8 mask+scale operator back to direct weight storage in
+    ``dtype`` (used to keep sequencer batches on ONE pytree structure when a
+    later merge turns out not to be factorable)."""
+    if op.scale is None:
+        return op
+    slot = op.slot
+
+    def _dense_pair(mask, mask_t, scale):
+        m = np.asarray(mask, np.float32)
+        mt = np.asarray(mask_t, np.float32)
+        s = np.asarray(scale, np.float32)
+        dense = m * s[:, None, :]
+        # transposed entry (tile, r, c) holds the weight of edge s→d with
+        # d%TILE == (c//slot)*slot + r — index the forward scale accordingly
+        rows = np.arange(mt.shape[1])[:, None]
+        cols = np.arange(TILE)[None, :]
+        d_idx = (cols // slot) * slot + rows  # (rows, TILE)
+        dense_t = mt * s[:, d_idx]
+        return jnp.asarray(dense.astype(dtype)), jnp.asarray(dense_t.astype(dtype))
+
+    strip, strip_t = _dense_pair(op.strip, op.strip_t, op.scale)
+    blocks = blocks_t = None
+    if op.blocks is not None:
+        # full blocks: transposed entry (tile, d%TILE, s%TILE) scales by its
+        # ROW index d, i.e. the forward scale broadcast over columns
+        mb = np.asarray(op.blocks, np.float32)
+        mbt = np.asarray(op.blocks_t, np.float32)
+        sb = np.asarray(op.blocks_scale, np.float32)
+        blocks = jnp.asarray((mb * sb[:, None, :]).astype(dtype))
+        blocks_t = jnp.asarray((mbt * sb[:, :, None]).astype(dtype))
+    return dataclasses.replace(
+        op, strip=strip, strip_t=strip_t, blocks=blocks, blocks_t=blocks_t,
+        scale=None, blocks_scale=None,
+    )
 
 
 def build_strip_operator(
@@ -129,13 +219,17 @@ def build_strip_operator(
             residual = build_bcsr(src[rest], dst[rest], weight[rest], n_padded,
                                   max_band_factor=10**9)
             residual_t = transpose_bcsr(residual)
+        s_arr, s_t_arr, s_scale = _finalize_strips(strip, strip_t, dtype)
+        b_arr, b_t_arr, b_scale = _finalize_strips(blocks, blocks_t, dtype)
         return StripOperator(
-            strip=jnp.asarray(strip.astype(dtype)),
-            strip_t=jnp.asarray(strip_t.astype(dtype)),
-            blocks=jnp.asarray(blocks.astype(dtype)),
-            blocks_t=jnp.asarray(blocks_t.astype(dtype)),
+            strip=s_arr,
+            strip_t=s_t_arr,
+            blocks=b_arr,
+            blocks_t=b_t_arr,
             residual=residual,
             residual_t=residual_t,
+            scale=s_scale,
+            blocks_scale=b_scale,
             slot=slot,
         )
 
@@ -159,13 +253,16 @@ def build_strip_operator(
         pad = np.zeros((t_pad - t, slot, TILE), np.float32)
         strip = np.concatenate([strip, pad], axis=0)
         strip_t = np.concatenate([strip_t, pad], axis=0)
+    s_arr, s_t_arr, s_scale = _finalize_strips(strip, strip_t, dtype)
     return StripOperator(
-        strip=jnp.asarray(strip.astype(dtype)),
-        strip_t=jnp.asarray(strip_t.astype(dtype)),
+        strip=s_arr,
+        strip_t=s_t_arr,
         blocks=None,
         blocks_t=None,
         residual=residual,
         residual_t=residual_t,
+        scale=s_scale,
+        blocks_scale=None,
         slot=slot,
     )
 
@@ -178,34 +275,54 @@ K_TILES = 16  # tiles per grid step: amortizes the per-grid-step overhead that
 # more tile counts evenly.
 
 
-def _strip_kernel(k_tiles: int, slot: int):
+def _strip_kernel(k_tiles: int, slot: int, scaled: bool = False, scale_in: bool = False):
+    """``scaled`` adds the int8 mask+scale path: the mask block converts
+    int8→f32 in VMEM (the HBM transfer already happened at int8 width — the
+    point of the representation) and the per-column scale multiplies the
+    matmul OUTPUT columns (forward) or, with ``scale_in``, the INPUT columns
+    (the transposed VJP pass, where the destination scale sits on the
+    contraction axis: ``ct·diag(scale)·maskᵀ``)."""
     expand = TILE // slot
 
-    def kernel(strip_ref, state_ref, out_ref):
+    def kernel(*refs):
+        if scaled:
+            strip_ref, scale_ref, state_ref, out_ref = refs
+        else:
+            strip_ref, state_ref, out_ref = refs
         if expand > 1:
             col_group = jax.lax.broadcasted_iota(jnp.int32, (slot, TILE), 1) // slot
         for k in range(k_tiles):
             a = strip_ref[k]  # (slot, TILE)
+            # cast the OPERATOR up to the state dtype (VPU work on VMEM-resident
+            # data) rather than the state down: bf16/int8 strips then halve/
+            # quarter HBM operator bytes while the matmul runs the standard
+            # f32 MXU pass (itself one-pass bf16 operands — numerically
+            # identical)
+            if a.dtype != state_ref.dtype:
+                a = a.astype(state_ref.dtype)
             if expand > 1:
                 parts = [a * (col_group == g_i).astype(a.dtype) for g_i in range(expand)]
                 bd = jnp.concatenate(parts, axis=0)  # (TILE, TILE) block-diagonal
             else:  # slot == TILE: the strip IS the dense diagonal block
                 bd = a
             x = state_ref[:, k * TILE : (k + 1) * TILE]
-            # cast the OPERATOR up to the state dtype (VPU work on VMEM-resident
-            # data) rather than the state down: bf16 strips then halve HBM
-            # operator bytes while the matmul runs the standard f32 MXU pass
-            # (itself one-pass bf16 operands — numerically identical)
-            if bd.dtype != x.dtype:
-                bd = bd.astype(x.dtype)
-            out_ref[:, k * TILE : (k + 1) * TILE] = jnp.dot(
-                x, bd, preferred_element_type=jnp.float32
-            ).astype(out_ref.dtype)
+            if scaled and scale_in:
+                x = x * scale_ref[k : k + 1, :].astype(x.dtype)
+            out = jnp.dot(x, bd, preferred_element_type=jnp.float32)
+            if scaled and not scale_in:
+                out = out * scale_ref[k : k + 1, :].astype(jnp.float32)
+            out_ref[:, k * TILE : (k + 1) * TILE] = out.astype(out_ref.dtype)
 
     return kernel
 
 
-def _strip_matmul(state_t: jax.Array, strip: jax.Array, slot: int = SLOT) -> jax.Array:
+def _strip_matmul(
+    state_t: jax.Array,
+    strip: jax.Array,
+    slot: int = SLOT,
+    scale: Optional[jax.Array] = None,
+    scale_in: bool = False,
+) -> jax.Array:
     """(d_sub, N) × strips → (d_sub, N) of within-slot contributions.
 
     Processes ``K_TILES`` tiles per grid step.  ``build_strip_operator``
@@ -220,20 +337,34 @@ def _strip_matmul(state_t: jax.Array, strip: jax.Array, slot: int = SLOT) -> jax
         strip = jnp.concatenate(
             [strip, jnp.zeros((t_pad - t, slot, TILE), strip.dtype)], axis=0
         )
+        if scale is not None:
+            scale = jnp.concatenate(
+                [scale, jnp.zeros((t_pad - t, TILE), scale.dtype)], axis=0
+            )
         t = t_pad
     if t * TILE != n:
         state_t = jnp.pad(state_t, ((0, 0), (0, t * TILE - n)))
+    in_specs = [
+        pl.BlockSpec((k_tiles, slot, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [strip]
+    if scale is not None:
+        in_specs.append(
+            pl.BlockSpec((k_tiles, TILE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(scale)
+    in_specs.append(
+        pl.BlockSpec((d_sub, k_tiles * TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+    )
+    operands.append(state_t)
     out = pl.pallas_call(
-        _strip_kernel(k_tiles, slot),
+        _strip_kernel(k_tiles, slot, scaled=scale is not None, scale_in=scale_in),
         out_shape=jax.ShapeDtypeStruct((d_sub, t * TILE), state_t.dtype),
         grid=(t // k_tiles,),
-        in_specs=[
-            pl.BlockSpec((k_tiles, slot, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_sub, k_tiles * TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((d_sub, k_tiles * TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=jax.default_backend() != "tpu",
-    )(strip, state_t)
+    )(*operands)
     return out[:, :n]
 
 
@@ -245,44 +376,59 @@ def strip_aggregate(state: jax.Array, op: StripOperator) -> jax.Array:
     return _strip_forward(state, op)
 
 
-def _mixed_kernel(k_tiles: int, slot: int, ns: int):
+def _mixed_kernel(k_tiles: int, slot: int, ns: int, scaled: bool = False, scale_in: bool = False):
     """Region-switched kernel: grid steps [0, ns) expand compact strips,
-    steps [ns, ·) run full diagonal blocks — one launch for both formats."""
+    steps [ns, ·) run full diagonal blocks — one launch for both formats.
+    ``scaled``/``scale_in`` as in ``_strip_kernel``."""
     expand = TILE // slot
 
-    def kernel(strip_ref, blocks_ref, state_ref, out_ref):
+    def kernel(*refs):
+        if scaled:
+            strip_ref, strip_scale_ref, blocks_ref, blocks_scale_ref, state_ref, out_ref = refs
+        else:
+            strip_ref, blocks_ref, state_ref, out_ref = refs
+            strip_scale_ref = blocks_scale_ref = None
         i = pl.program_id(0)
+
+        def body(op_ref, scale_ref, is_strip):
+            if is_strip and expand > 1:
+                col_group = jax.lax.broadcasted_iota(jnp.int32, (slot, TILE), 1) // slot
+            for k in range(k_tiles):
+                a = op_ref[k]
+                if a.dtype != state_ref.dtype:
+                    a = a.astype(state_ref.dtype)
+                if is_strip and expand > 1:
+                    parts = [a * (col_group == g_i).astype(a.dtype) for g_i in range(expand)]
+                    bd = jnp.concatenate(parts, axis=0)
+                else:
+                    bd = a
+                x = state_ref[:, k * TILE : (k + 1) * TILE]
+                if scaled and scale_in:
+                    x = x * scale_ref[k : k + 1, :].astype(x.dtype)
+                out = jnp.dot(x, bd, preferred_element_type=jnp.float32)
+                if scaled and not scale_in:
+                    out = out * scale_ref[k : k + 1, :].astype(jnp.float32)
+                out_ref[:, k * TILE : (k + 1) * TILE] = out.astype(out_ref.dtype)
 
         @pl.when(i < ns)
         def _():
-            col_group = jax.lax.broadcasted_iota(jnp.int32, (slot, TILE), 1) // slot
-            for k in range(k_tiles):
-                a = strip_ref[k]
-                parts = [a * (col_group == g_i).astype(a.dtype) for g_i in range(expand)]
-                bd = jnp.concatenate(parts, axis=0)
-                x = state_ref[:, k * TILE : (k + 1) * TILE]
-                if bd.dtype != x.dtype:
-                    bd = bd.astype(x.dtype)
-                out_ref[:, k * TILE : (k + 1) * TILE] = jnp.dot(
-                    x, bd, preferred_element_type=jnp.float32
-                ).astype(out_ref.dtype)
+            body(strip_ref, strip_scale_ref, True)
 
         @pl.when(i >= ns)
         def _():
-            for k in range(k_tiles):
-                bd = blocks_ref[k]
-                x = state_ref[:, k * TILE : (k + 1) * TILE]
-                if bd.dtype != x.dtype:
-                    bd = bd.astype(x.dtype)
-                out_ref[:, k * TILE : (k + 1) * TILE] = jnp.dot(
-                    x, bd, preferred_element_type=jnp.float32
-                ).astype(out_ref.dtype)
+            body(blocks_ref, blocks_scale_ref, False)
 
     return kernel
 
 
 def _strip_matmul_mixed(
-    state_t: jax.Array, strip: jax.Array, blocks: jax.Array, slot: int
+    state_t: jax.Array,
+    strip: jax.Array,
+    blocks: jax.Array,
+    slot: int,
+    scale: Optional[jax.Array] = None,
+    blocks_scale: Optional[jax.Array] = None,
+    scale_in: bool = False,
 ) -> jax.Array:
     """Mixed-format aggregation: strips over tiles [0, Ts), full diagonal
     blocks over [Ts, Ts+Tb).  Both region sizes are K_TILES multiples (the
@@ -291,43 +437,70 @@ def _strip_matmul_mixed(
     d_sub, n = state_t.shape
     ts, tb = strip.shape[0], blocks.shape[0]
     if ts == 0:
-        out = _strip_matmul(state_t, blocks, TILE)
+        out = _strip_matmul(state_t, blocks, TILE, scale=blocks_scale, scale_in=scale_in)
         return out
     k = min(K_TILES, ts)
     assert ts % k == 0 and tb % k == 0, (ts, tb, k)
+    scaled = scale is not None
     t = ts + tb
     if t * TILE != n:
         state_t = jnp.pad(state_t, ((0, 0), (0, t * TILE - n)))
     ns = ts // k
     nb = tb // k
+    in_specs = [
+        pl.BlockSpec(
+            (k, slot, TILE), lambda i: (jnp.minimum(i, ns - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = [strip]
+    if scaled:
+        in_specs.append(
+            pl.BlockSpec((k, TILE), lambda i: (jnp.minimum(i, ns - 1), 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(scale)
+    in_specs.append(
+        pl.BlockSpec(
+            (k, TILE, TILE), lambda i: (jnp.maximum(i - ns, 0), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
+    operands.append(blocks)
+    if scaled:
+        in_specs.append(
+            pl.BlockSpec((k, TILE), lambda i: (jnp.maximum(i - ns, 0), 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(blocks_scale)
+    in_specs.append(
+        pl.BlockSpec((d_sub, k * TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+    )
+    operands.append(state_t)
     out = pl.pallas_call(
-        _mixed_kernel(k, slot, ns),
+        _mixed_kernel(k, slot, ns, scaled=scaled, scale_in=scale_in),
         out_shape=jax.ShapeDtypeStruct((d_sub, t * TILE), state_t.dtype),
         grid=(ns + nb,),
-        in_specs=[
-            pl.BlockSpec(
-                (k, slot, TILE), lambda i: (jnp.minimum(i, ns - 1), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (k, TILE, TILE), lambda i: (jnp.maximum(i - ns, 0), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((d_sub, k * TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((d_sub, k * TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=jax.default_backend() != "tpu",
-    )(strip, blocks, state_t)
+    )(*operands)
     return out[:, :n]
 
 
 def _diag_matmul(state_t: jax.Array, op: StripOperator, transpose: bool) -> jax.Array:
-    """The block-diagonal part of the operator (mixed or single-format)."""
+    """The block-diagonal part of the operator (mixed or single-format).
+    int8 mask+scale operators reuse the ONE forward scale in both directions:
+    forward multiplies the output columns, the transpose multiplies the input
+    columns (the destination scale moves to the contraction axis)."""
     strip = op.strip_t if transpose else op.strip
     if op.blocks is not None:
         blocks = op.blocks_t if transpose else op.blocks
-        return _strip_matmul_mixed(state_t, strip, blocks, op.slot)
-    return _strip_matmul(state_t, strip, op.slot)
+        return _strip_matmul_mixed(
+            state_t, strip, blocks, op.slot,
+            scale=op.scale, blocks_scale=op.blocks_scale, scale_in=transpose,
+        )
+    return _strip_matmul(state_t, strip, op.slot, scale=op.scale, scale_in=transpose)
 
 
 def _strip_forward(state: jax.Array, op: StripOperator) -> jax.Array:

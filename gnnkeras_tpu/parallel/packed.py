@@ -175,6 +175,19 @@ def partition_packed(
             "inconsistent cross-tile residual structure across devices — "
             "use partition_graph (range sharding) for this workload"
         )
+    # int8 mask+scale factorability can differ per device group (parallel
+    # arcs land on one shard only); stacking needs ONE pytree — downgrade all
+    if any(b.strip.scale is None for b in batches) and any(
+        b.strip.scale is not None for b in batches
+    ):
+        from gnnkeras_tpu.ops.strip import strip_to_dense
+
+        for i, b in enumerate(batches):
+            if b.strip.scale is not None:
+                rows = b.host_pred_rows
+                nb = b.replace(strip=strip_to_dense(b.strip))
+                object.__setattr__(nb, "host_pred_rows", rows)
+                batches[i] = nb
 
     pred_rows = [np.asarray(b.host_pred_rows) for b in batches]
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)

@@ -9,9 +9,11 @@ import pytest
 from gnnkeras_tpu.ops.strip import (
     SLOT,
     TILE,
+    StripFactorError,
     build_strip_operator,
     strip_aggregate,
     strip_aggregate_t,
+    strip_to_dense,
 )
 
 
@@ -152,6 +154,148 @@ class TestSlotGeneralization:
         assert op.residual is None
         op32 = build_strip_operator(src, dst, w, n, slot=32)
         assert op32.residual is not None  # 32-slot crossings exist
+
+
+def average_mode_graph(seed=0, n_tiles=4, cross_slot=True):
+    """Deduplicated edges with per-destination weights 1/indeg — the
+    reference's 'average' aggregation (graph_class.py:105-121), the shape
+    int8 mask+scale storage factorizes."""
+    src, dst, _, n = random_slot_graph(seed=seed, n_tiles=n_tiles, cross_slot=cross_slot)
+    pairs = np.unique(np.stack([src, dst], 1), axis=0)
+    src, dst = pairs[:, 0], pairs[:, 1]
+    indeg = np.bincount(dst, minlength=n).astype(np.float64)
+    w = 1.0 / indeg[dst]
+    return src, dst, w, n
+
+
+class TestInt8MaskScale:
+    """int8 mask + per-column f32 scale storage: exact factorization of the
+    per-destination aggregation weights, half the bf16 operator bytes."""
+
+    @pytest.mark.parametrize("slot", [32, 64, 128])
+    def test_forward_matches_dense(self, slot):
+        src, dst, w, n = average_mode_graph(seed=31)
+        op = build_strip_operator(src, dst, w, n, slot=slot, dtype=np.int8)
+        assert op.scale is not None and op.strip.dtype == jnp.int8
+        assert op.scale.shape == (op.strip.shape[0], TILE)
+        state = np.random.default_rng(32).normal(size=(n, 14)).astype(np.float32)
+        got = np.asarray(strip_aggregate(jnp.asarray(state), op))
+        want = dense_oracle(src, dst, w, n, state)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+    def test_transposed_forward_and_backward(self):
+        src, dst, w, n = average_mode_graph(seed=33)
+        op = build_strip_operator(src, dst, w, n, dtype=np.int8)
+        d_pad = 16
+        state_t = jnp.asarray(
+            np.random.default_rng(34).normal(size=(d_pad, n)).astype(np.float32)
+        )
+        ct = jnp.asarray(np.random.default_rng(35).normal(size=(d_pad, n)).astype(np.float32))
+        got = np.asarray(strip_aggregate_t(state_t, op))
+        want = dense_oracle(src, dst, w, n, np.asarray(state_t).T).T
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+        # the VJP applies the SAME forward scale on the contraction axis
+        g_got = jax.grad(lambda s: jnp.sum(strip_aggregate_t(s, op) * ct))(state_t)
+        adj = np.zeros((n, n), np.float32)
+        np.add.at(adj, (src, dst), w.astype(np.float32))
+        adj_j = jnp.asarray(adj)
+        g_want = jax.grad(lambda s: jnp.sum((s @ adj_j) * ct))(state_t)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), rtol=1e-3, atol=1e-3)
+
+    def test_mixed_format_int8(self):
+        """Mixed strip/block regions both factor (n_strip_tiles path)."""
+        from gnnkeras_tpu.ops.strip import K_TILES
+
+        src, dst, w, n = average_mode_graph(seed=36, n_tiles=2 * K_TILES + 4)
+        op = build_strip_operator(src, dst, w, n, slot=32, dtype=np.int8,
+                                  n_strip_tiles=K_TILES)
+        assert op.scale is not None and op.blocks_scale is not None
+        assert op.blocks.dtype == jnp.int8
+        state = np.random.default_rng(37).normal(size=(n, 6)).astype(np.float32)
+        got = np.asarray(strip_aggregate(jnp.asarray(state), op))
+        want = dense_oracle(src, dst, w, n, state)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+    def test_not_factorable_raises(self):
+        """Per-arc weights (or duplicate arcs) cannot factor into mask+scale."""
+        src, dst, w, n = random_slot_graph(seed=38)  # w ~ N(0,1) per arc
+        with pytest.raises(StripFactorError):
+            build_strip_operator(src, dst, w, n, dtype=np.int8)
+        # duplicate arcs accumulate to 2/indeg in one column entry
+        s2, d2, w2, n2 = average_mode_graph(seed=39)
+        s2 = np.concatenate([s2, s2[:1]])
+        d2 = np.concatenate([d2, d2[:1]])
+        w2 = np.concatenate([w2, w2[:1]])
+        with pytest.raises(StripFactorError):
+            build_strip_operator(s2, d2, w2, n2, dtype=np.int8)
+
+    def test_strip_to_dense_roundtrip(self):
+        """Dense reconstruction (sequencer downgrade path) reproduces the
+        directly-built dense operator's aggregation, strips and transposes."""
+        for slot in (32, 128):
+            src, dst, w, n = average_mode_graph(seed=40)
+            op8 = build_strip_operator(src, dst, w, n, slot=slot, dtype=np.int8)
+            opd = strip_to_dense(op8, dtype=jnp.float32)
+            assert opd.scale is None and opd.blocks_scale is None
+            opf = build_strip_operator(src, dst, w, n, slot=slot, dtype=np.float32)
+            np.testing.assert_allclose(
+                np.asarray(opd.strip, np.float32), np.asarray(opf.strip), rtol=1e-6, atol=1e-7
+            )
+            np.testing.assert_allclose(
+                np.asarray(opd.strip_t, np.float32), np.asarray(opf.strip_t),
+                rtol=1e-6, atol=1e-7,
+            )
+
+    def test_from_graph_object_int8_and_fallback(self):
+        """strip_dtype='int8' engages on average-mode merges and silently
+        falls back to bf16 dense storage when the weights don't factor."""
+        from gnnkeras_tpu.graph.batch import from_graph_object
+        from gnnkeras_tpu.graph.graph import GraphObject
+
+        rng = np.random.default_rng(41)
+        graphs = []
+        for i in range(6):
+            nn = int(rng.integers(8, 20))
+            nodes = np.eye(5, dtype=np.float32)[rng.integers(0, 5, nn)]
+            na = 2 * nn
+            pairs = np.unique(
+                np.stack([rng.integers(0, nn, na), rng.integers(0, nn, na)], 1), axis=0
+            )
+            arcs = np.concatenate(
+                [pairs.astype(np.float64), np.ones((len(pairs), 1))], axis=1
+            )
+            graphs.append(GraphObject(nodes=nodes, arcs=arcs,
+                                      targets=np.eye(2, dtype=np.float32)[[i % 2]],
+                                      focus="g", aggregation_mode="average"))
+        merged = GraphObject.merge(graphs, focus="g", aggregation_mode="average")
+        b = from_graph_object(merged, slot_pack=128, strip_dtype="int8")
+        assert b.strip.scale is not None and b.strip.strip.dtype == jnp.int8
+
+        state = rng.normal(size=(b.nodes.shape[0], 5)).astype(np.float32)
+        got = np.asarray(strip_aggregate(jnp.asarray(state), b.strip))
+        bf = from_graph_object(merged, slot_pack=128, strip_dtype="float32")
+        want = np.asarray(strip_aggregate(jnp.asarray(state), bf.strip))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+        # composite_average gives one destination TWO weights (one per source
+        # type) — not column-factorable, so int8 silently downgrades to bf16
+        from gnnkeras_tpu.graph.graph import CompositeGraphObject
+
+        nodes = np.arange(10, dtype=float).reshape(5, 2)
+        arcs = np.array(  # node 2: two type-0 in-arcs (w=1/2), one type-1 (w=1)
+            [[0, 2, 1.0], [1, 2, 0.0], [3, 2, 1.0], [0, 1, 1.0], [3, 4, 0.5]]
+        )
+        tm = np.zeros((5, 2), dtype=bool)
+        tm[:2, 0] = True
+        tm[2:, 1] = True
+        cg = CompositeGraphObject(
+            nodes=nodes, arcs=arcs, targets=np.ones((5, 1)), type_mask=tm,
+            dim_node_label=(2, 2), focus="n", aggregation_mode="composite_average",
+        )
+        cb = from_graph_object(cg, slot_pack=128, strip_dtype="int8")
+        assert cb.strip is not None
+        assert cb.strip.scale is None and cb.strip.strip.dtype == jnp.bfloat16
 
 
 class TestTransposedInterface:
