@@ -54,6 +54,14 @@ def _config(args) -> "GNNConfig":
         cfg = GNNConfig()
     if getattr(args, "epochs", None) is not None:
         cfg.epochs = args.epochs
+    # engine overrides (flagship transposed strip stack knobs)
+    if getattr(args, "slot_pack", None) is not None:
+        cfg.slot_pack = args.slot_pack
+    if getattr(args, "strip_dtype", None) is not None:
+        cfg.strip_dtype = args.strip_dtype
+    if getattr(args, "transposed", None) is not None:
+        cfg.transposed = {"auto": None, "on": True, "off": False}[args.transposed]
+    cfg.__post_init__()  # re-validate after CLI overrides
     return cfg
 
 
@@ -96,7 +104,7 @@ def _load_model(model_dir: str):
     return cls.load(model_dir)
 
 
-def _train_parallel(par, cfg, model, tr, va, args):
+def _train_parallel(par, cfg, model, tr, va, args, class_weight=None):
     """Drive one of the distributed engines from the CLI.  Every engine
     writes the trained weights back into ``model``, so evaluation and
     ``--save`` below run on the ordinary single-device surface."""
@@ -139,9 +147,16 @@ def _train_parallel(par, cfg, model, tr, va, args):
 
         merged = type(tr[0]).merge(list(tr), focus="g", aggregation_mode=cfg.aggregation_mode)
         stacked, _ = partition_packed(merged, n_dev)
+        merged_va = type(va[0]).merge(list(va), focus="g", aggregation_mode=cfg.aggregation_mode)
+        stacked_va, _ = partition_packed(merged_va, n_dev)
         wrapper = PackedPartitionedLGNN if hasattr(model, "gnns") else PackedPartitionedGNN
         pgnn = wrapper(model, make_mesh(("graph",), devices=jax.devices()[:n_dev]))
-        h = pgnn.fit(stacked, epochs=epochs, verbose=args.verbose)
+        h = pgnn.fit(
+            stacked, epochs=epochs, verbose=args.verbose,
+            validation_data=stacked_va,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+            class_weight=class_weight,
+        )
         return {k: v[-1] for k, v in h.items()}
 
     if par == "pipeline":
@@ -185,9 +200,12 @@ def cmd_train(args) -> int:
     node_dim, arc_dim, t_dim = _dims(graphs)
     model = cfg.build_model(node_dim, arc_dim, t_dim)
     if cfg.parallel != "none":
-        if class_weight is not None:
-            raise SystemExit("--class-weight is supported on the single-device path only")
-        final_train = _train_parallel(cfg.parallel, cfg, model, tr, va, args)
+        if class_weight is not None and cfg.parallel != "packed":
+            raise SystemExit(
+                "--class-weight is supported on the single-device and "
+                "--parallel packed paths only"
+            )
+        final_train = _train_parallel(cfg.parallel, cfg, model, tr, va, args, class_weight)
     else:
         history = model.fit(
             cfg.build_sequencer(tr),
@@ -270,6 +288,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         p.add_argument("--val-frac", type=float, default=None,
                        help="validation split fraction (see --test-frac)")
         p.add_argument("--verbose", type=int, default=1)
+        p.add_argument("--slot-pack", type=int, default=None, choices=[0, 128],
+                       help="sequencer slot packing (0 = off, 128 = strip engine; "
+                            "default: auto — 128 for graph-focused runs)")
+        p.add_argument("--strip-dtype", default=None,
+                       choices=["int8", "bfloat16", "float32"],
+                       help="strip operator storage (default: config, int8)")
+        p.add_argument("--transposed", default=None, choices=["auto", "on", "off"],
+                       help="feature-major unfold engine (default: auto)")
         if model:
             p.add_argument("--model", required=True, help="saved model directory")
         if needs_out:

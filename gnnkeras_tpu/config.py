@@ -60,6 +60,22 @@ class GNNConfig:
     # (Recurrent BatchNorm; see models/gnn.py) — off = reference semantics
     per_iteration_bn: bool = False
 
+    # beyond-reference: single-chip engine selection (the flagship transposed
+    # strip stack, BASELINE.md rounds 3-4).
+    # slot_pack: None = auto (128 for graph-focused multi-graph sequencers —
+    # the measured-fastest engine becomes the default user path), 0 = off,
+    # 128 = force on.  Controls whether sequencer batches carry the
+    # compact-strip operator that routes the transposed unfold engine.
+    slot_pack: Optional[int] = None
+    # strip operator storage: 'int8' (mask+scale factorization, half the
+    # bytes; production default per the round-4 measurement, BASELINE.md) |
+    # 'bfloat16' | 'float32'.  Non-factorable merges degrade to bf16 with a
+    # RuntimeWarning (graph/batch.py).
+    strip_dtype: str = "int8"
+    # transposed (feature-major) unfold engine: None = the model's auto rule
+    # (on for strip-carrying batches), True/False = force
+    transposed: Optional[bool] = None
+
     # beyond-reference: distributed execution engine (parallel/ tier).
     # none | dp (data parallel) | partitioned (range-sharded halo engine) |
     # packed (molecule-granular, graph focus) | pipeline (GPipe over LGNN
@@ -78,6 +94,18 @@ class GNNConfig:
             raise ValueError("dim_state, max_iter and state_threshold must be >= 0")
         if self.layers < 1:
             raise ValueError(f"layers must be >= 1, got {self.layers}")
+        if self.slot_pack not in (None, 0, 128):
+            raise ValueError(
+                f"bad slot_pack {self.slot_pack!r} (None = auto | 0 = off | 128); "
+                "sub-128 mixed-format slots are a graph.batch.from_graph_object "
+                "surface, not a sequencer one"
+            )
+        if self.strip_dtype not in ("int8", "bfloat16", "float32"):
+            raise ValueError(
+                f"bad strip_dtype {self.strip_dtype!r} (int8 | bfloat16 | float32)"
+            )
+        if self.transposed not in (None, True, False):
+            raise ValueError(f"bad transposed {self.transposed!r} (None = auto | bool)")
         if self.parallel not in ("none", "dp", "partitioned", "packed", "pipeline", "expert"):
             raise ValueError(
                 f"bad parallel {self.parallel!r} "
@@ -180,6 +208,8 @@ class GNNConfig:
             else:
                 gnns.append(homo_cls(nets_state[0], net_output, self.dim_state, self.max_iter,
                                      self.state_threshold, per_iteration_bn=self.per_iteration_bn))
+            if self.transposed is not None:
+                gnns[-1].transposed = self.transposed
 
         if self.layers == 1:
             model = gnns[0]
@@ -242,4 +272,13 @@ class GNNConfig:
             if isinstance(graphs[0], CompositeGraphObject)
             else MultiGraphSequencer
         )
-        return cls(graphs, self.focus, self.aggregation_mode, self.batch_size, shuffle)
+        # flagship engine routing: slot-packed strip batches drive the
+        # transposed unfold engine; auto = on for graph-focused multi-graph
+        # sequencers (the measured-fastest configuration, BASELINE.md r3-r4)
+        slot = self.slot_pack
+        if slot is None:
+            slot = 128 if self.focus == "g" else 0
+        return cls(
+            graphs, self.focus, self.aggregation_mode, self.batch_size, shuffle,
+            slot_pack=slot or None, strip_dtype=self.strip_dtype,
+        )

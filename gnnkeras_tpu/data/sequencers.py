@@ -226,8 +226,10 @@ class MultiGraphSequencer:
         # int8 mask+scale storage is per-merge factorable: a reshuffled epoch
         # whose merge contains parallel arcs falls back to dense bf16, which
         # would flip the pytree (scale present → None) and retrace the step —
-        # LATCH the downgrade and convert every factored batch to dense
-        if any(op.scale is None for op in ops) and any(op.scale is not None for op in ops):
+        # LATCH on ANY absence (like _bcsr_degraded above): even an
+        # all-absent rebuild must pin the structure, or a later
+        # all-factorable rebuild would flip scale back to present
+        if any(op.scale is None for op in ops):
             self._strip_scale_degraded = True
         if getattr(self, "_strip_scale_degraded", False):
             from gnnkeras_tpu.ops.strip import strip_to_dense

@@ -439,11 +439,22 @@ def from_graph_object(
                         src[:a], dst[:a], w[:a], N, slot=slot_pack,
                         dtype=jnp.dtype(strip_dtype), n_strip_tiles=n_strip_tiles,
                     )
-                except StripFactorError:
+                except StripFactorError as err:
                     # int8 mask+scale needs one weight per destination column
                     # (sum/normalized/average over deduplicated arcs) — fall
                     # back to direct bf16 weight storage when it doesn't hold
-                    # (composite_average, parallel arcs)
+                    # (composite_average, parallel arcs).  Warn so an explicit
+                    # strip_dtype='int8' request is observably downgraded
+                    # (warnings dedups per call site → once per process).
+                    import warnings
+
+                    warnings.warn(
+                        "strip_dtype='int8' requested but the operator weights "
+                        f"are not column-factorable ({err}); storing the strip "
+                        "as dense bfloat16 instead",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
                     strip_op = build_strip_operator(
                         src[:a], dst[:a], w[:a], N, slot=slot_pack,
                         dtype=jnp.dtype("bfloat16"), n_strip_tiles=n_strip_tiles,

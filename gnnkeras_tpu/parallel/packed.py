@@ -228,6 +228,18 @@ class PackedPartitionedGNN:
         )
         return k, state, out, out_mask, new_mstate, batch
 
+    def _metric_sums(self, b, out):
+        """Per-metric (sum, count) pairs psum'd over the mesh — the union of
+        per-device masked sums equals the merged batch's metric exactly."""
+        from gnnkeras_tpu.training.metrics import get_metric
+
+        sums = {}
+        for spec in self.gnn.metrics:
+            name, fn = get_metric(spec)
+            s, c = fn(b.targets, out, b.target_mask, b.sample_weight)
+            sums[name] = (jax.lax.psum(s, self.axis), jax.lax.psum(c, self.axis))
+        return sums
+
     def _local_loss(self, params, mstate, batch, rng, loss_fn, training):
         k, state, out, out_mask, new_mstate, b = self._local_forward(
             params, mstate, batch, rng, training
@@ -237,7 +249,7 @@ class PackedPartitionedGNN:
         loss_sum = jax.lax.psum(jnp.sum(per_row * b.sample_weight * m), self.axis)
         count = jax.lax.psum(jnp.sum(m), self.axis)
         loss = loss_sum / jnp.maximum(count, 1.0) + self.gnn.regularization_loss(params)
-        return loss, (k, out, new_mstate, count)
+        return loss, (k, out, new_mstate, count, self._metric_sums(b, out))
 
     # -- jitted entry points -----------------------------------------------------
     def make_forward(self, training: bool = False):
@@ -280,7 +292,7 @@ class PackedPartitionedGNN:
             raise RuntimeError("call gnn.compile() before building the packed train step")
 
         def device_step(params, mstate, opt_state, batch, rng):
-            (loss, (k, out, new_mstate, count)), grads = jax.value_and_grad(
+            (loss, (k, out, new_mstate, count, msums)), grads = jax.value_and_grad(
                 lambda p: self._local_loss(p, mstate, batch, rng, loss_fn, True), has_aux=True
             )(params)
             # same structure as parallel/partition.py device_step: every
@@ -293,7 +305,11 @@ class PackedPartitionedGNN:
             params = optax.apply_updates(params, updates)
             # LGNN stacks carry one trip count per layer — log the mean
             # (identity for the single-model scalar)
-            return params, new_mstate, opt_state, {"loss": loss, "k": jnp.mean(jnp.asarray(k))}
+            logs = {"loss": loss, "k": jnp.mean(jnp.asarray(k))}
+            for name, (s, c) in msums.items():
+                logs[f"{name}_sum"] = s
+                logs[f"{name}_count"] = c
+            return params, new_mstate, opt_state, logs
 
         sharded = shard_map(
             device_step,
@@ -334,41 +350,150 @@ class PackedPartitionedGNN:
         self._cache["train_multi"] = step
         return step
 
-    def fit(self, batch, epochs: int, steps_per_launch: int = 1, verbose: int = 0):
+    @staticmethod
+    def _epoch_logs(step_logs) -> dict:
+        """Device step logs → user-facing epoch logs (metric sums reduced)."""
+        out = {"loss": float(step_logs["loss"]), "k": float(step_logs["k"])}
+        for key in step_logs:
+            if key.endswith("_sum") and key != "loss_sum":
+                name = key[:-4]
+                out[name] = float(step_logs[key]) / max(
+                    float(step_logs.get(f"{name}_count", 1.0)), 1e-9
+                )
+        return out
+
+    def _validation_logs(self, validation_data) -> dict:
+        """Validation on a packed stacked batch (this engine's evaluate) or an
+        ordinary sequencer (the single-device evaluate — gnn.variables are
+        synced each epoch, so both views score the same weights)."""
+        if isinstance(validation_data, GraphBatch):
+            logs = self.evaluate(validation_data)
+        else:
+            from gnnkeras_tpu.training.trainer import evaluate as seq_evaluate
+
+            logs = seq_evaluate(self.gnn, validation_data, verbose=0)
+        return {f"val_{k}": v for k, v in logs.items()}
+
+    def fit(
+        self,
+        batch,
+        epochs: int,
+        steps_per_launch: int = 1,
+        verbose: int = 0,
+        *,
+        validation_data=None,
+        callbacks: Optional[list] = None,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 1,
+        resume: bool = False,
+        class_weight: Optional[dict] = None,
+        validation_freq: int = 1,
+        seed: int = 0,
+    ):
         """Full-batch training on the packed partition; one step per epoch
-        (the flagship protocol).  Returns a history dict."""
+        (the flagship protocol), with the full single-device fit surface:
+        validation (a packed stacked batch or a plain sequencer), callbacks
+        (History/EarlyStopping/...), resumable checkpoints and class_weight —
+        same semantics as training/trainer.py fit.  Returns a History.
+
+        ``steps_per_launch`` amortizes launches by scanning K epochs per
+        dispatch; per-epoch weights then exist only at chunk boundaries, so
+        requesting validation/callbacks/checkpointing forces it back to 1."""
+        from gnnkeras_tpu.training.callbacks import History
+
         gnn = self.gnn
         if gnn.loss is None:
             raise RuntimeError("call gnn.compile() before fit()")
-        gnn.build()
+        gnn.build(seed=seed)
         if gnn._opt_state is None:
             gnn._opt_state = gnn.optimizer.init(gnn.variables["params"])
-        params, mstate, opt_state = (
+
+        full_surface = validation_data is not None or bool(callbacks) or checkpoint_dir is not None
+        if full_surface:
+            steps_per_launch = 1
+
+        start_epoch = 0
+        if checkpoint_dir is not None:
+            from gnnkeras_tpu.training.checkpoint import CheckpointCallback
+
+            ckpt_cb = CheckpointCallback(checkpoint_dir, every_epochs=checkpoint_every)
+            if resume and ckpt_cb.manager.latest_step() is not None:
+                extra = ckpt_cb.manager.restore(gnn)
+                start_epoch = int(extra.get("epoch", -1)) + 1
+                if verbose:
+                    print(f"resumed from {checkpoint_dir} at epoch {start_epoch}")
+            callbacks = list(callbacks or []) + [ckpt_cb]
+
+        if class_weight:
+            from gnnkeras_tpu.training.trainer import (
+                _apply_class_weight,
+                _class_weight_vector,
+            )
+
+            # targets are (D, R, T); the class argmax broadcasts over the
+            # leading device axis, so the stacked batch weights in place
+            batch = _apply_class_weight(batch, _class_weight_vector(class_weight))
+
+        history = History()
+        cbs = [history] + list(callbacks or [])
+        for cb in cbs:
+            cb.set_model(gnn)
+            cb.on_train_begin()
+
+        # the step wants mesh-replicated trees; checkpoint restores and
+        # callback mutations come back committed to one device — re-replicate
+        # whenever the model view is picked up (no-op when already replicated)
+        from jax.sharding import NamedSharding
+
+        rep = NamedSharding(self.mesh, P())
+        to_rep = lambda t: jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), t)
+
+        params, mstate, opt_state = to_rep((
             gnn.variables["params"], gnn.variables["state"], gnn._opt_state,
-        )
-        history = {"loss": [], "k": []}
-        e = 0
-        while e < epochs:
+        ))
+        e = start_epoch
+        stop = False
+        while e < epochs and not stop:
             n = min(steps_per_launch, epochs - e)
             rngs = jnp.stack([gnn.next_rng() for _ in range(n)])
             if n == 1:
                 params, mstate, opt_state, logs = self.make_train_step()(
                     params, mstate, opt_state, batch, rngs[0]
                 )
-                losses, ks = [float(logs["loss"])], [float(logs["k"])]
+                chunk = [logs]
             else:
                 params, mstate, opt_state, logs = self.make_multi_step()(
                     params, mstate, opt_state, batch, rngs
                 )
-                losses = [float(x) for x in np.asarray(logs["loss"])]
-                ks = [float(x) for x in np.asarray(logs["k"])]
-            history["loss"].extend(losses)
-            history["k"].extend(ks)
-            if verbose:
-                print(f"epoch {e + n}/{epochs} loss: {losses[-1]:.4f}")
+                host = {k: np.asarray(v) for k, v in logs.items()}
+                chunk = [{k: v[i] for k, v in host.items()} for i in range(n)]
+            # write the updated weights back BEFORE callbacks so validation,
+            # checkpoints and EarlyStopping(restore_best) see this epoch's
+            # weights (chunked launches only reach here at chunk boundaries,
+            # where full_surface guarantees n == 1)
+            gnn.variables = {"params": params, "state": mstate}
+            gnn._opt_state = opt_state
+            for j, step_logs in enumerate(chunk):
+                epoch = e + j
+                ep_logs = self._epoch_logs(step_logs)
+                if validation_data is not None and (epoch + 1) % max(validation_freq, 1) == 0:
+                    ep_logs.update(self._validation_logs(validation_data))
+                if verbose:
+                    msg = " - ".join(f"{k}: {v:.4f}" for k, v in ep_logs.items())
+                    print(f"epoch {epoch + 1}/{epochs} {msg}")
+                for cb in cbs:
+                    cb.on_epoch_end(epoch, ep_logs)
+                    stop = stop or cb.stop_training
+                if stop:
+                    break
+            # pick callback weight mutations back up (EarlyStopping restore)
+            params, mstate = to_rep((gnn.variables["params"], gnn.variables["state"]))
+            opt_state = to_rep(gnn._opt_state)
             e += n
         gnn.variables = {"params": params, "state": mstate}
         gnn._opt_state = opt_state
+        for cb in cbs:
+            cb.on_train_end()
         return history
 
     def evaluate(self, batch, meta: Optional[PackedPartitionMeta] = None):
@@ -472,7 +597,9 @@ class PackedPartitionedLGNN(PackedPartitionedGNN):
         else:
             data_loss = masked(outs[-1])
         loss = data_loss + self.gnn.regularization_loss(params)
-        return loss, (jnp.stack(ks), outs[-1], new_mstate, count)
+        # metrics score the last layer's output (reference LGNN.py:279)
+        return loss, (jnp.stack(ks), outs[-1], new_mstate, count,
+                      self._metric_sums(b, outs[-1]))
 
     def make_forward(self, training: bool = False):
         key = f"fwd_{training}"

@@ -40,6 +40,20 @@ class History(Callback):
         for key, value in (logs or {}).items():
             self.history.setdefault(key, []).append(value)
 
+    # dict-style access so engines that used to return plain history dicts
+    # (parallel/packed.py) can return a History without breaking callers
+    def __getitem__(self, key):
+        return self.history[key]
+
+    def __contains__(self, key):
+        return key in self.history
+
+    def items(self):
+        return self.history.items()
+
+    def keys(self):
+        return self.history.keys()
+
 
 class EarlyStopping(Callback):
     def __init__(

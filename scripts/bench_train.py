@@ -22,7 +22,7 @@ from bench import ITERS, build_workload
 K_STEPS = 20
 
 
-def main():
+def main(label: str = ""):
     gnn, batch, n_arcs = build_workload()
     gnn.compile(optimizer="adam:0.01", loss="categorical_crossentropy")
     gnn.build(seed=0)
@@ -68,7 +68,7 @@ def main():
     dt_step = (float(np.median(times)) - floor) / K_STEPS
 
     print(
-        f"train step: {dt_step * 1e3:.2f} ms  ->  {1.0 / dt_step:.1f} steps/s, "
+        f"train step{label}: {dt_step * 1e3:.2f} ms  ->  {1.0 / dt_step:.1f} steps/s, "
         f"{ITERS * n_arcs / dt_step / 1e6:.0f}M transition-edges/s (fwd+bwd+update)"
     )
 
@@ -175,5 +175,12 @@ def decompose():
 if __name__ == "__main__":
     if os.environ.get("DECOMPOSE"):
         decompose()
+    elif os.environ.get("STRIP_SWEEP"):
+        # training-step effect of the strip operator storage dtype (the
+        # backward's strip VJP re-reads the operator: int8 mask+scale halves
+        # those bytes vs bf16)
+        for dt in ("float32", "bfloat16", "int8"):
+            os.environ["GNNK_BENCH_STRIP_DTYPE"] = dt
+            main(label=f" [strip={dt}]")
     else:
         main()

@@ -2,7 +2,8 @@
 Mutagenicity, starter architecture, 5 transition iterations) under
 
 - the row-major production engine (tile-packed, BCSR einsum aggregation), and
-- the transposed engine at slot widths 32/64/128 and strip dtypes f32/bf16.
+- the transposed engine at slot widths 32/64/128 and strip dtypes
+  f32/bf16/int8 (int8 = mask + per-column scale factorization).
 
 Methodology as bench.py: repeats inside one jit with a threaded data
 dependence, sync-floor subtraction (honest timing through the tunneled TPU,
@@ -90,7 +91,7 @@ def main():
     del batch
 
     for slot in (128, 64, 32):
-        for dtype in ("float32", "bfloat16"):
+        for dtype in ("float32", "bfloat16", "int8"):
             b = from_graph_object(merged, slot_pack=slot, strip_dtype=dtype)
             gnn.transposed = True
             # correctness canary: masked state norm (order-independent)

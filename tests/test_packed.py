@@ -310,3 +310,74 @@ class TestPackedLGNN:
         # rows travel with their nodes
         node_sel = np.isin(merged.graph_of_node, ids)
         np.testing.assert_array_equal(sub.type_mask, merged.type_mask[node_sel])
+
+
+class TestPackedFitSurface:
+    """The packed engine's fit carries the full single-device surface:
+    validation, callbacks/EarlyStopping, resumable checkpoints, class_weight
+    (VERDICT r3 next-step #3)."""
+
+    def _fresh(self):
+        gnn = build_gnn()
+        gnn.compile(optimizer="adam:0.01", loss="categorical_crossentropy",
+                    metrics=["accuracy"])
+        return gnn
+
+    def test_validation_metrics_and_early_stopping(self, mesh8, tmp_path):
+        from gnnkeras_tpu.training.callbacks import EarlyStopping
+
+        stacked, _ = partition_packed(molecule_batch(40, seed=0), 8)
+        stacked_va, _ = partition_packed(molecule_batch(16, seed=9), 8)
+        gnn = self._fresh()
+        p = PackedPartitionedGNN(gnn, mesh8)
+        h = p.fit(stacked, epochs=3, verbose=0, validation_data=stacked_va,
+                  callbacks=[EarlyStopping(monitor="val_loss", patience=5)])
+        for key in ("loss", "accuracy", "val_loss", "val_accuracy", "k"):
+            assert key in h.history, key
+        assert len(h.history["loss"]) == 3
+        assert all(np.isfinite(v) for v in h.history["val_loss"])
+        # patience-0 early stopping actually stops (monitor an always-"worse"
+        # metric by construction: k is constant, mode max with min_delta)
+        gnn2 = self._fresh()
+        p2 = PackedPartitionedGNN(gnn2, mesh8)
+        h2 = p2.fit(stacked, epochs=6, verbose=0, validation_data=stacked_va,
+                    callbacks=[EarlyStopping(monitor="val_loss", patience=0,
+                                             min_delta=1e9)])
+        assert len(h2.history["loss"]) < 6
+
+    def test_checkpoint_resume_equality(self, mesh8, tmp_path):
+        """3 epochs + resumed 1 == straight 4 epochs, exactly (params, BN
+        moments, optimizer state and host PRNG all restored)."""
+        stacked, _ = partition_packed(molecule_batch(40, seed=0), 8)
+        ckpt = str(tmp_path / "packed_ckpt")
+
+        gnn1 = self._fresh()
+        p1 = PackedPartitionedGNN(gnn1, mesh8)
+        h1 = p1.fit(stacked, epochs=3, verbose=0, checkpoint_dir=ckpt)
+        assert len(h1.history["loss"]) == 3
+
+        gnn2 = self._fresh()
+        p2 = PackedPartitionedGNN(gnn2, mesh8)
+        h2 = p2.fit(stacked, epochs=4, verbose=0, checkpoint_dir=ckpt, resume=True)
+        assert len(h2.history["loss"]) == 1  # epochs 0-2 restored, epoch 3 runs
+
+        gnn3 = self._fresh()
+        p3 = PackedPartitionedGNN(gnn3, mesh8)
+        p3.fit(stacked, epochs=4, verbose=0)
+        jax.tree_util.tree_map(
+            lambda v2, v3: np.testing.assert_allclose(
+                np.asarray(v2), np.asarray(v3), rtol=1e-6, atol=1e-7
+            ),
+            gnn2.variables["params"], gnn3.variables["params"],
+        )
+
+    def test_class_weight_changes_loss(self, mesh8):
+        stacked, _ = partition_packed(molecule_batch(24, seed=2), 8)
+        gnn = self._fresh()
+        h = PackedPartitionedGNN(gnn, mesh8).fit(stacked, epochs=1, verbose=0)
+        gnn_w = self._fresh()
+        hw = PackedPartitionedGNN(gnn_w, mesh8).fit(
+            stacked, epochs=1, verbose=0, class_weight={0: 3.0}
+        )
+        assert np.isfinite(hw.history["loss"][0])
+        assert abs(hw.history["loss"][0] - h.history["loss"][0]) > 1e-6

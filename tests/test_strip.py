@@ -247,9 +247,38 @@ class TestInt8MaskScale:
                 rtol=1e-6, atol=1e-7,
             )
 
+    def test_strip_to_dense_roundtrip_mixed_blocks(self):
+        """The blocks/blocks_t reconstruction branch (mixed-format operators,
+        the sequencer/partition_packed downgrade path) reproduces the
+        directly-built float operator, including the transposed blocks."""
+        from gnnkeras_tpu.ops.strip import K_TILES
+
+        src, dst, w, n = average_mode_graph(seed=43, n_tiles=2 * K_TILES + 4)
+        op8 = build_strip_operator(src, dst, w, n, slot=32, dtype=np.int8,
+                                   n_strip_tiles=K_TILES)
+        assert op8.blocks is not None and op8.blocks_scale is not None
+        opd = strip_to_dense(op8, dtype=jnp.float32)
+        assert opd.scale is None and opd.blocks_scale is None
+        opf = build_strip_operator(src, dst, w, n, slot=32, dtype=np.float32,
+                                   n_strip_tiles=K_TILES)
+        for name in ("strip", "strip_t", "blocks", "blocks_t"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(opd, name), np.float32),
+                np.asarray(getattr(opf, name)),
+                rtol=1e-6, atol=1e-7, err_msg=name,
+            )
+        # and the aggregation itself agrees end-to-end
+        state = np.random.default_rng(44).normal(size=(n, 6)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(strip_aggregate(jnp.asarray(state), opd)),
+            np.asarray(strip_aggregate(jnp.asarray(state), opf)),
+            rtol=1e-5, atol=1e-5,
+        )
+
     def test_from_graph_object_int8_and_fallback(self):
-        """strip_dtype='int8' engages on average-mode merges and silently
-        falls back to bf16 dense storage when the weights don't factor."""
+        """strip_dtype='int8' engages on average-mode merges and falls back
+        to bf16 dense storage (with a RuntimeWarning) when the weights don't
+        factor."""
         from gnnkeras_tpu.graph.batch import from_graph_object
         from gnnkeras_tpu.graph.graph import GraphObject
 
@@ -293,7 +322,8 @@ class TestInt8MaskScale:
             nodes=nodes, arcs=arcs, targets=np.ones((5, 1)), type_mask=tm,
             dim_node_label=(2, 2), focus="n", aggregation_mode="composite_average",
         )
-        cb = from_graph_object(cg, slot_pack=128, strip_dtype="int8")
+        with pytest.warns(RuntimeWarning, match="not column-factorable"):
+            cb = from_graph_object(cg, slot_pack=128, strip_dtype="int8")
         assert cb.strip is not None
         assert cb.strip.scale is None and cb.strip.strip.dtype == jnp.bfloat16
 
