@@ -257,8 +257,16 @@ class GNNConfig:
                 return TransductiveSingleGraphSequencer(
                     graphs, self.focus, transductive_rate, self.batch_size, shuffle
                 )
+            # the per-epoch resampled 2-type merges run the strip engine too
+            # (the uniformity latches persist across resamples); same auto
+            # rule as the inductive multi-graph sequencer
+            slot = self.slot_pack
+            if slot is None:
+                slot = 128 if self.focus == "g" else 0
             return TransductiveMultiGraphSequencer(
-                graphs, self.focus, self.aggregation_mode, transductive_rate, self.batch_size, shuffle
+                graphs, self.focus, self.aggregation_mode, transductive_rate,
+                self.batch_size, shuffle,
+                slot_pack=slot or None, strip_dtype=self.strip_dtype,
             )
         if single:
             cls = (

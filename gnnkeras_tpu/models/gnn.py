@@ -38,6 +38,18 @@ from gnnkeras_tpu.utils.dtypes import floatx
 
 STATE_INIT_STDDEV = 0.1  # reference: tf.random.normal(..., stddev=0.1), GNN.py:257
 
+# Plain-BCSR transposed auto-selection: engage the feature-major engine when
+# the state feature width (padded to sublanes) is at most this.  Round 3
+# hypothesized the state:operator byte ratio decides; the round-4 sweep
+# (scripts/bench_bcsr_auto.py, BASELINE.md) REFUTED that — measured speedups
+# are 1.06-1.18x at ratios 0.02-0.125 but 0.75x at the HIGHEST ratio
+# (0.167, ds=64).  The decision variable is MXU lane utilization: row-major
+# lane-pads a narrow state d→128 (transposed keeps features in sublanes and
+# wins), while a wide state is already lane-efficient row-major and the
+# transposed transition's small-sublane matmuls lose.  Measured boundary:
+# win/tie through sd_pad 32, loss at 64.
+_TRANSPOSED_BCSR_MAX_STATE_DIM = 32
+
 # rematerialization policy for the unfolding scan: save ONLY the per-step
 # aggregation output (tagged 'unfold_agg' in the transitions) — the backward
 # recomputes the cheap MLP part from the saved carry + aggregation instead of
@@ -457,11 +469,16 @@ class GNNnodeBased(GraphModel):
                 "or dense_blocks BCSR)"
             )
         if self.transposed is None:
-            # auto engages on slot-packed batches only (the measured-always-
-            # faster config); plain BCSR batches opt in with transposed=True
-            # (measured faster on the large banded workload,
-            # scripts/bench_large_graph.py, but not flipped by default)
-            return has_strip
+            if has_strip:
+                return True  # slot-packed batches: measured always faster
+            # plain BCSR: computed per-batch from the MEASURED decision
+            # variable — the state feature width (see the constant's note;
+            # scripts/bench_bcsr_auto.py refuted the byte-ratio hypothesis)
+            if not has_bcsr:
+                return False
+            sd = self.state_vect_dim if self.state_vect_dim > 0 else batch.nodes.shape[1]
+            sd_pad = -(-sd // 8) * 8
+            return sd_pad <= _TRANSPOSED_BCSR_MAX_STATE_DIM
         return ok
 
     def _unfold_transposed(

@@ -48,17 +48,22 @@ from gnnkeras_tpu.training.losses import masked_mean
 from gnnkeras_tpu.utils.dtypes import floatx
 
 
-def _insert_rows(v, at: int, n: int):
+def _insert_rows(v, at: int, n: int, axis: int = 0):
     if n == 0:
         return v
-    pad = jnp.zeros((n,) + v.shape[1:], v.dtype)
-    return jnp.concatenate([v[:at], pad, v[at:]], axis=0)
+    shape = v.shape[:axis] + (n,) + v.shape[axis + 1:]
+    pad = jnp.zeros(shape, v.dtype)
+    lo = jax.lax.slice_in_dim(v, 0, at, axis=axis)
+    hi = jax.lax.slice_in_dim(v, at, v.shape[axis], axis=axis)
+    return jnp.concatenate([lo, pad, hi], axis=axis)
 
 
-def _strip_rows(v, at: int, n: int):
+def _strip_rows(v, at: int, n: int, axis: int = 0):
     if n == 0:
         return v
-    return jnp.concatenate([v[:at], v[at + n:]], axis=0)
+    lo = jax.lax.slice_in_dim(v, 0, at, axis=axis)
+    hi = jax.lax.slice_in_dim(v, at + n, v.shape[axis], axis=axis)
+    return jnp.concatenate([lo, hi], axis=axis)
 
 
 class _Layer0Padding:
@@ -105,26 +110,42 @@ class _Layer0Padding:
         self.state_ins = [(at, w_) for (at, w_) in self.state_ins if w_ > 0]
         self.output_ins = [(at, w_) for (at, w_) in self.output_ins if w_ > 0]
 
-    def pad(self, leaf, net: str, target_rows: int):
+    @staticmethod
+    def _width_axis(shape, target_shape) -> int:
+        """The (single) axis where the layer-0 leaf is narrower than the
+        layers≥1 template — axis 0 for kernels and flat BN vectors, axis 1
+        for per-iteration BN state leaves (leading (K,) iteration axis)."""
+        if len(shape) != len(target_shape):
+            raise ValueError(f"rank mismatch padding {shape} to {target_shape}")
+        axes = [i for i, (a, b) in enumerate(zip(shape, target_shape)) if a != b]
+        if len(axes) != 1:
+            raise ValueError(f"expected one width axis padding {shape} to {target_shape}, got {axes}")
+        return axes[0]
+
+    def pad(self, leaf, net: str, target_shape):
         ins = self.state_ins if net == "state" else self.output_ins
+        axis = self._width_axis(leaf.shape, target_shape)
+        target_rows = target_shape[axis]
         v = leaf
         for at, w_ in ins:
-            if v.shape[0] == target_rows:
+            if v.shape[axis] == target_rows:
                 break
-            v = _insert_rows(v, at, w_)
-        if v.shape[0] != target_rows:
-            raise ValueError(f"pad failed: {leaf.shape} -> {v.shape[0]} != {target_rows} via {ins}")
+            v = _insert_rows(v, at, w_, axis=axis)
+        if v.shape[axis] != target_rows:
+            raise ValueError(f"pad failed: {leaf.shape} -> {v.shape[axis]} != {target_rows} via {ins}")
         return v
 
-    def strip(self, leaf, net: str, target_rows: int):
+    def strip(self, leaf, net: str, target_shape):
         ins = self.state_ins if net == "state" else self.output_ins
+        axis = self._width_axis(leaf.shape, target_shape)
+        target_rows = target_shape[axis]
         v = leaf
         for at, w_ in reversed(ins):
-            if v.shape[0] == target_rows:
+            if v.shape[axis] == target_rows:
                 break
-            v = _strip_rows(v, at, w_)
-        if v.shape[0] != target_rows:
-            raise ValueError(f"strip failed: {leaf.shape} -> {v.shape[0]} != {target_rows} via {ins}")
+            v = _strip_rows(v, at, w_, axis=axis)
+        if v.shape[axis] != target_rows:
+            raise ValueError(f"strip failed: {leaf.shape} -> {v.shape[axis]} != {target_rows} via {ins}")
         return v
 
 
@@ -152,12 +173,10 @@ class PipelineLGNN:
                 "pipeline parallelism needs dim_state > 0 (dim_state==0 grows the "
                 "input width per layer, MLP.py:109-115, so stages cannot share shapes)"
             )
-        if any(getattr(g, "per_iteration_bn", False) for g in lgnn.gnns):
-            raise ValueError(
-                "per_iteration_bn models are not supported by PipelineLGNN "
-                "(stage stacking pads BatchNorm state along axis 0, which is "
-                "the per-iteration axis for such models)"
-            )
+        # per_iteration_bn composes: the layer-0 width padding finds the
+        # width axis per leaf, so per-iteration BN state ((K, f) — iteration
+        # axis leading) pads on axis 1 and stage stacking prepends its own
+        # axis cleanly (round-4; r3 rejected this combination)
         self.lgnn = lgnn
         self.axis = axis
         self.mesh = mesh if mesh is not None else make_mesh((axis,))
@@ -195,7 +214,7 @@ class PipelineLGNN:
                     net: _map_width_leaves(
                         layers[0][group][net],
                         ref[group][net],
-                        lambda a, b, net=net: self._padding.pad(a, "state" if net == "net_state" else "output", b.shape[0]),
+                        lambda a, b, net=net: self._padding.pad(a, "state" if net == "net_state" else "output", b.shape),
                     )
                     for net in ("net_state", "net_output")
                 }
@@ -214,7 +233,7 @@ class PipelineLGNN:
                         net: _map_width_leaves(
                             tree[group][net],
                             tmpl0[group][net],
-                            lambda a, b, net=net: self._padding.strip(a, "state" if net == "net_state" else "output", b.shape[0]),
+                            lambda a, b, net=net: self._padding.strip(a, "state" if net == "net_state" else "output", b.shape),
                         )
                         for net in ("net_state", "net_output")
                     }

@@ -246,6 +246,11 @@ class TestExpertDropoutParity:
                  kernel_initializer="glorot_normal", bias_initializer="zeros")
         cgnn = CompositeGNNnodeBased(sts, ot, DS, 3, 0.0)
         cgnn.build(seed=2)
+        # dropout MASK DRAWS are layout-dependent (the transposed engine
+        # draws in feature-major order), so the oracle for the expert
+        # engine's row-major per-type compute is the row-major engine —
+        # force it here (the r4 byte-width auto rule would pick transposed)
+        cgnn.transposed = False
         k = jax.random.PRNGKey(9)
         _, _, out_ref, _, _ = cgnn.forward(cgnn.variables, batch, training=True, rng=k)
 

@@ -164,6 +164,65 @@ class TestTransductive:
         # ...and actually differs from epoch 0 (new sample → new appended labels)
         assert not np.allclose(np.asarray(b1.nodes)[:n], nodes_epoch0)
 
+    def test_transductive_strip_engine_equals_row_major(self):
+        """slot_pack=128 transductive batches carry the strip operator and
+        the transposed engine reproduces the row-major forward on them; the
+        uniformity latches hold across per-epoch re-transduction so a fit
+        runs the engine end-to-end (VERDICT r3 next-step #6)."""
+        import jax
+
+        from gnnkeras_tpu.models.composite import CompositeGNNnodeBased
+
+        rng0 = np.random.default_rng(11)
+        graphs = []
+        for _ in range(8):
+            n = int(rng0.integers(5, 10))
+            # unique (src, dst): parallel arcs would (correctly) downgrade
+            # the int8 factorization this test wants to exercise
+            pairs = np.unique(np.stack([rng0.integers(0, n, 16), rng0.integers(0, n, 16)], 1), axis=0)
+            arcs = np.concatenate([pairs.astype(np.float64), rng0.normal(size=(len(pairs), 2))], axis=1)
+            graphs.append(GraphObject(nodes=rng0.normal(size=(n, 3)), arcs=arcs,
+                                      targets=rng0.normal(size=(n, 2)), focus="n",
+                                      aggregation_mode="average"))
+        np.random.seed(3)
+        seq = TransductiveMultiGraphSequencer(
+            graphs, "n", "average", 0.5, batch_size=4, shuffle=False,
+            slot_pack=128, strip_dtype="int8",
+        )
+        b = seq[0]
+        assert b.strip is not None
+        assert b.strip.scale is not None  # average mode factors into int8
+
+        ds = 4
+        inp_s, layers_s = get_inout_dims("state", (3, 5), 2, 2, "n", ds)
+        nets = [MLP(input_dim=shape, layers=layers_s, activations="selu",
+                    kernel_initializer="lecun_normal", bias_initializer="lecun_normal")
+                for shape in inp_s]
+        ot = MLP(input_dim=(ds,), layers=[2], activations="softmax",
+                 kernel_initializer="glorot_normal", bias_initializer="glorot_normal")
+        cgnn = CompositeGNNnodeBased(nets, ot, ds, 3, 0.0)
+        cgnn.compile(optimizer="adam:0.01", loss="mse")
+        cgnn.build(seed=0)
+        assert cgnn._use_transposed(b)
+
+        rng = jax.random.PRNGKey(7)
+        k_t, _, out_t, mask_t, _ = cgnn.forward(cgnn.variables, b, training=False, rng=rng)
+        cgnn.transposed = False
+        k_r, _, out_r, mask_r, _ = cgnn.forward(cgnn.variables, b, training=False, rng=rng)
+        assert float(k_t) == float(k_r)
+        np.testing.assert_array_equal(np.asarray(mask_t), np.asarray(mask_r))
+        np.testing.assert_allclose(
+            np.asarray(out_t)[np.asarray(mask_t)], np.asarray(out_r)[np.asarray(mask_r)],
+            rtol=2e-5, atol=2e-6,
+        )
+
+        # fit across re-transductions: latched uniform pytrees, finite losses
+        cgnn.transposed = None
+        h = cgnn.fit(seq, epochs=3, verbose=0)
+        assert len(h.history["loss"]) == 3
+        assert all(np.isfinite(v) for v in h.history["loss"])
+        assert seq[0].strip is not None  # resampled batches kept the engine
+
     def test_training_on_transductive(self):
         graphs = toy_graphs(6, seed=6, focus="n")
         seq = TransductiveMultiGraphSequencer(graphs, "n", "average", 0.5, batch_size=3,

@@ -41,7 +41,8 @@ def graphs_batch(seed=0, n_graphs=12, dn=3, da=2, T=2, focus="g", dense_blocks=F
                              dense_blocks=dense_blocks)
 
 
-def build_lgnn(layers=4, dn=3, da=2, T=2, focus="g", bn=True, get_state=True, get_output=True):
+def build_lgnn(layers=4, dn=3, da=2, T=2, focus="g", bn=True, get_state=True, get_output=True,
+               per_iteration_bn=False):
     from gnnkeras_tpu.models.gnn import GNNarcBased
 
     cls = {"g": GNNgraphBased, "n": GNNnodeBased, "a": GNNarcBased}[focus]
@@ -57,7 +58,7 @@ def build_lgnn(layers=4, dn=3, da=2, T=2, focus="g", bn=True, get_state=True, ge
         net_out = MLP(input_dim=inp_o[0], layers=layers_o, activations="softmax",
                       kernel_initializer="glorot_normal", bias_initializer="glorot_normal",
                       batch_normalization=bn)
-        gnns.append(cls(net_st, net_out, DS, 3, 0.01))
+        gnns.append(cls(net_st, net_out, DS, 3, 0.01, per_iteration_bn=per_iteration_bn))
     lgnn = LGNN(gnns, get_state, get_output)
     lgnn.compile(optimizer="sgd:0.1", loss="categorical_crossentropy", training_mode="parallel")
     lgnn.build(seed=7)
@@ -326,4 +327,49 @@ class TestUnequalMicrobatches:
         svp, svs, _, logs = pp.train_step(svp, svs, opt_state, mbs, rng)
         got = pp.unstack_variables({"params": svp, "state": svs})["params"]
         for a, b in zip(jax.tree_util.tree_leaves(params_ref), jax.tree_util.tree_leaves(got)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+class TestPipelinePerIterationBN:
+    """per_iteration_bn × pipeline (VERDICT r3 stretch): the width padding is
+    axis-aware, so per-iteration BN state ((K, f) leaves) stacks and pads
+    cleanly and the pipeline step equals the single-device step."""
+
+    def test_m1_matches_single_device_step(self, mesh4):
+        from gnnkeras_tpu.training.trainer import _get_train_step
+
+        batch = graphs_batch(seed=9)
+        rng = jax.random.PRNGKey(13)
+
+        lgnn1 = build_lgnn(layers=4, per_iteration_bn=True)
+        lgnn1._opt_state = lgnn1.optimizer.init(lgnn1.variables["params"])
+        step1 = _get_train_step(lgnn1)
+        params1, state1, _, logs1 = step1(
+            lgnn1.variables["params"], lgnn1.variables["state"], lgnn1._opt_state, batch, rng
+        )
+        loss1 = float(logs1["loss_sum"]) / float(logs1["count"])
+
+        lgnn2 = build_lgnn(layers=4, per_iteration_bn=True)
+        pp = PipelineLGNN(lgnn2, mesh4)
+        stacked = pp.stack_variables()
+        # roundtrip sanity: per-iteration BN leaves survive stack/unstack
+        back = pp.unstack_variables(stacked)
+        for a, b in zip(jax.tree_util.tree_leaves(lgnn2.variables),
+                        jax.tree_util.tree_leaves(back)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        svp, svs = stacked["params"], stacked["state"]
+        opt_state = jax.vmap(lgnn2.optimizer.init)(svp)
+        svp, svs, opt_state, logs2 = pp.train_step(svp, svs, opt_state, [batch], rng)
+        assert float(logs2["loss"]) == pytest.approx(loss1, rel=1e-5)
+
+        full2 = pp.unstack_variables({"params": svp, "state": svs})
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params1), jax.tree_util.tree_leaves(full2["params"])
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+        # the trained per-iteration BN moments match too
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state1), jax.tree_util.tree_leaves(full2["state"])
+        ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

@@ -77,17 +77,35 @@ class TestEngineEquality:
             denom = float(jnp.abs(l1).max()) + 1e-12
             assert float(jnp.abs(l1 - l2).max()) / denom < 1e-3
 
-    def test_row_major_batch_stays_row_major(self):
-        """Without a strip operator AUTO must not engage; transposed=True is
-        honored via the plain-BCSR feature-major path (TestTransposedOverBcsr)
-        and raises only when the batch carries no block operator at all."""
+    def test_bcsr_auto_follows_state_width(self):
+        """Plain-BCSR auto-selection is COMPUTED from the measured decision
+        variable — the padded state feature width (BASELINE.md round 4:
+        transposed wins/ties through sd_pad 32, loses at 64) — not
+        hardcoded; transposed=True/False force, and True raises only when
+        the batch carries no block operator at all."""
+        from gnnkeras_tpu.models.gnn import _TRANSPOSED_BCSR_MAX_STATE_DIM
+
         graphs = load_mutag()[:50]
         batch = graphs_to_batch(graphs, "g", "average", tile_pack=True)
         gnn = build_model()
-        assert not gnn._use_transposed(batch)  # auto: strip-only
+        assert gnn._use_transposed(batch)  # d=14 → sd_pad 16 ≤ 32: engage
         gnn.transposed = True
-        assert gnn._use_transposed(batch)  # explicit opt-in → BCSR path
+        assert gnn._use_transposed(batch)  # explicit force → BCSR path
+        gnn.transposed = False
+        assert not gnn._use_transposed(batch)
         gnn.transposed = None
+        # wide-state models stay row-major (measured 0.75x at ds=64)
+        from gnnkeras_tpu.models.gnn import GNNnodeBased as _GNNn
+        from gnnkeras_tpu.models.mlp import MLP as _MLP, get_inout_dims as _dims
+
+        ds = _TRANSPOSED_BCSR_MAX_STATE_DIM + 32
+        ins, ls = _dims("state", 14, 3, 2, "n", ds)
+        ino, lo = _dims("output", 14, 3, 2, "n", ds)
+        wide = _GNNn(_MLP(input_dim=ins[0], layers=ls, activations="selu"),
+                     _MLP(input_dim=ino[0], layers=lo, activations="softmax"),
+                     ds, 3, 0.01)
+        wide.build(seed=0)
+        assert not wide._use_transposed(batch)
         edge_batch = graphs_to_batch(graphs, "g", "average", dense_blocks=False)
         gnn.transposed = True
         with pytest.raises(ValueError):
@@ -217,7 +235,7 @@ class TestCompositeTransposed:
     def test_multi_type_bcsr_matches_row_major(self, training):
         cgnn, batch = self._multi_type()
         assert batch.bcsr is not None and batch.strip is None
-        assert not cgnn._use_transposed(batch)  # auto: strip-only
+        cgnn.transposed = False  # start from the row-major engine explicitly
         rng = jax.random.PRNGKey(9)
         k1, s1, bn1 = cgnn.unfold(cgnn.variables, batch, training=training, rng=rng)
         cgnn.transposed = True
@@ -325,8 +343,8 @@ class TestTransposedOverBcsr:
         gnn = GNNnodeBased(MLP(input_dim=ins[0], layers=ls, activations="selu"),
                            MLP(input_dim=ino[0], layers=lo, activations="softmax"), 0, 5, 0.01)
         gnn.build(seed=0)
-        assert not gnn._use_transposed(batch)  # auto: strip-only
         for training in (False, True):
+            gnn.transposed = False
             k1, s1, _ = gnn.unfold(gnn.variables, batch, training=training)
             gnn.transposed = True
             k2, s2, _ = gnn.unfold(gnn.variables, batch, training=training)
