@@ -158,8 +158,20 @@ def run_unfold_loops(
     threshold = model.state_threshold
     per_iter = getattr(model, "per_iteration_bn", False) and K >= 1
     remat = model.remat
-    if remat is None:  # auto: measured best per engine (BASELINE.md round 3)
-        remat = "agg" if feature_axis == 0 else False
+    if remat is None:
+        # auto: measured best per engine AND operator storage (BASELINE.md
+        # rounds 3-4).  Transposed engine: int8 mask+scale operators make
+        # FULL remat fastest (0.97 vs 1.17 ms/step — recompute re-reads only
+        # half the operator bytes, while the agg-save policy's stored
+        # aggregations cost the same as at bf16); bf16/f32 strips keep the
+        # round-3 agg-save policy (1.32 vs 1.43 plain remat there).
+        # Row-major engine: store residuals (round 2: off 24% faster).
+        if feature_axis == 0:
+            strip = getattr(batch, "strip", None)
+            int8 = strip is not None and getattr(strip, "scale", None) is not None
+            remat = True if int8 else "agg"
+        else:
+            remat = False
     if remat == "agg":
         from functools import partial as _partial
 

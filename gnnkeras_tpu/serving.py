@@ -68,7 +68,11 @@ class Predictor:
         max_arcs: int,
         max_graphs: int,
         aggregation_mode: str = "average",
-        fused: object = False,
+        # 'auto' (default): serve through the transposed whole-unfold Pallas
+        # kernel whenever the model is fusable — measured faster than the
+        # XLA path at every request size (BASELINE.md) — and fall back
+        # silently otherwise.  True requires fusability; False forces XLA.
+        fused: object = "auto",
         tiles_per_step: int = 8,  # legacy row-major fused_unfold knob; the
         # transposed production kernel blocks at ops/fused.py K_TILES
         dims: Optional[Tuple[int, int, int]] = None,

@@ -25,6 +25,15 @@ K_STEPS = 20
 def main(label: str = ""):
     gnn, batch, n_arcs = build_workload()
     gnn.compile(optimizer="adam:0.01", loss="categorical_crossentropy")
+    if os.environ.get("RAW_OPT"):
+        # bypass the inject_hyperparams wrapper (training/optimizers.py) to
+        # price its per-step cost
+        gnn.optimizer = optax.adam(0.01)
+        label += " [raw adam]"
+    if os.environ.get("REMAT"):
+        # override the auto remat policy ('agg' for the transposed engine)
+        gnn.remat = {"off": False, "on": True, "agg": "agg"}[os.environ["REMAT"]]
+        label += f" [remat={os.environ['REMAT']}]"
     gnn.build(seed=0)
     opt_state = gnn.optimizer.init(gnn.variables["params"])
 

@@ -58,12 +58,19 @@ class TestPredictor:
     def test_matches_trainer_predict(self):
         graphs = _random_graphs()
         gnn = _gnn()
-        p = Predictor.for_graphs(gnn, graphs, batch_size=len(graphs))
-        got = p(graphs)
         seq = MultiGraphSequencer([g.copy() for g in graphs], "g", "average",
                                   batch_size=len(graphs), shuffle=False)
         want = predict(gnn, seq)
-        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        # fused=False: the XLA path must match trainer.predict tightly
+        p = Predictor.for_graphs(gnn, graphs, batch_size=len(graphs), fused=False)
+        np.testing.assert_allclose(p(graphs), want, rtol=1e-5, atol=1e-6)
+        # default ('auto'): the fusable model serves through the whole-unfold
+        # kernel — bf16 compute, so parity is loose but argmax-stable
+        p_auto = Predictor.for_graphs(gnn, graphs, batch_size=len(graphs))
+        assert p_auto.fused
+        got = p_auto(graphs)
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
+        np.testing.assert_array_equal(np.argmax(got, 1), np.argmax(want, 1))
 
     def test_single_graph_request(self):
         graphs = _random_graphs(n_graphs=3, seed=2)
