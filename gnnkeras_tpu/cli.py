@@ -121,7 +121,7 @@ def _train_parallel(par, cfg, model, tr, va, args, class_weight=None):
         dp = DataParallelTrainer(model, make_mesh(("data",), devices=jax.devices()[:n_dev]))
         h = dp.fit(
             cfg.build_sequencer(tr), epochs=epochs,
-            validation_data=cfg.build_sequencer(va, shuffle=False),
+            validation_data=cfg.build_sequencer(va, shuffle=False) if va else None,
             verbose=args.verbose, checkpoint_dir=args.checkpoint_dir, resume=args.resume,
         )
         return {k: v[-1] for k, v in h.history.items()}
@@ -147,8 +147,12 @@ def _train_parallel(par, cfg, model, tr, va, args, class_weight=None):
 
         merged = type(tr[0]).merge(list(tr), focus="g", aggregation_mode=cfg.aggregation_mode)
         stacked, _ = partition_packed(merged, n_dev)
-        merged_va = type(va[0]).merge(list(va), focus="g", aggregation_mode=cfg.aggregation_mode)
-        stacked_va, _ = partition_packed(merged_va, n_dev)
+        # an empty (--val-frac 0) or too-small validation split skips
+        # validation instead of crashing the merge/partition below
+        stacked_va = None
+        if len(va) >= n_dev:
+            merged_va = type(va[0]).merge(list(va), focus="g", aggregation_mode=cfg.aggregation_mode)
+            stacked_va, _ = partition_packed(merged_va, n_dev)
         wrapper = PackedPartitionedLGNN if hasattr(model, "gnns") else PackedPartitionedGNN
         pgnn = wrapper(model, make_mesh(("graph",), devices=jax.devices()[:n_dev]))
         h = pgnn.fit(
@@ -210,7 +214,7 @@ def cmd_train(args) -> int:
         history = model.fit(
             cfg.build_sequencer(tr),
             epochs=cfg.epochs,
-            validation_data=cfg.build_sequencer(va, shuffle=False),
+            validation_data=cfg.build_sequencer(va, shuffle=False) if va else None,
             verbose=args.verbose,
             checkpoint_dir=args.checkpoint_dir,
             resume=args.resume,
@@ -230,6 +234,12 @@ def _restore(args):
     graphs = _load_dataset(args.dataset, verbose=args.verbose > 0)
     tr, te, va = _splits(graphs, cfg, args)
     model = _load_model(args.model)
+    # loaded models bypass build_model, so the engine override must be
+    # applied here too or --transposed would be silently ignored on
+    # evaluate/predict/export
+    if cfg.transposed is not None:
+        for g in (model.gnns if hasattr(model, "gnns") else [model]):
+            g.transposed = cfg.transposed
     model.compile(optimizer=cfg.optimizer, loss=cfg.loss, metrics=list(cfg.metrics))
     return cfg, model, (tr, te, va)
 

@@ -449,9 +449,10 @@ def from_graph_object(
                     import warnings
 
                     warnings.warn(
-                        "strip_dtype='int8' requested but the operator weights "
-                        f"are not column-factorable ({err}); storing the strip "
-                        "as dense bfloat16 instead",
+                        "int8 mask+scale strip storage (the default "
+                        "strip_dtype) does not apply to this batch: the "
+                        f"operator weights are not column-factorable ({err}); "
+                        "storing the strip as dense bfloat16 instead",
                         RuntimeWarning,
                         stacklevel=2,
                     )

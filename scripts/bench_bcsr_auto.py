@@ -112,8 +112,7 @@ def run_case(label, g, gnn, ds, tile_pack=False):
     t_t = timed_unfold(gnn, batch)
     print(f"{label:34s} state {state_bytes/2**20:7.1f} MB  op {op_bytes/2**20:8.1f} MB  "
           f"ratio {state_bytes/op_bytes:7.3f}  row-major {t_rm*1e3:7.2f} ms  "
-          f"transposed {t_t*1e3:7.2f} ms  speedup {t_rm/t_t:５.2f}x"
-          .replace("５", ""), flush=True)
+          f"transposed {t_t*1e3:7.2f} ms  speedup {t_rm/t_t:5.2f}x", flush=True)
 
 
 def main():

@@ -269,3 +269,51 @@ class TestCliParallel:
         with pytest.raises(ValueError, match="packed"):
             GNNConfig(parallel="packed", focus="n")
         GNNConfig(parallel="pipeline", layers=2, dim_state=4)  # valid
+
+
+class TestCliRegressions:
+    """Round-4 review findings pinned."""
+
+    def test_packed_empty_validation_split_trains(self, tu_dump, tmp_path, capsys):
+        """--parallel packed with --val-frac 0 skips validation instead of
+        crashing on the empty split's merge."""
+        cfg = tmp_path / "cfg.json"
+        cfg.write_text(json.dumps({"batch_size": 128, "epochs": 1, "max_iter": 2}))
+        rc = main(["train", "--config", str(cfg), "--dataset", f"tu:{tu_dump}:TOY",
+                   "--parallel", "packed", "--parallel-devices", "4",
+                   "--val-frac", "0", "--verbose", "0"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert np.isfinite(out["test"]["loss"])
+        assert "val_loss" not in out["final_train"]
+
+    def test_transposed_flag_reaches_loaded_model(self, tu_dump, tmp_path, capsys):
+        """--transposed off on evaluate applies to the LOADED model, not just
+        build_model (the load path bypasses GNNConfig.build_model)."""
+        import gnnkeras_tpu.cli as cli_mod
+
+        cfg = tmp_path / "cfg.json"
+        cfg.write_text(json.dumps({"batch_size": 256, "epochs": 1, "max_iter": 2}))
+        model_dir = str(tmp_path / "m") + "/"
+        rc = main(["train", "--config", str(cfg), "--dataset", f"tu:{tu_dump}:TOY",
+                   "--save", model_dir, "--verbose", "0"])
+        assert rc == 0
+        capsys.readouterr()
+        seen = {}
+        orig = cli_mod._restore
+
+        def spy(args):
+            out = cli_mod._restore_orig(args)
+            seen["transposed"] = out[1].transposed
+            return out
+
+        cli_mod._restore_orig = orig
+        try:
+            cli_mod._restore = spy
+            rc = main(["evaluate", "--config", str(cfg), "--dataset", f"tu:{tu_dump}:TOY",
+                       "--model", model_dir, "--transposed", "off", "--verbose", "0"])
+        finally:
+            cli_mod._restore = orig
+            del cli_mod._restore_orig
+        assert rc == 0
+        assert seen["transposed"] is False
