@@ -169,7 +169,16 @@ class MultiGraphSequencer:
         structure — stacking for data parallelism and the compile-once step
         both require it.  Mixed present/absent operators (the band-factor
         fallback) degrade ALL batches to the consistent scatter path."""
-        from gnnkeras_tpu.ops.bcsr import pad_bcsr
+        from gnnkeras_tpu.ops.banded import BandedOperator
+        from gnnkeras_tpu.ops.bcsr import QuantBcsr, pad_bcsr, pad_qbcsr
+
+        def _n_blocks(op):
+            if isinstance(op, BandedOperator):
+                return 0  # diagonals are tiling-shaped, not block-count-shaped
+            return int((op.mask if isinstance(op, QuantBcsr) else op.blocks).shape[0])
+
+        def _kinds(ops):
+            return {type(op) for op in ops if op is not None}
 
         def replace_keep_host(b, **kw):
             # batch.replace rebuilds the dataclass; re-attach the host-only
@@ -194,13 +203,22 @@ class MultiGraphSequencer:
                 if any(op is not None for op in ops):
                     self.batches = [replace_keep_host(b, **{name: None}) for b in self.batches]
                 continue
-            need = max(int(op.blocks.shape[0]) for op in ops)
+            if len(_kinds(ops)) > 1 or any(isinstance(op, BandedOperator) for op in ops):
+                # banded operators are tiling-shaped (no block-count axis to
+                # pad), and mixed operator kinds across merges cannot share a
+                # treedef anyway — degrade to the consistent scatter path,
+                # latched like the None case above
+                degraded.add(name)
+                self.batches = [replace_keep_host(b, **{name: None}) for b in self.batches]
+                continue
+            need = max(_n_blocks(op) for op in ops)
             need = max(need, getattr(self, attr, 0))
             setattr(self, attr, need)
-            if all(int(op.blocks.shape[0]) == need for op in ops):
+            if all(_n_blocks(op) == need for op in ops):
                 continue  # already uniform — keep the original batch objects
+            pad_fn = pad_qbcsr if isinstance(ops[0], QuantBcsr) else pad_bcsr
             self.batches = [
-                replace_keep_host(b, **{name: pad_bcsr(getattr(b, name), need)})
+                replace_keep_host(b, **{name: pad_fn(getattr(b, name), need)})
                 for b in self.batches
             ]
 

@@ -190,8 +190,13 @@ class GraphBatch:
         the convergence loop.  Uses the MXU block-sparse einsum when the
         batch carries a BCSR operator, the edge-list segment-sum otherwise."""
         if self.bcsr is not None:
-            from gnnkeras_tpu.ops.bcsr import bcsr_aggregate
+            from gnnkeras_tpu.ops.banded import BandedOperator, banded_aggregate
+            from gnnkeras_tpu.ops.bcsr import QuantBcsr, bcsr_aggregate, qbcsr_aggregate
 
+            if isinstance(self.bcsr, BandedOperator):
+                return banded_aggregate(state, self.bcsr)
+            if isinstance(self.bcsr, QuantBcsr):
+                return qbcsr_aggregate(state, self.bcsr)
             return bcsr_aggregate(state, self.bcsr)
         from gnnkeras_tpu.ops.segment import aggregate_neighbors
 
@@ -492,7 +497,20 @@ def from_graph_object(
                 nodegraph_bcsr = build_bcsr(
                     pos, g.graph_of_node, g.nodegraph_weight, N, G_blocks
                 )
-            if agg_dtype is not None:
+            if agg_dtype == "int8":
+                # quantized aggregation operator, best available form: banded
+                # graphs decompose into per-offset dense-diagonal int8 strips
+                # (ops/banded.py — measured 3.1x the f32 einsum on the 500k
+                # banded workload, BASELINE.md round 4); non-banded block
+                # structures fall back to quantized BCSR (mask+scale blocks,
+                # in-VMEM upcast).  The readout operator stays float (read
+                # once per forward, not per iteration).
+                from gnnkeras_tpu.ops.banded import build_banded_operator
+                from gnnkeras_tpu.ops.bcsr import quantize_bcsr
+
+                bop = build_banded_operator(src[:a], dst[:a], w[:a], N, dtype=jnp.int8)
+                bcsr = bop if bop is not None else quantize_bcsr(bcsr, "int8")
+            elif agg_dtype is not None:
                 from gnnkeras_tpu.ops.bcsr import cast_bcsr
 
                 bcsr = cast_bcsr(bcsr, jnp.dtype(agg_dtype))

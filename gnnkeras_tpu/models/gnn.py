@@ -101,9 +101,15 @@ def aggregate_t(state_t: jax.Array, batch: GraphBatch, sd: int) -> jax.Array:
 
         agg = strip_aggregate_t(state_t, batch.strip)
     else:
-        from gnnkeras_tpu.ops.bcsr import bcsr_aggregate_t
+        from gnnkeras_tpu.ops.banded import BandedOperator, banded_aggregate_t
+        from gnnkeras_tpu.ops.bcsr import QuantBcsr, bcsr_aggregate_t, qbcsr_aggregate_t
 
-        agg = bcsr_aggregate_t(state_t, batch.bcsr)
+        if isinstance(batch.bcsr, BandedOperator):
+            agg = banded_aggregate_t(state_t, batch.bcsr)
+        elif isinstance(batch.bcsr, QuantBcsr):
+            agg = qbcsr_aggregate_t(state_t, batch.bcsr)
+        else:
+            agg = bcsr_aggregate_t(state_t, batch.bcsr)
     return checkpoint_name(agg, "unfold_agg")[:sd]
 
 

@@ -1,0 +1,201 @@
+"""Banded aggregation: block-diagonal decomposition of a banded operator.
+
+Large banded graphs (road networks, meshes, sequence graphs — the
+context-parallel-analog workload) have BCSR blocks at a FEW distinct tile
+offsets ``src_tile - dst_tile`` (band ≤ 128 → offsets {-1, 0, 1} plus a few
+wraparound blocks).  Each offset's blocks form one dense block-DIAGONAL
+operator in destination-tile space, so the aggregation decomposes into a
+handful of diagonal products applied to tile-SHIFTED state:
+
+    out[:, j·T:(j+1)·T]  =  Σ_o  state[:, (j+o)·T:(j+o+1)·T] @ B[(j+o) → j]
+
+Each diagonal product is exactly the compact-strip Pallas kernel's
+``slot == TILE`` case (ops/strip.py: K-blocked grid, int8 mask + per-column
+scale storage, custom VJP), and the tile shift is a free XLA slice+pad on
+the feature-major state.  Offsets too sparse to justify a full diagonal
+(< ``min_fill`` of tiles, e.g. the wraparound corner blocks) ride a plain
+BCSR residual.  Zero new kernel code — the decomposition routes the banded
+workload onto the operator representation whose HBM read is int8.
+
+Why not quantized BCSR (ops/bcsr.py QuantBcsr)?  Measured (BASELINE.md
+round 4): the gather + per-block-product + segment-sum phase structure keeps
+the naive quantized path at ~1.05x of the f32 einsum despite 4x fewer
+operator bytes — the aux traffic and phase boundaries dominate.  The
+diagonal decomposition has NO gather and NO segment-sum: each component is
+one grid-sequential Pallas stream over contiguous blocks.
+
+Reference semantics: this computes the same ``Adjacencyᵀ·state`` as
+GNN/Models/GNN.py:228 — pure representation change, exactness tested.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnnkeras_tpu.ops.bcsr import BcsrMatrix, bcsr_aggregate_t, build_bcsr, transpose_bcsr
+from gnnkeras_tpu.ops.strip import (
+    TILE,
+    StripFactorError,
+    StripOperator,
+    _finalize_strips,
+    strip_aggregate_t,
+)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["diags", "residual", "residual_t"],
+    meta_fields=["offsets", "n_tiles"],
+)
+@dataclasses.dataclass(frozen=True)
+class BandedOperator:
+    """A tuple of per-offset dense-diagonal StripOperators plus the sparse
+    remainder as BCSR.  ``offsets[i]`` is the tile shift of ``diags[i]``."""
+
+    diags: Tuple[StripOperator, ...]
+    residual: Optional[BcsrMatrix]
+    residual_t: Optional[BcsrMatrix]
+    offsets: Tuple[int, ...]
+    n_tiles: int
+
+
+def build_banded_operator(
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: np.ndarray,
+    n_padded: int,
+    dtype=np.int8,
+    max_diagonals: int = 6,
+    min_fill: float = 0.1,
+) -> Optional[BandedOperator]:
+    """Host-side construction.  Returns None when fewer than one offset
+    reaches ``min_fill`` tile occupancy (no band structure — use BCSR)."""
+    assert n_padded % TILE == 0
+    t = n_padded // TILE
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    weight = np.asarray(weight, dtype=np.float64)
+    live = weight != 0
+    src, dst, weight = src[live], dst[live], weight[live]
+
+    off = src // TILE - dst // TILE
+    offs, counts = np.unique(off, return_counts=True)
+    # occupancy in TILES (distinct dst tiles at this offset), not edges
+    dense_offs = []
+    for o in offs:
+        n_tiles_at_o = len(np.unique(dst[off == o] // TILE))
+        if n_tiles_at_o >= min_fill * t:
+            dense_offs.append(int(o))
+    if not dense_offs or len(dense_offs) > max_diagonals:
+        return None
+
+    diags = []
+    in_diag = np.zeros(len(src), dtype=bool)
+    for o in dense_offs:
+        sel = off == o
+        in_diag |= sel
+        s, d, w = src[sel], dst[sel], weight[sel]
+        j = d // TILE  # destination tile = diagonal index
+        # pre-pad to a K_TILES multiple ONCE at build time (the kernel grid
+        # blocks K tiles per step; a runtime pad would re-copy the operator
+        # every call — the build_strip_operator convention)
+        from gnnkeras_tpu.ops.strip import K_TILES
+
+        t_pad = -(-t // K_TILES) * K_TILES
+        strip = np.zeros((t_pad, TILE, TILE), np.float32)
+        np.add.at(strip, (j, s % TILE, d % TILE), w)
+        # transposed diagonal (for the strip VJP): entry (j', d%T, s%T) at
+        # the SOURCE tile j' = j + o — strip_aggregate_t's backward applies
+        # strip_t as the same-diagonal product on the cotangent, and
+        # banded_aggregate_t's outer shift transposes to the opposite
+        # offset through autodiff of the slice/pad
+        strip_t = np.transpose(strip, (0, 2, 1))
+        try:
+            s_arr, s_t_arr, s_scale = _finalize_strips(strip, strip_t, dtype)
+        except StripFactorError as err:
+            import warnings
+
+            warnings.warn(
+                "int8 mask+scale banded storage does not apply: "
+                f"{err}; storing the diagonals as dense bfloat16 instead",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            dtype = jnp.bfloat16  # subsequent diagonals stay bf16 too
+            s_arr, s_t_arr, s_scale = _finalize_strips(strip, strip_t, dtype)
+        diags.append(StripOperator(
+            strip=s_arr, strip_t=s_t_arr, blocks=None, blocks_t=None,
+            residual=None, residual_t=None, scale=s_scale, blocks_scale=None,
+            slot=TILE,
+        ))
+
+    residual = residual_t = None
+    if np.any(~in_diag):
+        sr, dr, wr = src[~in_diag], dst[~in_diag], weight[~in_diag]
+        residual = build_bcsr(sr, dr, wr, n_padded, max_band_factor=10**9)
+        residual_t = transpose_bcsr(residual)
+
+    return BandedOperator(
+        diags=tuple(diags),
+        residual=residual,
+        residual_t=residual_t,
+        offsets=tuple(dense_offs),
+        n_tiles=t,
+    )
+
+
+def _shift_tiles(state_t: jax.Array, o: int) -> jax.Array:
+    """state shifted LEFT by ``o`` tiles on the lane axis (zero fill): the
+    slice x with x[:, j·T:] = state[:, (j+o)·T:].  Autodiff of slice+pad is
+    the opposite shift, which is exactly the transposed operator's need."""
+    if o == 0:
+        return state_t
+    n = state_t.shape[1]
+    k = abs(o) * TILE
+    if o > 0:
+        return jnp.pad(state_t[:, k:], ((0, 0), (0, k)))
+    return jnp.pad(state_t[:, :n - k], ((0, 0), (k, 0)))
+
+
+def banded_aggregate_t(state_t: jax.Array, bop: BandedOperator) -> jax.Array:
+    """``Mᵀ·state`` on feature-major state through the diagonal
+    decomposition.  Each component runs the strip kernel's dense-diagonal
+    case (with that operator's own custom VJP); the residual runs the BCSR
+    einsum (plain autodiff)."""
+    out = None
+    for o, sop in zip(bop.offsets, bop.diags):
+        contrib = strip_aggregate_t(_shift_tiles(state_t, o), sop)
+        out = contrib if out is None else out + contrib
+    if bop.residual is not None:
+        r = _banded_residual(state_t, bop)
+        out = r if out is None else out + r
+    return out
+
+
+@jax.custom_vjp
+def _banded_residual(state_t: jax.Array, bop: BandedOperator) -> jax.Array:
+    return bcsr_aggregate_t(state_t, bop.residual)
+
+
+def _banded_residual_fwd(state_t, bop):
+    return bcsr_aggregate_t(state_t, bop.residual), (bop,)
+
+
+def _banded_residual_bwd(res, ct):
+    (bop,) = res
+    return bcsr_aggregate_t(ct, bop.residual_t), None
+
+
+_banded_residual.defvjp(_banded_residual_fwd, _banded_residual_bwd)
+
+
+def banded_aggregate(state: jax.Array, bop: BandedOperator) -> jax.Array:
+    """Row-major interface (transpose sandwich; the transposed engine is the
+    intended consumer)."""
+    return banded_aggregate_t(state.T, bop).T

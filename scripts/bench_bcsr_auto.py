@@ -30,6 +30,10 @@ def banded(n_nodes, per_node, band, dn=8, seed=0):
     rng = np.random.default_rng(seed)
     src = np.repeat(np.arange(n_nodes), per_node)
     dst = (src + rng.integers(-band, band + 1, len(src))) % n_nodes
+    # unique (src, dst): parallel arcs (same pair, different labels) would
+    # accumulate in the operator and defeat the int8 mask+scale factorization
+    pairs = np.unique(np.stack([src, dst], 1), axis=0)
+    src, dst = pairs[:, 0], pairs[:, 1]
     arcs = np.concatenate(
         [np.stack([src, dst], 1).astype(np.float32),
          rng.normal(size=(len(src), 2)).astype(np.float32)], axis=1)

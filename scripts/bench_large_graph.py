@@ -28,10 +28,13 @@ ITERS = 5
 REPEATS = 20
 
 
-def build():
+def build(agg_dtype=None):
     rng = np.random.default_rng(0)
     src = np.repeat(np.arange(N_NODES), PER_NODE)
     dst = (src + rng.integers(-BAND, BAND + 1, len(src))) % N_NODES
+    # unique (src, dst): parallel arcs would defeat the int8 factorization
+    pairs = np.unique(np.stack([src, dst], 1), axis=0)
+    src, dst = pairs[:, 0], pairs[:, 1]
     arcs = np.concatenate(
         [np.stack([src, dst], 1).astype(np.float32), rng.normal(size=(len(src), 2)).astype(np.float32)],
         axis=1,
@@ -42,7 +45,7 @@ def build():
                     focus="n", aggregation_mode="average")
     n_arcs = g.arcs.shape[0]
 
-    batch = from_graph_object(g)
+    batch = from_graph_object(g, agg_dtype=agg_dtype)
     inp_s, layers_s = get_inout_dims("state", 8, 2, 2, "n", 0)
     inp_o, layers_o = get_inout_dims("output", 8, 2, 2, "n", 0)
     gnn = GNNnodeBased(
@@ -56,12 +59,12 @@ def build():
     return gnn, batch, n_arcs
 
 
-def main(transposed=None):
-    gnn, batch, n_arcs = build()
+def main(transposed=None, agg_dtype=None):
+    gnn, batch, n_arcs = build(agg_dtype=agg_dtype)
     gnn.transposed = transposed
-    print(f"graph: {N_NODES} nodes, {n_arcs} arcs, bcsr={'on' if batch.bcsr is not None else 'off'}"
-          + (f" B={batch.bcsr.blocks.shape[0]}" if batch.bcsr is not None else "")
-          + f" engine={'transposed' if transposed else 'row-major'}", flush=True)
+    op = type(batch.bcsr).__name__ if batch.bcsr is not None else "edge-list"
+    print(f"graph: {N_NODES} nodes, {n_arcs} arcs, operator={op} "
+          f"engine={'transposed' if transposed else 'row-major'}", flush=True)
 
     @jax.jit
     def forward_k(variables, batch):
@@ -173,6 +176,8 @@ if __name__ == "__main__":
     dt_plain = main()
     dt_t = main(transposed=True)
     print(f"transposed vs row-major: {dt_plain / dt_t:.2f}x faster")
+    dt_q = main(transposed=True, agg_dtype="int8")
+    print(f"int8 banded decomposition vs row-major f32: {dt_plain / dt_q:.2f}x faster")
     if _os.environ.get("PARTITIONED", "1") != "0":
         dt_part = partitioned(dense_blocks=True)
         print(f"partitioned-engine overhead vs plain: {dt_part / dt_plain:.2f}x")

@@ -1,5 +1,6 @@
 """Block-sparse aggregation must equal the edge-list segment-sum path."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -319,3 +320,270 @@ class TestPackSlots:
         # all edges of ≤32-node graphs are within-slot by construction
         assert ((src // 32) == (dst // 32))[small].all()
         assert n_padded <= 2 * len(g_of_n)
+
+
+class TestQuantBcsr:
+    """int8 mask+scale / bf16 quantized BCSR blocks (ops/bcsr.py QuantBcsr):
+    the Pallas in-VMEM-upcast path for operator-byte-bound workloads."""
+
+    def _banded(self, n_tiles=6, per_node=4, band=40, seed=0, average=True):
+        rng = np.random.default_rng(seed)
+        n = n_tiles * 128
+        src = np.repeat(np.arange(n), per_node)
+        dst = (src + rng.integers(-band, band + 1, len(src))) % n
+        pairs = np.unique(np.stack([src, dst], 1), axis=0)
+        src, dst = pairs[:, 0], pairs[:, 1]
+        if average:
+            indeg = np.bincount(dst, minlength=n).astype(np.float64)
+            w = 1.0 / indeg[dst]
+        else:
+            w = rng.normal(size=len(src))  # per-arc weights: not factorable
+        return src, dst, w, n
+
+    def _dense_oracle(self, src, dst, w, n, state):
+        adj = np.zeros((n, n), np.float32)
+        np.add.at(adj, (src, dst), w.astype(np.float32))
+        return state @ adj
+
+    @pytest.mark.parametrize("average", [True, False])
+    def test_forward_matches_dense(self, average):
+        from gnnkeras_tpu.ops.bcsr import build_bcsr, quantize_bcsr, qbcsr_aggregate_t
+
+        src, dst, w, n = self._banded(average=average)
+        m = build_bcsr(src, dst, w, n)
+        qm = quantize_bcsr(m, "int8")
+        if average:
+            assert qm.scale is not None and qm.mask.dtype == jnp.int8
+        else:
+            assert qm.scale is None and qm.mask.dtype == jnp.bfloat16
+        state_t = np.random.default_rng(1).normal(size=(8, n)).astype(np.float32)
+        got = np.asarray(qbcsr_aggregate_t(jnp.asarray(state_t), qm))
+        want = self._dense_oracle(src, dst, w, n, state_t)
+        tol = 1e-4 if average else 2e-2  # bf16 storage rounds the weights
+        np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+    def test_backward_matches_dense_autodiff(self):
+        from gnnkeras_tpu.ops.bcsr import build_bcsr, quantize_bcsr, qbcsr_aggregate_t
+
+        src, dst, w, n = self._banded(seed=3)
+        qm = quantize_bcsr(build_bcsr(src, dst, w, n), "int8")
+        rng = np.random.default_rng(4)
+        state_t = jnp.asarray(rng.normal(size=(8, n)).astype(np.float32))
+        ct = jnp.asarray(rng.normal(size=(8, n)).astype(np.float32))
+        g_got = jax.grad(lambda s: jnp.sum(qbcsr_aggregate_t(s, qm) * ct))(state_t)
+        adj = np.zeros((n, n), np.float32)
+        np.add.at(adj, (src, dst), w.astype(np.float32))
+        adj_j = jnp.asarray(adj)
+        g_want = jax.grad(lambda s: jnp.sum((s @ adj_j) * ct))(state_t)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), rtol=1e-4, atol=1e-4)
+
+    def test_row_major_sandwich_and_nonmultiple_blocks(self):
+        from gnnkeras_tpu.ops.bcsr import build_bcsr, quantize_bcsr, qbcsr_aggregate
+
+        # small block count (not a _QB_KB multiple): exercises the pad path
+        src, dst, w, n = self._banded(n_tiles=2, per_node=2, band=10, seed=5)
+        m = build_bcsr(src, dst, w, n)
+        qm = quantize_bcsr(m, "int8")
+        assert qm.mask.shape[0] % 16 == 0
+        state = np.random.default_rng(6).normal(size=(n, 5)).astype(np.float32)
+        got = np.asarray(qbcsr_aggregate(jnp.asarray(state), qm))
+        want = self._dense_oracle(src, dst, w, n, state.T).T
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_rectangular_operator(self):
+        """Readout-shaped (N x G) rectangular quantized operator."""
+        from gnnkeras_tpu.ops.bcsr import build_bcsr, quantize_bcsr, qbcsr_aggregate_t
+
+        rng = np.random.default_rng(7)
+        n, g_rows = 512, 128
+        src = np.arange(n)
+        dst = rng.integers(0, 100, n)
+        counts = np.bincount(dst, minlength=g_rows).astype(np.float64)
+        w = 1.0 / counts[dst]
+        m = build_bcsr(src, dst, w, n, g_rows)
+        qm = quantize_bcsr(m, "int8")
+        state_t = rng.normal(size=(8, n)).astype(np.float32)
+        got = np.asarray(qbcsr_aggregate_t(jnp.asarray(state_t), qm))
+        adj = np.zeros((n, g_rows), np.float32)
+        np.add.at(adj, (src, dst), w.astype(np.float32))
+        np.testing.assert_allclose(got, state_t @ adj, rtol=1e-4, atol=1e-4)
+
+
+class TestQuantBcsrEngine:
+    """agg_dtype='int8' batches run the quantized Pallas aggregation through
+    the transposed unfold engine with row-major-equal activations."""
+
+    def test_unfold_matches_float_engine(self):
+        from gnnkeras_tpu.models.gnn import GNNnodeBased
+        from gnnkeras_tpu.models.mlp import MLP, get_inout_dims
+        from gnnkeras_tpu.ops.bcsr import QuantBcsr
+
+        rng = np.random.default_rng(9)
+        # SCATTERED tile offsets (each a single tile) so the banded
+        # decomposition declines and agg_dtype='int8' takes the QuantBcsr
+        # fallback — one block per dst tile, source tile pseudo-random
+        n_tiles = 20
+        n = n_tiles * 128
+        dst = np.arange(n)
+        # offset (2j % 20) - j is distinct for every dst tile j, so no
+        # offset reaches min_fill occupancy and banded declines
+        src_tile = (dst // 128 * 2) % n_tiles
+        src = src_tile * 128 + rng.integers(0, 128, n)
+        pairs = np.unique(np.stack([src, dst], 1), axis=0)
+        arcs = np.concatenate([pairs.astype(np.float64), rng.normal(size=(len(pairs), 2))], 1)
+        g = GraphObject(nodes=rng.normal(size=(n, 6)), arcs=arcs,
+                        targets=rng.normal(size=(n, 2)), focus="n",
+                        aggregation_mode="average")
+        bq = from_graph_object(g, agg_dtype="int8")
+        assert isinstance(bq.bcsr, QuantBcsr) and bq.bcsr.scale is not None
+        bf = from_graph_object(g)
+
+        ins, ls = get_inout_dims("state", 6, 2, 2, "n", 0)
+        ino, lo = get_inout_dims("output", 6, 2, 2, "n", 0)
+        gnn = GNNnodeBased(MLP(input_dim=ins[0], layers=ls, activations="selu"),
+                           MLP(input_dim=ino[0], layers=lo, activations="softmax"), 0, 4, 0.01)
+        gnn.build(seed=0)
+        for training in (False, True):
+            kq, sq, _ = gnn.unfold(gnn.variables, bq, training=training)
+            kf, sf, _ = gnn.unfold(gnn.variables, bf, training=training)
+            assert float(kq) == float(kf)
+            np.testing.assert_allclose(np.asarray(sq), np.asarray(sf), rtol=2e-4, atol=1e-5)
+        # backward through the quantized VJP
+        def loss(p, b):
+            k, s, _ = gnn.unfold({"params": p, "state": gnn.variables["state"]}, b, training=True)
+            return jnp.sum(s ** 2)
+        gq = jax.grad(lambda p: loss(p, bq))(gnn.variables["params"])
+        gf = jax.grad(lambda p: loss(p, bf))(gnn.variables["params"])
+        for a, b in zip(jax.tree_util.tree_leaves(gq), jax.tree_util.tree_leaves(gf)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
+class TestBandedOperator:
+    """Block-diagonal decomposition of banded operators (ops/banded.py):
+    per-offset dense-diagonal strip kernels + BCSR residual for the
+    wraparound blocks — exactness vs the dense oracle, fwd and bwd."""
+
+    def _graph(self, n_tiles=6, per_node=4, band=40, seed=11):
+        rng = np.random.default_rng(seed)
+        n = n_tiles * 128
+        src = np.repeat(np.arange(n), per_node)
+        dst = (src + rng.integers(-band, band + 1, len(src))) % n  # wraps
+        pairs = np.unique(np.stack([src, dst], 1), axis=0)
+        src, dst = pairs[:, 0], pairs[:, 1]
+        indeg = np.bincount(dst, minlength=n).astype(np.float64)
+        return src, dst, 1.0 / indeg[dst], n
+
+    def test_forward_backward_match_dense(self):
+        from gnnkeras_tpu.ops.banded import banded_aggregate_t, build_banded_operator
+
+        src, dst, w, n = self._graph()
+        # min_fill=0.5: at 6 tiles the wraparound offsets (single-tile
+        # occupancy) must ride the residual, not become full diagonals
+        bop = build_banded_operator(src, dst, w, n, dtype=np.int8, min_fill=0.5)
+        assert bop is not None
+        assert set(bop.offsets) == {-1, 0, 1}
+        assert bop.residual is not None  # the %n wraparound corner blocks
+        assert all(d.scale is not None for d in bop.diags)  # int8 factored
+
+        rng = np.random.default_rng(12)
+        state_t = jnp.asarray(rng.normal(size=(8, n)).astype(np.float32))
+        ct = jnp.asarray(rng.normal(size=(8, n)).astype(np.float32))
+        adj = np.zeros((n, n), np.float32)
+        np.add.at(adj, (src, dst), w.astype(np.float32))
+        adj_j = jnp.asarray(adj)
+
+        got = np.asarray(banded_aggregate_t(state_t, bop))
+        np.testing.assert_allclose(got, np.asarray(state_t) @ adj, rtol=1e-4, atol=1e-4)
+
+        g_got = jax.grad(lambda s: jnp.sum(banded_aggregate_t(s, bop) * ct))(state_t)
+        g_want = jax.grad(lambda s: jnp.sum((s @ adj_j) * ct))(state_t)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), rtol=1e-4, atol=1e-4)
+
+    def test_no_band_structure_returns_none(self):
+        from gnnkeras_tpu.ops.banded import build_banded_operator
+
+        rng = np.random.default_rng(13)
+        n = 8 * 128
+        src = rng.integers(0, n, 2000)
+        dst = rng.integers(0, n, 2000)  # offsets spread over all tiles
+        bop = build_banded_operator(src, dst, np.ones(2000), n, dtype=np.int8)
+        assert bop is None
+
+    def test_bf16_fallback_per_arc_weights(self):
+        from gnnkeras_tpu.ops.banded import banded_aggregate_t, build_banded_operator
+
+        src, dst, _, n = self._graph(seed=14)
+        w = np.random.default_rng(15).normal(size=len(src))  # not factorable
+        with pytest.warns(RuntimeWarning):
+            bop = build_banded_operator(src, dst, w, n, dtype=np.int8)
+        assert bop is not None and all(d.scale is None for d in bop.diags)
+        state_t = jnp.asarray(np.random.default_rng(16).normal(size=(8, n)).astype(np.float32))
+        adj = np.zeros((n, n), np.float32)
+        np.add.at(adj, (src, dst), w.astype(np.float32))
+        got = np.asarray(banded_aggregate_t(state_t, bop))
+        np.testing.assert_allclose(got, np.asarray(state_t) @ adj, rtol=2e-2, atol=2e-2)
+
+
+class TestBandedEngine:
+    """agg_dtype='int8' on a banded graph routes the diagonal decomposition
+    through the transposed unfold engine, row-major-equal."""
+
+    def test_unfold_matches_float_engine(self):
+        from gnnkeras_tpu.models.gnn import GNNnodeBased
+        from gnnkeras_tpu.models.mlp import MLP, get_inout_dims
+        from gnnkeras_tpu.ops.banded import BandedOperator
+
+        rng = np.random.default_rng(21)
+        n = 6 * 128
+        src = np.repeat(np.arange(n), 3)
+        dst = (src + rng.integers(-30, 31, len(src))) % n
+        pairs = np.unique(np.stack([src, dst], 1), axis=0)
+        arcs = np.concatenate([pairs.astype(np.float64), rng.normal(size=(len(pairs), 2))], 1)
+        g = GraphObject(nodes=rng.normal(size=(n, 6)), arcs=arcs,
+                        targets=rng.normal(size=(n, 2)), focus="n",
+                        aggregation_mode="average")
+        bq = from_graph_object(g, agg_dtype="int8")
+        assert isinstance(bq.bcsr, BandedOperator)
+        bf = from_graph_object(g)
+
+        ins, ls = get_inout_dims("state", 6, 2, 2, "n", 0)
+        ino, lo = get_inout_dims("output", 6, 2, 2, "n", 0)
+        gnn = GNNnodeBased(MLP(input_dim=ins[0], layers=ls, activations="selu"),
+                           MLP(input_dim=ino[0], layers=lo, activations="softmax"), 0, 4, 0.01)
+        gnn.build(seed=0)
+        assert gnn._use_transposed(bq)
+        for training in (False, True):
+            kq, sq, _ = gnn.unfold(gnn.variables, bq, training=training)
+            kf, sf, _ = gnn.unfold(gnn.variables, bf, training=training)
+            assert float(kq) == float(kf)
+            np.testing.assert_allclose(np.asarray(sq), np.asarray(sf), rtol=2e-4, atol=1e-5)
+        # one SGD-grad equality through the banded VJPs
+        def loss(p, b):
+            k, s, _ = gnn.unfold({"params": p, "state": gnn.variables["state"]}, b, training=True)
+            return jnp.sum(s ** 2)
+        gq = jax.grad(lambda p: loss(p, bq))(gnn.variables["params"])
+        gf = jax.grad(lambda p: loss(p, bf))(gnn.variables["params"])
+        for a, b in zip(jax.tree_util.tree_leaves(gq), jax.tree_util.tree_leaves(gf)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+    def test_row_major_engine_on_banded_batch(self):
+        """transposed=False still computes correctly via the sandwich."""
+        from gnnkeras_tpu.ops.banded import BandedOperator
+
+        rng = np.random.default_rng(23)
+        n = 4 * 128
+        src = np.repeat(np.arange(n), 2)
+        dst = (src + rng.integers(-10, 11, len(src))) % n
+        pairs = np.unique(np.stack([src, dst], 1), axis=0)
+        arcs = np.concatenate([pairs.astype(np.float64), np.ones((len(pairs), 1))], 1)
+        g = GraphObject(nodes=rng.normal(size=(n, 4)), arcs=arcs,
+                        targets=rng.normal(size=(n, 2)), focus="n",
+                        aggregation_mode="average")
+        bq = from_graph_object(g, agg_dtype="int8")
+        assert isinstance(bq.bcsr, BandedOperator)
+        bf = from_graph_object(g)
+        state = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(bq.aggregate(state)), np.asarray(bf.aggregate(state)),
+            rtol=1e-4, atol=1e-4,
+        )
