@@ -73,9 +73,13 @@ def build_banded_operator(
     dtype=np.int8,
     max_diagonals: int = 6,
     min_fill: float = 0.1,
+    force_offsets: Optional[Tuple[int, ...]] = None,
 ) -> Optional[BandedOperator]:
     """Host-side construction.  Returns None when fewer than one offset
-    reaches ``min_fill`` tile occupancy (no band structure — use BCSR)."""
+    reaches ``min_fill`` tile occupancy (no band structure — use BCSR).
+    ``force_offsets`` builds diagonals for exactly the given offsets (zero
+    diagonals where a shard has no such edges) — the partitioned engine
+    uses it so every device's operator shares ONE pytree structure."""
     assert n_padded % TILE == 0
     t = n_padded // TILE
     src = np.asarray(src, dtype=np.int64)
@@ -85,15 +89,18 @@ def build_banded_operator(
     src, dst, weight = src[live], dst[live], weight[live]
 
     off = src // TILE - dst // TILE
-    offs, counts = np.unique(off, return_counts=True)
-    # occupancy in TILES (distinct dst tiles at this offset), not edges
-    dense_offs = []
-    for o in offs:
-        n_tiles_at_o = len(np.unique(dst[off == o] // TILE))
-        if n_tiles_at_o >= min_fill * t:
-            dense_offs.append(int(o))
-    if not dense_offs or len(dense_offs) > max_diagonals:
-        return None
+    if force_offsets is not None:
+        dense_offs = [int(o) for o in force_offsets]
+    else:
+        offs, counts = np.unique(off, return_counts=True)
+        # occupancy in TILES (distinct dst tiles at this offset), not edges
+        dense_offs = []
+        for o in offs:
+            n_tiles_at_o = len(np.unique(dst[off == o] // TILE))
+            if n_tiles_at_o >= min_fill * t:
+                dense_offs.append(int(o))
+        if not dense_offs or len(dense_offs) > max_diagonals:
+            return None
 
     diags = []
     in_diag = np.zeros(len(src), dtype=bool)
@@ -148,6 +155,47 @@ def build_banded_operator(
         offsets=tuple(dense_offs),
         n_tiles=t,
     )
+
+
+def uniformize_residuals(bops):
+    """Give every operator of a to-be-stacked list the SAME residual
+    structure (present, one padded block count): absent residuals become the
+    all-zero operator.  Required before ``tree_map(stack)`` across devices."""
+    from gnnkeras_tpu.ops.bcsr import empty_bcsr, pad_bcsr
+
+    have = [b.residual for b in bops if b.residual is not None]
+    if not have:
+        return bops
+    need = max(int(r.blocks.shape[0]) for r in have)
+    out = []
+    for b in bops:
+        if b.residual is None:
+            r = empty_bcsr(b.n_tiles, b.n_tiles, need)
+            rt = empty_bcsr(b.n_tiles, b.n_tiles, need)
+        else:
+            r, rt = pad_bcsr(b.residual, need), pad_bcsr(b.residual_t, need)
+        out.append(dataclasses.replace(b, residual=r, residual_t=rt))
+    return out
+
+
+def dense_offsets(
+    src, dst, weight, n_padded: int, min_fill: float = 0.1
+) -> Tuple[int, ...]:
+    """The tile offsets that would become diagonals (the detection half of
+    ``build_banded_operator``) — lets the partitioned engine take the UNION
+    over shards before forcing one offset set on every device."""
+    t = n_padded // TILE
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    weight = np.asarray(weight, dtype=np.float64)
+    live = weight != 0
+    src, dst = src[live], dst[live]
+    off = src // TILE - dst // TILE
+    out = []
+    for o in np.unique(off):
+        if len(np.unique(dst[off == o] // TILE)) >= min_fill * t:
+            out.append(int(o))
+    return tuple(out)
 
 
 def _shift_tiles(state_t: jax.Array, o: int) -> jax.Array:

@@ -203,6 +203,7 @@ def permute_graph_nodes(g: GraphObject, perm: np.ndarray) -> GraphObject:
 def partition_graph(
     g: GraphObject, n_parts: int, pad_multiple: int = 8, halo: bool = True,
     dense_blocks: bool = False, reorder: str = "none",
+    agg_dtype: Optional[str] = None,
 ) -> PartitionedGraph:
     """Contiguous node-range partition; edges assigned to the destination's
     part (incoming aggregation is local).
@@ -227,7 +228,15 @@ def partition_graph(
 
     ``reorder='rcm'`` relabels nodes by ``locality_order`` first, shrinking
     the halo for graphs whose labeling hides locality (losses/metrics are
-    permutation-invariant; node-row outputs follow the new order)."""
+    permutation-invariant; node-row outputs follow the new order).
+
+    ``agg_dtype='int8'`` (with ``dense_blocks``) stores each device's LOCAL
+    operator quantized — the banded block-diagonal decomposition when the
+    shard-local edges are banded (a range shard of a banded graph is banded
+    in local coordinates; offsets forced to the cross-device union so the
+    stacked pytree is uniform), quantized BCSR otherwise (ops/banded.py,
+    ops/bcsr.py; measured 2.6x on the single-chip banded unfold,
+    BASELINE.md round 4).  Halo operators stay float (small)."""
     if reorder not in ("none", "rcm"):
         raise ValueError(f"unknown reorder {reorder!r} (none | rcm)")
     if reorder == "rcm":
@@ -392,14 +401,13 @@ def partition_graph(
 
         h_rows = publish_local.shape[1] if publish_local is not None else np_pad
         gathered_rows = n_parts * h_rows
-        locals_, halos_ = [], []
+        halos_, local_edges = [], []
         for p in range(n_parts):
             e = edges_per_part[p]
             local_sel = src_part[e] == p
             el, er = e[local_sel], e[~local_sel]
-            locals_.append(
-                build_bcsr(src[el] - p * chunk, dst[el] - p * chunk,
-                           g.arcnode_weight[el], np_pad, np_pad, max_band_factor=10**9)
+            local_edges.append(
+                (src[el] - p * chunk, dst[el] - p * chunk, g.arcnode_weight[el])
             )
             if slot_map is not None:
                 remote_rows = np.array([slot_map[int(x)] for x in src[er]], dtype=np.int64)
@@ -409,7 +417,45 @@ def partition_graph(
                 build_bcsr(remote_rows, dst[er] - p * chunk,
                            g.arcnode_weight[er], gathered_rows, np_pad, max_band_factor=10**9)
             )
-        local_bcsr = _stack_bcsr(locals_)
+        if agg_dtype == "int8":
+            from gnnkeras_tpu.ops.banded import (
+                build_banded_operator,
+                dense_offsets,
+                uniformize_residuals,
+            )
+            from gnnkeras_tpu.ops.bcsr import quantize_bcsr
+
+            union = sorted(
+                set().union(*(dense_offsets(s, d, wl, np_pad) for s, d, wl in local_edges))
+            )
+            if union and len(union) <= 6:
+                bops = [
+                    build_banded_operator(s, d, wl, np_pad, dtype=np.int8,
+                                          force_offsets=tuple(union))
+                    for s, d, wl in local_edges
+                ]
+                bops = uniformize_residuals(bops)
+                local_bcsr = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *bops)
+            else:
+                qs = [
+                    quantize_bcsr(
+                        build_bcsr(s, d, wl, np_pad, np_pad, max_band_factor=10**9),
+                        "int8",
+                    )
+                    for s, d, wl in local_edges
+                ]
+                # uniform static block counts before stacking
+                from gnnkeras_tpu.ops.bcsr import pad_qbcsr
+
+                need = max(int(q.mask.shape[0]) for q in qs)
+                qs = [pad_qbcsr(q, need) for q in qs]
+                local_bcsr = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *qs)
+        else:
+            locals_ = [
+                build_bcsr(s, d, wl, np_pad, np_pad, max_band_factor=10**9)
+                for s, d, wl in local_edges
+            ]
+            local_bcsr = _stack_bcsr(locals_)
         halo_bcsr = _stack_bcsr(halos_)
 
     return PartitionedGraph(
@@ -535,10 +581,16 @@ class PartitionedGNN:
             BASELINE north star calls for.  Fallback: gather + edge-list
             segment-sum."""
             if use_bcsr:
-                from gnnkeras_tpu.ops.bcsr import bcsr_aggregate
+                from gnnkeras_tpu.ops.banded import BandedOperator, banded_aggregate
+                from gnnkeras_tpu.ops.bcsr import QuantBcsr, bcsr_aggregate, qbcsr_aggregate
 
                 remote = gather_remote(x)
-                agg = bcsr_aggregate(x, pg.local_bcsr)
+                if isinstance(pg.local_bcsr, BandedOperator):
+                    agg = banded_aggregate(x, pg.local_bcsr)
+                elif isinstance(pg.local_bcsr, QuantBcsr):
+                    agg = qbcsr_aggregate(x, pg.local_bcsr)
+                else:
+                    agg = bcsr_aggregate(x, pg.local_bcsr)
                 return agg + bcsr_aggregate(remote, pg.halo_bcsr)
             ext = exchange(x)
             return segment_sum(ext[src_ext] * pg.arc_weight[:, None], pg.arc_dst_local, np_local)

@@ -96,7 +96,7 @@ def main(transposed=None, agg_dtype=None):
     return dt
 
 
-def partitioned(dense_blocks: bool):
+def partitioned(dense_blocks: bool, agg_dtype=None):
     """The partitioned engine on THIS chip (n_parts = #devices): with one
     device this measures the sharded machinery's per-chip overhead vs the
     plain engine — the 1-chip anchor of the BASELINE scaling metric."""
@@ -106,6 +106,8 @@ def partitioned(dense_blocks: bool):
     rng = np.random.default_rng(0)
     src = np.repeat(np.arange(N_NODES), PER_NODE)
     dst = (src + rng.integers(-BAND, BAND + 1, len(src))) % N_NODES
+    pairs = np.unique(np.stack([src, dst], 1), axis=0)
+    src, dst = pairs[:, 0], pairs[:, 1]
     arcs = np.concatenate(
         [np.stack([src, dst], 1).astype(np.float32), rng.normal(size=(len(src), 2)).astype(np.float32)],
         axis=1,
@@ -117,7 +119,7 @@ def partitioned(dense_blocks: bool):
     n_arcs = g.arcs.shape[0]
 
     n_dev = len(jax.devices())
-    pg = partition_graph(g, n_dev, dense_blocks=dense_blocks)
+    pg = partition_graph(g, n_dev, dense_blocks=dense_blocks, agg_dtype=agg_dtype)
     inp_s, layers_s = get_inout_dims("state", 8, 2, 2, "n", 0)
     inp_o, layers_o = get_inout_dims("output", 8, 2, 2, "n", 0)
     gnn = GNNnodeBased(
@@ -164,7 +166,7 @@ def partitioned(dense_blocks: bool):
         _ = float(acc)
         times.append(time.perf_counter() - t0)
     dt = (float(np.median(times)) - floor) / REPEATS
-    label = "bcsr" if dense_blocks else "scatter"
+    label = ("int8" if agg_dtype == "int8" else "bcsr") if dense_blocks else "scatter"
     print(f"partitioned[{label}] x{n_dev}dev unfold: {dt * 1e3:.2f} ms -> "
           f"{ITERS * n_arcs / dt / 1e6:.0f}M edges/s/chip", flush=True)
     return dt
@@ -181,3 +183,5 @@ if __name__ == "__main__":
     if _os.environ.get("PARTITIONED", "1") != "0":
         dt_part = partitioned(dense_blocks=True)
         print(f"partitioned-engine overhead vs plain: {dt_part / dt_plain:.2f}x")
+        dt_part_q = partitioned(dense_blocks=True, agg_dtype="int8")
+        print(f"partitioned int8-banded vs plain f32: {dt_plain / dt_part_q:.2f}x faster")
