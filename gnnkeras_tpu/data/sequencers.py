@@ -170,15 +170,20 @@ class MultiGraphSequencer:
         both require it.  Mixed present/absent operators (the band-factor
         fallback) degrade ALL batches to the consistent scatter path."""
         from gnnkeras_tpu.ops.banded import BandedOperator
-        from gnnkeras_tpu.ops.bcsr import QuantBcsr, pad_bcsr, pad_qbcsr
+        from gnnkeras_tpu.ops.bcsr import QuantBcsr, build_bcsr, pad_bcsr
 
         def _n_blocks(op):
-            if isinstance(op, BandedOperator):
-                return 0  # diagonals are tiling-shaped, not block-count-shaped
-            return int((op.mask if isinstance(op, QuantBcsr) else op.blocks).shape[0])
+            return int(op.blocks.shape[0])
 
-        def _kinds(ops):
-            return {type(op) for op in ops if op is not None}
+        def _rebuild_float(b):
+            import numpy as _np
+
+            m = build_bcsr(
+                _np.asarray(b.arc_src), _np.asarray(b.arc_dst),
+                _np.asarray(b.arcnode_weight), b.num_nodes,
+                max_band_factor=10**9,
+            )
+            return replace_keep_host(b, bcsr=m)
 
         def replace_keep_host(b, **kw):
             # batch.replace rebuilds the dataclass; re-attach the host-only
@@ -203,22 +208,46 @@ class MultiGraphSequencer:
                 if any(op is not None for op in ops):
                     self.batches = [replace_keep_host(b, **{name: None}) for b in self.batches]
                 continue
-            if len(_kinds(ops)) > 1 or any(isinstance(op, BandedOperator) for op in ops):
-                # banded operators are tiling-shaped (no block-count axis to
-                # pad), and mixed operator kinds across merges cannot share a
-                # treedef anyway — degrade to the consistent scatter path,
-                # latched like the None case above
-                degraded.add(name)
-                self.batches = [replace_keep_host(b, **{name: None}) for b in self.batches]
-                continue
+            if name == "bcsr" and any(
+                isinstance(op, (BandedOperator, QuantBcsr)) for op in ops
+            ):
+                # quantized operators are per-merge shaped (diagonal offsets,
+                # mask+scale presence) and cannot share one treedef across
+                # reshuffled merges — rebuild FLOAT blocks (still the MXU
+                # path, not the scatter fallback) and LATCH agg_dtype off so
+                # later epoch rebuilds construct float operators directly.
+                # Multi-graph batches should quantize via slot_pack strips.
+                if self.agg_dtype is not None:
+                    import warnings
+
+                    warnings.warn(
+                        "quantized aggregation operators (agg_dtype="
+                        f"{self.agg_dtype!r}) are per-merge shaped and not "
+                        "usable across a multi-graph sequencer's batches; "
+                        "rebuilding float block operators (use slot_pack "
+                        "strips for the quantized multi-graph engine)",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    self.agg_dtype = None
+                self.batches = [
+                    _rebuild_float(b)
+                    if isinstance(getattr(b, name), (BandedOperator, QuantBcsr))
+                    else b
+                    for b in self.batches
+                ]
+                ops = [getattr(b, name) for b in self.batches]
+                if any(op is None for op in ops):  # block-dense merges declined
+                    degraded.add(name)
+                    self.batches = [replace_keep_host(b, **{name: None}) for b in self.batches]
+                    continue
             need = max(_n_blocks(op) for op in ops)
             need = max(need, getattr(self, attr, 0))
             setattr(self, attr, need)
             if all(_n_blocks(op) == need for op in ops):
                 continue  # already uniform — keep the original batch objects
-            pad_fn = pad_qbcsr if isinstance(ops[0], QuantBcsr) else pad_bcsr
             self.batches = [
-                replace_keep_host(b, **{name: pad_fn(getattr(b, name), need)})
+                replace_keep_host(b, **{name: pad_bcsr(getattr(b, name), need)})
                 for b in self.batches
             ]
 

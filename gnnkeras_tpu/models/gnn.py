@@ -489,11 +489,20 @@ class GNNnodeBased(GraphModel):
         if self.transposed is None:
             if has_strip:
                 return True  # slot-packed batches: measured always faster
+            if not has_bcsr:
+                return False
+            # quantized operators (banded decomposition / QuantBcsr) were
+            # built for the feature-major engine — the row-major fallback is
+            # a transpose sandwich paying two full-state relayouts per
+            # iteration, so auto always runs them transposed
+            from gnnkeras_tpu.ops.banded import BandedOperator
+            from gnnkeras_tpu.ops.bcsr import QuantBcsr
+
+            if isinstance(batch.bcsr, (BandedOperator, QuantBcsr)):
+                return True
             # plain BCSR: computed per-batch from the MEASURED decision
             # variable — the state feature width (see the constant's note;
             # scripts/bench_bcsr_auto.py refuted the byte-ratio hypothesis)
-            if not has_bcsr:
-                return False
             sd = self.state_vect_dim if self.state_vect_dim > 0 else batch.nodes.shape[1]
             sd_pad = -(-sd // 8) * 8
             return sd_pad <= _TRANSPOSED_BCSR_MAX_STATE_DIM

@@ -65,6 +65,19 @@ class BandedOperator:
     n_tiles: int
 
 
+def _dense_offsets_from(off, dst, t: int, min_fill: float) -> Tuple[int, ...]:
+    """Offsets whose distinct-destination-tile occupancy reaches
+    ``min_fill * t`` — one pass over unique (offset, dst_tile) pairs instead
+    of one full-edge scan per distinct offset."""
+    if len(off) == 0:
+        return ()
+    base = int(off.min())
+    pair = (off - base) * np.int64(t) + dst // TILE
+    uniq = np.unique(pair)
+    per_off = np.bincount((uniq // t).astype(np.int64))
+    return tuple(int(i) + base for i in np.flatnonzero(per_off >= min_fill * t))
+
+
 def build_banded_operator(
     src: np.ndarray,
     dst: np.ndarray,
@@ -92,13 +105,7 @@ def build_banded_operator(
     if force_offsets is not None:
         dense_offs = [int(o) for o in force_offsets]
     else:
-        offs, counts = np.unique(off, return_counts=True)
-        # occupancy in TILES (distinct dst tiles at this offset), not edges
-        dense_offs = []
-        for o in offs:
-            n_tiles_at_o = len(np.unique(dst[off == o] // TILE))
-            if n_tiles_at_o >= min_fill * t:
-                dense_offs.append(int(o))
+        dense_offs = list(_dense_offsets_from(off, dst, t, min_fill))
         if not dense_offs or len(dense_offs) > max_diagonals:
             return None
 
@@ -144,7 +151,16 @@ def build_banded_operator(
 
     residual = residual_t = None
     if np.any(~in_diag):
+        from gnnkeras_tpu.ops.bcsr import _MAX_BAND_FACTOR
+
         sr, dr, wr = src[~in_diag], dst[~in_diag], weight[~in_diag]
+        # the remainder must stay block-THIN — a dense band plus a large
+        # scattered remainder would otherwise materialize an unbounded
+        # dense-block residual (the guard build_bcsr enforces for the
+        # non-quantized path); decline so the caller falls back
+        n_res_blocks = len(np.unique(sr // TILE * t + dr // TILE))
+        if n_res_blocks > _MAX_BAND_FACTOR * t:
+            return None
         residual = build_bcsr(sr, dr, wr, n_padded, max_band_factor=10**9)
         residual_t = transpose_bcsr(residual)
 
@@ -191,11 +207,7 @@ def dense_offsets(
     live = weight != 0
     src, dst = src[live], dst[live]
     off = src // TILE - dst // TILE
-    out = []
-    for o in np.unique(off):
-        if len(np.unique(dst[off == o] // TILE)) >= min_fill * t:
-            out.append(int(o))
-    return tuple(out)
+    return _dense_offsets_from(off, dst, t, min_fill)
 
 
 def _shift_tiles(state_t: jax.Array, o: int) -> jax.Array:
@@ -245,5 +257,11 @@ _banded_residual.defvjp(_banded_residual_fwd, _banded_residual_bwd)
 
 def banded_aggregate(state: jax.Array, bop: BandedOperator) -> jax.Array:
     """Row-major interface (transpose sandwich; the transposed engine is the
-    intended consumer)."""
-    return banded_aggregate_t(state.T, bop).T
+    intended consumer).  The transposed state's leading dim must be a
+    sublane multiple (strip_aggregate_t's precondition) — pad and slice."""
+    d = state.shape[1]
+    d_pad = -(-d // 8) * 8
+    st = state.T
+    if d_pad != d:
+        st = jnp.pad(st, ((0, d_pad - d), (0, 0)))
+    return banded_aggregate_t(st, bop)[:d].T

@@ -428,22 +428,43 @@ def partition_graph(
             union = sorted(
                 set().union(*(dense_offsets(s, d, wl, np_pad) for s, d, wl in local_edges))
             )
+            bops = None
             if union and len(union) <= 6:
-                bops = [
-                    build_banded_operator(s, d, wl, np_pad, dtype=np.int8,
-                                          force_offsets=tuple(union))
-                    for s, d, wl in local_edges
-                ]
-                bops = uniformize_residuals(bops)
-                local_bcsr = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *bops)
-            else:
-                qs = [
-                    quantize_bcsr(
-                        build_bcsr(s, d, wl, np_pad, np_pad, max_band_factor=10**9),
-                        "int8",
+                def _build_all(dt):
+                    return [
+                        build_banded_operator(s, d, wl, np_pad, dtype=dt,
+                                              force_offsets=tuple(union))
+                        for s, d, wl in local_edges
+                    ]
+
+                bops = _build_all(np.int8)
+                if any(b is None for b in bops):  # residual bound declined
+                    bops = None
+                else:
+                    # factorability can differ per shard (a parallel arc on
+                    # one shard only); stacking needs ONE structure —
+                    # degrade collectively to bf16 diagonals
+                    scales = [d.scale is None for b in bops for d in b.diags]
+                    if any(scales) and not all(scales):
+                        bops = _build_all(jnp.bfloat16)
+                    bops = uniformize_residuals(bops)
+                    local_bcsr = jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *bops
                     )
-                    for s, d, wl in local_edges
-                ]
+            if bops is None:
+                def _quant_all(dt):
+                    return [
+                        quantize_bcsr(
+                            build_bcsr(s, d, wl, np_pad, np_pad, max_band_factor=10**9),
+                            dt,
+                        )
+                        for s, d, wl in local_edges
+                    ]
+
+                qs = _quant_all("int8")
+                # same cross-shard structure rule for the mask+scale split
+                if any(q.scale is None for q in qs) and not all(q.scale is None for q in qs):
+                    qs = _quant_all("bfloat16")
                 # uniform static block counts before stacking
                 from gnnkeras_tpu.ops.bcsr import pad_qbcsr
 

@@ -587,3 +587,62 @@ class TestBandedEngine:
             np.asarray(bq.aggregate(state)), np.asarray(bf.aggregate(state)),
             rtol=1e-4, atol=1e-4,
         )
+
+
+class TestQuantizedSequencerDegrade:
+    """agg_dtype='int8' on a MULTI-graph sequencer rebuilds float block
+    operators (the MXU path) instead of silently dropping to the scatter
+    engine (round-4 review finding), latched across epoch rebuilds."""
+
+    def test_multi_sequencer_rebuilds_float_blocks(self):
+        from gnnkeras_tpu.data.sequencers import MultiGraphSequencer
+        from gnnkeras_tpu.ops.bcsr import BcsrMatrix
+
+        rng = np.random.default_rng(31)
+        graphs = []
+        for i in range(8):
+            nn = int(rng.integers(6, 14))
+            pairs = np.unique(np.stack([rng.integers(0, nn, 20), rng.integers(0, nn, 20)], 1), axis=0)
+            arcs = np.concatenate([pairs.astype(np.float64), np.ones((len(pairs), 1))], 1)
+            graphs.append(GraphObject(nodes=rng.normal(size=(nn, 3)), arcs=arcs,
+                                      targets=rng.normal(size=(nn, 2)), focus="n",
+                                      aggregation_mode="average"))
+        with pytest.warns(RuntimeWarning, match="per-merge shaped"):
+            seq = MultiGraphSequencer(graphs, "n", "average", batch_size=4,
+                                      shuffle=False, agg_dtype="int8")
+        assert seq.agg_dtype is None  # latched off
+        for i in range(len(seq)):
+            assert isinstance(seq[i].bcsr, BcsrMatrix)  # float MXU path kept
+        seq.on_epoch_end()  # rebuild does not reintroduce quantized ops
+        for i in range(len(seq)):
+            assert isinstance(seq[i].bcsr, BcsrMatrix)
+
+
+class TestQuantizedAutoEngine:
+    def test_quantized_operators_force_transposed_auto(self):
+        from gnnkeras_tpu.models.gnn import GNNnodeBased
+        from gnnkeras_tpu.models.mlp import MLP, get_inout_dims
+        from gnnkeras_tpu.ops.banded import BandedOperator
+
+        rng = np.random.default_rng(33)
+        n = 4 * 128
+        src = np.repeat(np.arange(n), 2)
+        dst = (src + rng.integers(-10, 11, len(src))) % n
+        pairs = np.unique(np.stack([src, dst], 1), axis=0)
+        arcs = np.concatenate([pairs.astype(np.float64), np.ones((len(pairs), 1))], 1)
+        g = GraphObject(nodes=rng.normal(size=(n, 4)), arcs=arcs,
+                        targets=rng.normal(size=(n, 2)), focus="n",
+                        aggregation_mode="average")
+        bq = from_graph_object(g, agg_dtype="int8")
+        assert isinstance(bq.bcsr, BandedOperator)
+        # wide state (sd_pad > 32): the f32-BCSR rule would pick row-major,
+        # but quantized operators always run the transposed engine in auto
+        ds = 64
+        ins, ls = get_inout_dims("state", 4, 1, 2, "n", ds)
+        ino, lo = get_inout_dims("output", 4, 1, 2, "n", ds)
+        wide = GNNnodeBased(MLP(input_dim=ins[0], layers=ls, activations="selu"),
+                            MLP(input_dim=ino[0], layers=lo, activations="softmax"),
+                            ds, 3, 0.01)
+        wide.build(seed=0)
+        assert wide._use_transposed(bq)
+        assert not wide._use_transposed(from_graph_object(g))  # plain BCSR rule

@@ -1149,3 +1149,47 @@ class TestPartitionedQuantized:
             pgnn = PartitionedGNN(gnn, mesh8)
             k, state, out, _ = pgnn.forward(pg, training=True)
             assert float(k) == float(k_ref)
+
+
+class TestPartitionedQuantizedDegrade:
+    """Cross-shard int8 factorability differences must degrade COLLECTIVELY
+    (round-4 review finding: independent bf16 fallback on one shard broke
+    the stacked pytree with a ValueError)."""
+
+    def test_one_parallel_arc_degrades_all_shards_to_bf16(self, mesh8):
+        from gnnkeras_tpu.ops.banded import BandedOperator
+
+        rng = np.random.default_rng(17)
+        n = 8 * 128
+        src = np.repeat(np.arange(n), 3)
+        dst = (src + rng.integers(-20, 21, len(src))) % n
+        pairs = np.unique(np.stack([src, dst], 1), axis=0)
+        arcs = np.concatenate([pairs.astype(np.float64), rng.normal(size=(len(pairs), 1))], 1)
+        # duplicate an EXISTING local pair of shard 0 with a different label:
+        # survives GraphObject's row dedup -> parallel arc -> shard 0's
+        # diagonals can't factor while the other shards' can
+        local0 = (pairs[:, 0] < 100) & (pairs[:, 1] < 100)
+        p0 = pairs[local0][0]
+        extra = np.array([[float(p0[0]), float(p0[1]), 99.0]])
+        arcs = np.concatenate([arcs, extra])
+        g = GraphObject(nodes=rng.normal(size=(n, 3)), arcs=arcs,
+                        targets=rng.normal(size=(n, 2)), focus="n",
+                        aggregation_mode="average")
+        gnn = build_gnn(GNNnodeBased, "n", da=1)
+        batch = from_graph_object(g)
+        k_ref, state_ref, _ = gnn.unfold(gnn.variables, batch, training=True)
+
+        with pytest.warns(RuntimeWarning):
+            pg = partition_graph(g, 8, dense_blocks=True, agg_dtype="int8")
+        assert isinstance(pg.local_bcsr, BandedOperator)
+        # collective bf16 degrade: NO diagonal keeps a scale
+        assert all(d.scale is None for d in pg.local_bcsr.diags)
+        pgnn = PartitionedGNN(gnn, mesh8)
+        k, state, out, _ = pgnn.forward(pg, training=True)
+        assert float(k) == float(k_ref)
+        got = np.asarray(state).reshape(-1, state.shape[-1])
+        mask = np.asarray(pg.node_mask).reshape(-1)
+        # bf16-rounded operator weights: loose but honest tolerance
+        np.testing.assert_allclose(
+            got[mask], np.asarray(state_ref)[: g.nodes.shape[0]], rtol=2e-2, atol=2e-2
+        )
