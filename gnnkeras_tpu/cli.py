@@ -61,6 +61,8 @@ def _config(args) -> "GNNConfig":
         cfg.strip_dtype = args.strip_dtype
     if getattr(args, "transposed", None) is not None:
         cfg.transposed = {"auto": None, "on": True, "off": False}[args.transposed]
+    if getattr(args, "agg_dtype", None) is not None:
+        cfg.agg_dtype = None if args.agg_dtype == "none" else args.agg_dtype
     cfg.__post_init__()  # re-validate after CLI overrides
     return cfg
 
@@ -132,7 +134,10 @@ def _train_parallel(par, cfg, model, tr, va, args, class_weight=None):
         from gnnkeras_tpu.parallel.partition import PartitionedGNN, partition_graph
 
         merged = type(tr[0]).merge(list(tr), focus=cfg.focus, aggregation_mode=cfg.aggregation_mode)
-        pg = partition_graph(merged, n_dev, dense_blocks=True)
+        # agg_dtype='auto' (the config default): per-shard banded int8
+        # local operators when every shard factors exactly — the measured
+        # 9.79B edges/s/chip partitioned engine (BASELINE.md round 4)
+        pg = partition_graph(merged, n_dev, dense_blocks=True, agg_dtype=cfg.agg_dtype)
         pgnn = PartitionedGNN(model, make_mesh(("graph",), devices=jax.devices()[:n_dev]))
         h = pgnn.fit(pg, epochs=epochs, verbose=args.verbose,
                      checkpoint_dir=args.checkpoint_dir, resume=args.resume)
@@ -306,6 +311,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                        help="strip operator storage (default: config, int8)")
         p.add_argument("--transposed", default=None, choices=["auto", "on", "off"],
                        help="feature-major unfold engine (default: auto)")
+        p.add_argument("--agg-dtype", default=None,
+                       choices=["auto", "int8", "bfloat16", "float32", "none"],
+                       help="single-graph aggregation-operator storage "
+                            "(default: auto — banded int8 only when the "
+                            "factorization is exact; 'none' = plain float)")
         if model:
             p.add_argument("--model", required=True, help="saved model directory")
         if needs_out:

@@ -75,6 +75,16 @@ class GNNConfig:
     # transposed (feature-major) unfold engine: None = the model's auto rule
     # (on for strip-carrying batches), True/False = force
     transposed: Optional[bool] = None
+    # single-graph aggregation-operator storage (graph/batch.py agg_dtype):
+    # 'auto' (default) takes the banded int8 mask+scale decomposition ONLY
+    # when the factorization is numerically exact — measured 2.6x on the
+    # 500k-node banded workload (BASELINE.md round 4) with zero numerics
+    # change — and keeps the plain float operator otherwise.  'int8' forces
+    # quantization (bf16 degrade with a RuntimeWarning when non-factorable);
+    # 'bfloat16'/'float32' cast; None leaves the operator float.  Applies to
+    # the single-graph sequencer route; multi-graph batches quantize via
+    # slot_pack strips (strip_dtype) instead.
+    agg_dtype: Optional[str] = "auto"
 
     # beyond-reference: distributed execution engine (parallel/ tier).
     # none | dp (data parallel) | partitioned (range-sharded halo engine) |
@@ -106,6 +116,11 @@ class GNNConfig:
             )
         if self.transposed not in (None, True, False):
             raise ValueError(f"bad transposed {self.transposed!r} (None = auto | bool)")
+        if self.agg_dtype not in (None, "auto", "int8", "bfloat16", "float32"):
+            raise ValueError(
+                f"bad agg_dtype {self.agg_dtype!r} "
+                "(None | auto | int8 | bfloat16 | float32)"
+            )
         if self.parallel not in ("none", "dp", "partitioned", "packed", "pipeline", "expert"):
             raise ValueError(
                 f"bad parallel {self.parallel!r} "
@@ -274,7 +289,13 @@ class GNNConfig:
                 if isinstance(graphs, CompositeGraphObject)
                 else SingleGraphSequencer
             )
-            return cls(graphs, self.focus, self.batch_size, shuffle)
+            # agg_dtype='auto' (the default): exact-only banded int8 storage
+            # for the shared single-graph operator — the fastest correct
+            # engine without a numerics change (BASELINE.md round 4)
+            return cls(
+                graphs, self.focus, self.batch_size, shuffle,
+                agg_dtype=self.agg_dtype,
+            )
         cls = (
             CompositeMultiGraphSequencer
             if isinstance(graphs[0], CompositeGraphObject)

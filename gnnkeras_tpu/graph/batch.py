@@ -497,7 +497,7 @@ def from_graph_object(
                 nodegraph_bcsr = build_bcsr(
                     pos, g.graph_of_node, g.nodegraph_weight, N, G_blocks
                 )
-            if agg_dtype == "int8":
+            if agg_dtype in ("int8", "auto"):
                 # quantized aggregation operator, best available form: banded
                 # graphs decompose into per-offset dense-diagonal int8 strips
                 # (ops/banded.py — measured 3.1x the f32 einsum on the 500k
@@ -505,11 +505,24 @@ def from_graph_object(
                 # structures fall back to quantized BCSR (mask+scale blocks,
                 # in-VMEM upcast).  The readout operator stays float (read
                 # once per forward, not per iteration).
+                #
+                # ``'auto'`` is the semantics-preserving variant: take the
+                # banded int8 form ONLY when the mask+scale factorization is
+                # exact (sum/normalized/average over deduplicated arcs) and
+                # keep the plain float operator otherwise — never the bf16
+                # degrade, never the QuantBcsr fallback (measured a marginal
+                # 1.05x, not worth the engine flip on non-banded batches).
                 from gnnkeras_tpu.ops.banded import build_banded_operator
                 from gnnkeras_tpu.ops.bcsr import quantize_bcsr
 
-                bop = build_banded_operator(src[:a], dst[:a], w[:a], N, dtype=jnp.int8)
-                bcsr = bop if bop is not None else quantize_bcsr(bcsr, "int8")
+                bop = build_banded_operator(
+                    src[:a], dst[:a], w[:a], N, dtype=jnp.int8,
+                    strict_int8=agg_dtype == "auto",
+                )
+                if bop is not None:
+                    bcsr = bop
+                elif agg_dtype == "int8":
+                    bcsr = quantize_bcsr(bcsr, "int8")
             elif agg_dtype is not None:
                 from gnnkeras_tpu.ops.bcsr import cast_bcsr
 

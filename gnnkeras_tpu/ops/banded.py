@@ -87,12 +87,16 @@ def build_banded_operator(
     max_diagonals: int = 6,
     min_fill: float = 0.1,
     force_offsets: Optional[Tuple[int, ...]] = None,
+    strict_int8: bool = False,
 ) -> Optional[BandedOperator]:
     """Host-side construction.  Returns None when fewer than one offset
     reaches ``min_fill`` tile occupancy (no band structure — use BCSR).
     ``force_offsets`` builds diagonals for exactly the given offsets (zero
     diagonals where a shard has no such edges) — the partitioned engine
-    uses it so every device's operator shares ONE pytree structure."""
+    uses it so every device's operator shares ONE pytree structure.
+    ``strict_int8`` returns None instead of degrading to bfloat16 when the
+    int8 mask+scale factorization does not hold (``agg_dtype='auto'``: only
+    take the quantized form when it is numerically exact)."""
     assert n_padded % TILE == 0
     t = n_padded // TILE
     src = np.asarray(src, dtype=np.int64)
@@ -133,6 +137,8 @@ def build_banded_operator(
         try:
             s_arr, s_t_arr, s_scale = _finalize_strips(strip, strip_t, dtype)
         except StripFactorError as err:
+            if strict_int8:
+                return None  # auto mode: exact factorization or nothing
             import warnings
 
             warnings.warn(

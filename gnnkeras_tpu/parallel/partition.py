@@ -236,7 +236,11 @@ def partition_graph(
     in local coordinates; offsets forced to the cross-device union so the
     stacked pytree is uniform), quantized BCSR otherwise (ops/banded.py,
     ops/bcsr.py; measured 2.6x on the single-chip banded unfold,
-    BASELINE.md round 4).  Halo operators stay float (small)."""
+    BASELINE.md round 4).  Halo operators stay float (small).
+    ``agg_dtype='auto'`` takes the banded int8 form only when EVERY shard's
+    mask+scale factorization is exact and keeps the plain float operators
+    otherwise — semantics-preserving quantization (the GNNConfig default
+    for single-graph workloads)."""
     if reorder not in ("none", "rcm"):
         raise ValueError(f"unknown reorder {reorder!r} (none | rcm)")
     if reorder == "rcm":
@@ -417,7 +421,7 @@ def partition_graph(
                 build_bcsr(remote_rows, dst[er] - p * chunk,
                            g.arcnode_weight[er], gathered_rows, np_pad, max_band_factor=10**9)
             )
-        if agg_dtype == "int8":
+        if agg_dtype in ("int8", "auto"):
             from gnnkeras_tpu.ops.banded import (
                 build_banded_operator,
                 dense_offsets,
@@ -425,6 +429,11 @@ def partition_graph(
             )
             from gnnkeras_tpu.ops.bcsr import quantize_bcsr
 
+            # 'auto': exact-only quantization — banded int8 when every
+            # shard's factorization holds, otherwise the plain float
+            # operator (no bf16 degrade, no QuantBcsr fallback); the same
+            # rule as from_graph_object's auto mode
+            strict = agg_dtype == "auto"
             union = sorted(
                 set().union(*(dense_offsets(s, d, wl, np_pad) for s, d, wl in local_edges))
             )
@@ -433,7 +442,8 @@ def partition_graph(
                 def _build_all(dt):
                     return [
                         build_banded_operator(s, d, wl, np_pad, dtype=dt,
-                                              force_offsets=tuple(union))
+                                              force_offsets=tuple(union),
+                                              strict_int8=strict)
                         for s, d, wl in local_edges
                     ]
 
@@ -451,7 +461,15 @@ def partition_graph(
                     local_bcsr = jax.tree_util.tree_map(
                         lambda *xs: jnp.stack(xs), *bops
                     )
-            if bops is None:
+            if bops is None and strict:
+                # auto: no exact banded structure across every shard — keep
+                # the plain float local operators
+                locals_ = [
+                    build_bcsr(s, d, wl, np_pad, np_pad, max_band_factor=10**9)
+                    for s, d, wl in local_edges
+                ]
+                local_bcsr = _stack_bcsr(locals_)
+            elif bops is None:
                 def _quant_all(dt):
                     return [
                         quantize_bcsr(

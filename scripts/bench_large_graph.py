@@ -180,6 +180,11 @@ if __name__ == "__main__":
     print(f"transposed vs row-major: {dt_plain / dt_t:.2f}x faster")
     dt_q = main(transposed=True, agg_dtype="int8")
     print(f"int8 banded decomposition vs row-major f32: {dt_plain / dt_q:.2f}x faster")
+    # 'auto' (the GNNConfig default): exact-only quantization — on this
+    # factorable workload it must take the same banded int8 form, so the
+    # two lines should agree within noise
+    dt_a = main(agg_dtype="auto")
+    print(f"agg_dtype='auto' vs explicit int8: {dt_q / dt_a:.2f}x")
     if _os.environ.get("PARTITIONED", "1") != "0":
         dt_part = partitioned(dense_blocks=True)
         print(f"partitioned-engine overhead vs plain: {dt_part / dt_plain:.2f}x")

@@ -646,3 +646,90 @@ class TestQuantizedAutoEngine:
         wide.build(seed=0)
         assert wide._use_transposed(bq)
         assert not wide._use_transposed(from_graph_object(g))  # plain BCSR rule
+
+
+class TestAutoAggDtype:
+    """agg_dtype='auto' (graph/batch.py, partition.py, GNNConfig default):
+    exact-only quantization — the banded int8 mask+scale decomposition when
+    the factorization is numerically exact, the PLAIN float operator
+    otherwise.  Never the bf16 degrade, never the QuantBcsr fallback, so
+    'auto' is always semantics-preserving and safe as the config default."""
+
+    def _banded_graph(self, seed=41, n=6 * 128, per_node=3, band=30, parallel_arc=False):
+        rng = np.random.default_rng(seed)
+        src = np.repeat(np.arange(n), per_node)
+        dst = (src + rng.integers(-band, band + 1, len(src))) % n
+        pairs = np.unique(np.stack([src, dst], 1), axis=0)
+        arcs = np.concatenate([pairs.astype(np.float64), rng.normal(size=(len(pairs), 2))], 1)
+        if parallel_arc:
+            # duplicate an existing pair with a DIFFERENT label: survives
+            # GraphObject's row dedup -> parallel arc -> weights sum on the
+            # (src, dst) entry -> mask+scale factorization cannot hold
+            dup = arcs[:1].copy()
+            dup[0, 2:] += 1.0
+            arcs = np.concatenate([arcs, dup])
+        return GraphObject(nodes=rng.normal(size=(n, 6)), arcs=arcs,
+                           targets=rng.normal(size=(n, 2)), focus="n",
+                           aggregation_mode="average")
+
+    def test_banded_factorable_takes_int8(self):
+        from gnnkeras_tpu.ops.banded import BandedOperator, banded_aggregate_t
+
+        g = self._banded_graph()
+        b = from_graph_object(g, agg_dtype="auto")
+        assert isinstance(b.bcsr, BandedOperator)
+        assert all(d.scale is not None for d in b.bcsr.diags)  # int8 engaged
+        # exactness of the auto operator vs the dense adjacency
+        n = g.nodes.shape[0]
+        src, dst = g.arcs[:, 0].astype(int), g.arcs[:, 1].astype(int)
+        adj = np.zeros((b.num_nodes, b.num_nodes), np.float32)
+        np.add.at(adj, (src, dst), np.asarray(g.arcnode_weight, np.float32))
+        state_t = jnp.asarray(
+            np.random.default_rng(42).normal(size=(8, b.num_nodes)).astype(np.float32)
+        )
+        got = np.asarray(banded_aggregate_t(state_t, b.bcsr))
+        np.testing.assert_allclose(got, np.asarray(state_t) @ adj, rtol=1e-4, atol=1e-4)
+
+    def test_nonfactorable_keeps_plain_float_silently(self):
+        import warnings
+
+        g = self._banded_graph(parallel_arc=True)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # the int8 degrade path warns; auto must not
+            b = from_graph_object(g, agg_dtype="auto")
+        assert isinstance(b.bcsr, BcsrMatrix)
+        ref = from_graph_object(g)  # agg_dtype=None
+        np.testing.assert_array_equal(np.asarray(b.bcsr.blocks), np.asarray(ref.bcsr.blocks))
+
+    def test_scattered_keeps_plain_float(self):
+        from gnnkeras_tpu.ops.bcsr import QuantBcsr
+
+        rng = np.random.default_rng(43)
+        n = 8 * 128
+        # scattered offsets: no band structure -> 'auto' keeps plain blocks
+        # where 'int8' would take the QuantBcsr fallback
+        src = rng.integers(0, n, 3000)
+        dst = rng.integers(0, n, 3000)
+        arcs = np.concatenate([np.stack([src, dst], 1).astype(np.float64),
+                               rng.normal(size=(3000, 1))], 1)
+        g = GraphObject(nodes=rng.normal(size=(n, 4)), arcs=arcs,
+                        targets=rng.normal(size=(n, 2)), focus="n",
+                        aggregation_mode="average")
+        b = from_graph_object(g, agg_dtype="auto")
+        assert isinstance(b.bcsr, BcsrMatrix)
+        assert isinstance(from_graph_object(g, agg_dtype="int8").bcsr, QuantBcsr)
+
+    def test_config_default_routes_single_graph_auto(self):
+        from gnnkeras_tpu.config import GNNConfig
+        from gnnkeras_tpu.ops.banded import BandedOperator
+
+        g = self._banded_graph()
+        cfg = GNNConfig(focus="n", batch_size=256)
+        assert cfg.agg_dtype == "auto"  # the documented default
+        seq = cfg.build_sequencer(g)
+        assert isinstance(seq.batches[0].bcsr, BandedOperator)
+        # and the opt-out still reaches the sequencer
+        seq_off = GNNConfig(focus="n", batch_size=256, agg_dtype=None).build_sequencer(g)
+        assert isinstance(seq_off.batches[0].bcsr, BcsrMatrix)
+        with pytest.raises(ValueError):
+            GNNConfig(agg_dtype="int4")

@@ -1193,3 +1193,43 @@ class TestPartitionedQuantizedDegrade:
         np.testing.assert_allclose(
             got[mask], np.asarray(state_ref)[: g.nodes.shape[0]], rtol=2e-2, atol=2e-2
         )
+
+
+class TestPartitionedAutoAggDtype:
+    """agg_dtype='auto' under partitioning: banded int8 local operators when
+    EVERY shard factors exactly, the plain float stacked operators otherwise
+    (no collective bf16 degrade — auto never changes numerics)."""
+
+    def test_auto_banded_all_shards_factorable(self, mesh8):
+        from gnnkeras_tpu.ops.banded import BandedOperator
+
+        g = TestPartitionedQuantized().banded(seed=7)
+        pg = partition_graph(g, 8, halo=True, dense_blocks=True, agg_dtype="auto")
+        assert isinstance(pg.local_bcsr, BandedOperator)
+        assert all(d.scale is not None for d in pg.local_bcsr.diags)
+
+    def test_auto_nonfactorable_keeps_float(self, mesh8):
+        import warnings
+
+        from gnnkeras_tpu.ops.bcsr import BcsrMatrix
+
+        rng = np.random.default_rng(17)
+        n = 8 * 128
+        src = np.repeat(np.arange(n), 3)
+        dst = (src + rng.integers(-20, 21, len(src))) % n
+        pairs = np.unique(np.stack([src, dst], 1), axis=0)
+        arcs = np.concatenate([pairs.astype(np.float64), rng.normal(size=(len(pairs), 1))], 1)
+        local0 = (pairs[:, 0] < 100) & (pairs[:, 1] < 100)
+        p0 = pairs[local0][0]
+        arcs = np.concatenate([arcs, np.array([[float(p0[0]), float(p0[1]), 99.0]])])
+        g = GraphObject(nodes=rng.normal(size=(n, 3)), arcs=arcs,
+                        targets=rng.normal(size=(n, 2)), focus="n",
+                        aggregation_mode="average")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            pg = partition_graph(g, 8, halo=True, dense_blocks=True, agg_dtype="auto")
+        assert isinstance(pg.local_bcsr, BcsrMatrix)  # one shard's parallel arc -> all float
+        ref = partition_graph(g, 8, halo=True, dense_blocks=True)
+        np.testing.assert_array_equal(
+            np.asarray(pg.local_bcsr.blocks), np.asarray(ref.local_bcsr.blocks)
+        )
