@@ -111,6 +111,17 @@ def _load() -> Optional[ctypes.CDLL]:
             _i32p, _i32p, _f32p, ctypes.c_int64,
             _f32p, ctypes.c_int64, _i32p, _i64p, _i64p, ctypes.c_int64, _f64p,
         ]
+        lib.scatter_add_f32.restype = None
+        lib.scatter_add_f32.argtypes = [_i64p, _f64p, ctypes.c_int64, _f32p]
+        _i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        lib.factor_mask_scale.restype = ctypes.c_int32
+        lib.factor_mask_scale.argtypes = [
+            _f64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _i8p, _f32p,
+        ]
+        lib.factor_mask_scale_f32.restype = ctypes.c_int32
+        lib.factor_mask_scale_f32.argtypes = [
+            _f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _i8p, _f32p,
+        ]
         lib.parse_ints.restype = ctypes.c_int64
         lib.parse_ints.argtypes = [ctypes.c_char_p, _i64p, ctypes.c_int64]
         lib.count_ints.restype = ctypes.c_int64
@@ -190,6 +201,53 @@ def agg_component_sums(src, dst, w, nodes, type_mask, dims, n_rows):
         type_of, dims, np.ascontiguousarray(offsets), len(dims), acc,
     )
     return acc
+
+
+def scatter_add_3d(out, i0, i1, i2, w):
+    """``np.add.at(out, (i0, i1, i2), w)`` for a 3-D float32 array — one C++
+    pass when available (the hot host path of the block/strip operator
+    builders), bit-identical ``np.add.at`` fallback otherwise (NumPy's
+    mixed-dtype loop computes ``float(double(out) + double(w))`` per element,
+    exactly what the C++ kernel does; for all-f32 inputs the double
+    intermediate is the same correctly-rounded sum)."""
+    lib = _load()
+    if lib is None or out.dtype != np.float32 or not out.flags.c_contiguous:
+        np.add.at(out, (i0, i1, i2), w)
+        return out
+    d1, d2 = out.shape[1], out.shape[2]
+    idx = (np.asarray(i0, np.int64) * d1 + np.asarray(i1, np.int64)) * d2 + np.asarray(
+        i2, np.int64
+    )
+    w64 = np.ascontiguousarray(np.asarray(w, np.float64))
+    lib.scatter_add_f32(np.ascontiguousarray(idx), w64, len(w64), out.reshape(-1))
+    return out
+
+
+def factor_mask_scale(arr: np.ndarray):
+    """Factor ``arr == mask * scale[:, None, :]`` with a 0/1 mask: every
+    column's nonzeros must share one exact value (the reference's
+    per-destination aggregation weight, graph_class.py:105-121).  Returns
+    (mask int8, scale f32) or None when not factorable (duplicate arcs
+    accumulated, per-arc weights, or any NaN).  C++ single pass when
+    available; the NumPy fallback reconstructs and compares."""
+    lib = _load()
+    if lib is not None and arr.dtype in (np.float32, np.float64):
+        a = np.ascontiguousarray(arr)
+        B, R, C = a.shape
+        mask = np.empty((B, R, C), np.int8)
+        scale = np.empty((B, C), np.float32)
+        fn = lib.factor_mask_scale if a.dtype == np.float64 else lib.factor_mask_scale_f32
+        if not fn(a, B, R, C, mask, scale):
+            return None
+        return mask, scale
+    mask = arr != 0
+    first = np.argmax(mask, axis=1)  # first nonzero row per (tile, col)
+    t_idx = np.arange(arr.shape[0])[:, None]
+    c_idx = np.arange(arr.shape[2])[None, :]
+    scale = arr[t_idx, first, c_idx] * mask.any(axis=1)
+    if not np.array_equal(arr, mask * scale[:, None, :]):
+        return None
+    return mask.astype(np.int8), scale.astype(np.float32)
 
 
 def load_ints(path: str) -> Optional[np.ndarray]:

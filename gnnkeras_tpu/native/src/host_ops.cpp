@@ -109,6 +109,77 @@ int64_t parse_ints(const char* path, int64_t* out, int64_t capacity) {
     return count;
 }
 
+// np.add.at(out_flat, idx, w) over a float32 buffer: NumPy resolves the
+// mixed f32/f64 ufunc loop to float64 and casts each result back, i.e.
+// out[i] = float(double(out[i]) + w[e]) — for all-f32 inputs the double
+// intermediate is still bit-identical (an f32 sum is exact in double and
+// the final downcast is the one correctly-rounded step).  Replaces the
+// buffered fancy-indexing add.at in the block/strip operator builders
+// (ops/{strip,banded,bcsr}.py) — the hot host path of large-graph batch
+// construction.
+void scatter_add_f32(const int64_t* idx, const double* w, int64_t n, float* out) {
+    for (int64_t e = 0; e < n; ++e) {
+        float* o = out + idx[e];
+        *o = (float)((double)*o + w[e]);
+    }
+}
+
+// Factor arr (B, R, C) f64 as mask(int8) * scale[b, c]: every column's
+// nonzeros must share one exact value (the per-destination aggregation
+// weight, reference graph_class.py:105-121).  Single pass — replaces the
+// NumPy argmax + full reconstruct-compare (three extra full-array sweeps).
+// Returns 1 and fills mask (B*R*C int8) + scale (B*C f32) on success, 0
+// when not factorable (mask/scale contents then undefined).
+}  // extern "C" (template below cannot carry C linkage)
+
+template <typename T>
+static int32_t factor_mask_scale_impl(
+    const T* arr, int64_t B, int64_t R, int64_t C,
+    int8_t* mask, float* scale) {
+    double* col_val = (double*)malloc(sizeof(double) * (size_t)C);
+    bool* seen = (bool*)malloc(sizeof(bool) * (size_t)C);
+    if (!col_val || !seen) { free(col_val); free(seen); return 0; }
+    for (int64_t b = 0; b < B; ++b) {
+        for (int64_t c = 0; c < C; ++c) seen[c] = false;
+        const T* slab = arr + b * R * C;
+        int8_t* mslab = mask + b * R * C;
+        for (int64_t r = 0; r < R; ++r) {
+            const T* row = slab + r * C;
+            int8_t* mrow = mslab + r * C;
+            for (int64_t c = 0; c < C; ++c) {
+                const double a = (double)row[c];
+                if (a != 0.0) {
+                    // NaN: NumPy's reconstruct-compare (array_equal) always
+                    // fails on NaN, so declare unfactorable for parity
+                    if (a != a) { free(col_val); free(seen); return 0; }
+                    mrow[c] = 1;
+                    if (!seen[c]) { seen[c] = true; col_val[c] = a; }
+                    else if (a != col_val[c]) { free(col_val); free(seen); return 0; }
+                } else {
+                    mrow[c] = 0;
+                }
+            }
+        }
+        float* srow = scale + b * C;
+        for (int64_t c = 0; c < C; ++c) srow[c] = seen[c] ? (float)col_val[c] : 0.0f;
+    }
+    free(col_val);
+    free(seen);
+    return 1;
+}
+
+extern "C" {
+
+int32_t factor_mask_scale(
+    const double* arr, int64_t B, int64_t R, int64_t C, int8_t* mask, float* scale) {
+    return factor_mask_scale_impl<double>(arr, B, R, C, mask, scale);
+}
+
+int32_t factor_mask_scale_f32(
+    const float* arr, int64_t B, int64_t R, int64_t C, int8_t* mask, float* scale) {
+    return factor_mask_scale_impl<float>(arr, B, R, C, mask, scale);
+}
+
 // Count integers in a file without storing them (sizing pass for parse_ints).
 int64_t count_ints(const char* path) {
     FILE* f = fopen(path, "rb");

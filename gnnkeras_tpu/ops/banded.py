@@ -127,7 +127,9 @@ def build_banded_operator(
 
         t_pad = -(-t // K_TILES) * K_TILES
         strip = np.zeros((t_pad, TILE, TILE), np.float32)
-        np.add.at(strip, (j, s % TILE, d % TILE), w)
+        from gnnkeras_tpu import native
+
+        native.scatter_add_3d(strip, j, s % TILE, d % TILE, w)
         # transposed diagonal (for the strip VJP): entry (j', d%T, s%T) at
         # the SOURCE tile j' = j + o — strip_aggregate_t's backward applies
         # strip_t as the same-diagonal product on the cotangent, and

@@ -98,7 +98,11 @@ def build_bcsr(
     rank[order] = np.arange(n_blocks)
 
     blocks = np.zeros((max(n_blocks, 1), tile, tile), dtype=floatx())
-    np.add.at(blocks, (rank[inverse], src_l % tile, dst_l % tile), w_l)
+    from gnnkeras_tpu import native
+
+    # scatter_add_3d takes the C++ path for f32 blocks and is np.add.at
+    # itself otherwise (floatx='float64' configurations)
+    native.scatter_add_3d(blocks, rank[inverse], src_l % tile, dst_l % tile, w_l)
 
     uniq_sorted = uniq[order]
     src_tile = (uniq_sorted // n_dst_tiles).astype(np.int32)

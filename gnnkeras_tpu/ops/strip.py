@@ -92,15 +92,11 @@ def _factor_mask_scale(arr: np.ndarray):
     column's nonzeros must share one value (the reference's per-destination
     aggregation weight, graph_class.py:105-121).  Returns (mask int8,
     scale f32) or None when not factorable (duplicate arcs accumulated, or
-    per-arc weights)."""
-    mask = arr != 0
-    first = np.argmax(mask, axis=1)  # first nonzero row per (tile, col)
-    t_idx = np.arange(arr.shape[0])[:, None]
-    c_idx = np.arange(arr.shape[2])[None, :]
-    scale = arr[t_idx, first, c_idx] * mask.any(axis=1)
-    if not np.array_equal(arr, mask * scale[:, None, :]):
-        return None
-    return mask.astype(np.int8), scale.astype(np.float32)
+    per-arc weights).  Delegates to the native tier (single C++ pass; the
+    NumPy fallback reconstructs and compares — same verdict either way)."""
+    from gnnkeras_tpu import native
+
+    return native.factor_mask_scale(arr)
 
 
 def _finalize_strips(strip: np.ndarray, strip_t: np.ndarray, dtype):
@@ -201,18 +197,20 @@ def build_strip_operator(
         in_strip = in_slot & within_tile & (dst < boundary)
         in_block = within_tile & (dst >= boundary)
         s, d, w = src[in_strip], dst[in_strip], weight[in_strip]
+        from gnnkeras_tpu import native
+
         strip = np.zeros((ns, slot, TILE), np.float32)
-        np.add.at(strip, (d // TILE, s % slot, d % TILE), w)
+        native.scatter_add_3d(strip, d // TILE, s % slot, d % TILE, w)
         strip_t = np.zeros_like(strip)
-        np.add.at(strip_t, (s // TILE, d % slot, s % TILE), w)
+        native.scatter_add_3d(strip_t, s // TILE, d % slot, s % TILE, w)
         # full blocks for the [ns, t) region, trailing-padded to a K multiple
         tb = t - ns
         tb_pad = -(-max(tb, 1) // K_TILES) * K_TILES
         sb, db, wb = src[in_block], dst[in_block], weight[in_block]
         blocks = np.zeros((tb_pad, TILE, TILE), np.float32)
-        np.add.at(blocks, (db // TILE - ns, sb % TILE, db % TILE), wb)
+        native.scatter_add_3d(blocks, db // TILE - ns, sb % TILE, db % TILE, wb)
         blocks_t = np.zeros_like(blocks)
-        np.add.at(blocks_t, (sb // TILE - ns, db % TILE, sb % TILE), wb)
+        native.scatter_add_3d(blocks_t, sb // TILE - ns, db % TILE, sb % TILE, wb)
         rest = ~(in_strip | in_block)
         residual = residual_t = None
         if np.any(rest):
@@ -234,11 +232,13 @@ def build_strip_operator(
         )
 
     s, d, w = src[in_slot], dst[in_slot], weight[in_slot]
+    from gnnkeras_tpu import native
+
     strip = np.zeros((t, slot, TILE), np.float32)
-    np.add.at(strip, (d // TILE, s % slot, d % TILE), w)
+    native.scatter_add_3d(strip, d // TILE, s % slot, d % TILE, w)
     # block-diagonal transpose: edge (s → d) lands at column s, row d%slot
     strip_t = np.zeros_like(strip)
-    np.add.at(strip_t, (s // TILE, d % slot, s % TILE), w)
+    native.scatter_add_3d(strip_t, s // TILE, d % slot, s % TILE, w)
 
     residual = residual_t = None
     if np.any(~in_slot):

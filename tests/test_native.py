@@ -140,3 +140,86 @@ class TestNativeTier:
         nodes = np.ones((2, 1), np.float32)
         acc_arc, _ = native.agg_label_sums(src, dst, w, arc_label, nodes, 2)
         assert np.isnan(acc_arc[1, 0])
+
+
+class TestScatterAdd3d:
+    def _case(self, seed, dims=(7, 32, 128), n=5000, wdtype=np.float64):
+        rng = np.random.default_rng(seed)
+        out = np.zeros(dims, np.float32)
+        i0 = rng.integers(0, dims[0], n)
+        i1 = rng.integers(0, dims[1], n)
+        i2 = rng.integers(0, dims[2], n)
+        w = rng.normal(size=n).astype(wdtype)
+        # heavy duplicates: many edges land on the same cell so accumulation
+        # ORDER and per-element rounding are both exercised
+        i0[:: 3] = 0
+        i1[:: 3] = 0
+        i2[:: 3] = 0
+        return out, i0, i1, i2, w
+
+    @pytest.mark.parametrize("wdtype", [np.float32, np.float64])
+    def test_matches_np_add_at(self, monkeypatch, reset_native, wdtype):
+        out, i0, i1, i2, w = self._case(2, wdtype=wdtype)
+        got = native.scatter_add_3d(out.copy(), i0, i1, i2, w)
+        want = out.copy()
+        np.add.at(want, (i0, i1, i2), w)
+        np.testing.assert_array_equal(got, want)
+        _force_fallback(monkeypatch)
+        fb = native.scatter_add_3d(out.copy(), i0, i1, i2, w)
+        np.testing.assert_array_equal(fb, want)
+
+    def test_extreme_magnitudes_bit_identical(self):
+        # f32 cancellation/rounding cases: big + tiny, sign flips, exact zeros
+        rng = np.random.default_rng(3)
+        out = np.zeros((2, 8, 8), np.float32)
+        n = 4000
+        i0 = rng.integers(0, 2, n); i1 = rng.integers(0, 8, n); i2 = rng.integers(0, 8, n)
+        w = (rng.normal(size=n) * 10.0 ** rng.integers(-20, 20, n))
+        w[::7] = 0.0
+        got = native.scatter_add_3d(out.copy(), i0, i1, i2, w)
+        want = out.copy(); np.add.at(want, (i0, i1, i2), w)
+        np.testing.assert_array_equal(got, want)
+
+    def test_empty(self):
+        out = np.zeros((1, 4, 4), np.float32)
+        e = np.zeros(0, np.int64)
+        got = native.scatter_add_3d(out.copy(), e, e, e, np.zeros(0))
+        np.testing.assert_array_equal(got, out)
+
+
+class TestFactorMaskScaleNative:
+    def _factorable(self, seed=4, B=3, R=32, C=128, dtype=np.float64):
+        rng = np.random.default_rng(seed)
+        scale = np.where(rng.random((B, C)) < 0.8, rng.random((B, C)), 0.0)
+        mask = (rng.random((B, R, C)) < 0.3) & (scale[:, None, :] != 0)
+        return (mask * scale[:, None, :]).astype(dtype)
+
+    @pytest.mark.parametrize("dtype", [np.float32, np.float64])
+    def test_factorable_matches_fallback(self, monkeypatch, reset_native, dtype):
+        arr = self._factorable(dtype=dtype)
+        got = native.factor_mask_scale(arr)
+        assert got is not None
+        _force_fallback(monkeypatch)
+        want = native.factor_mask_scale(arr)
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+        assert got[0].dtype == np.int8 and got[1].dtype == np.float32
+
+    def test_nonfactorable_and_nan(self, monkeypatch, reset_native):
+        arr = self._factorable(seed=5)
+        bad = arr.copy()
+        r0, r1 = np.nonzero(bad[0, :, 0])[0][:1], None
+        bad[0, 0, 0] = 1.25; bad[0, 1, 0] = 2.5  # two different nonzeros, one column
+        assert native.factor_mask_scale(bad) is None
+        nan = arr.copy(); nan[(nan != 0)] = np.nan  # NaN columns: both paths refuse
+        assert native.factor_mask_scale(nan) is None
+        _force_fallback(monkeypatch)
+        assert native.factor_mask_scale(bad) is None
+        assert native.factor_mask_scale(nan) is None
+
+    def test_single_nan_column_refused_both_paths(self, monkeypatch, reset_native):
+        arr = np.zeros((1, 4, 8), np.float64)
+        arr[0, 2, 3] = np.nan  # sole nonzero of its column
+        assert native.factor_mask_scale(arr) is None
+        _force_fallback(monkeypatch)
+        assert native.factor_mask_scale(arr) is None
