@@ -214,10 +214,17 @@ def scatter_add_3d(out, i0, i1, i2, w):
     if lib is None or out.dtype != np.float32 or not out.flags.c_contiguous:
         np.add.at(out, (i0, i1, i2), w)
         return out
-    d1, d2 = out.shape[1], out.shape[2]
-    idx = (np.asarray(i0, np.int64) * d1 + np.asarray(i1, np.int64)) * d2 + np.asarray(
-        i2, np.int64
-    )
+    d0, d1, d2 = out.shape
+    i0 = np.asarray(i0, np.int64)
+    i1 = np.asarray(i1, np.int64)
+    i2 = np.asarray(i2, np.int64)
+    # np.add.at index semantics: negatives wrap per dimension, out-of-range
+    # raises — the raw C++ write must never see either (heap corruption)
+    for i, d in ((i0, d0), (i1, d1), (i2, d2)):
+        if i.size and (int(i.min()) < -d or int(i.max()) >= d):
+            np.add.at(out, (i0, i1, i2), w)  # raises NumPy's IndexError
+            raise AssertionError("np.add.at accepted an index the wrapper rejected")
+    idx = (i0 % d0 * d1 + i1 % d1) * d2 + i2 % d2
     w64 = np.ascontiguousarray(np.asarray(w, np.float64))
     lib.scatter_add_f32(np.ascontiguousarray(idx), w64, len(w64), out.reshape(-1))
     return out

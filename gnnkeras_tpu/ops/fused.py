@@ -98,7 +98,9 @@ def build_fused_diag(
     # aggregation is then a plain ``blocks[t] @ state`` with the standard
     # (dim1, dim0) contraction — no per-iteration relayout on the MXU.
     blocks = np.zeros((t, tile, tile), np.float32)
-    np.add.at(blocks, (dst // tile, dst % tile, src % tile), weight)
+    from gnnkeras_tpu import native
+
+    native.scatter_add_3d(blocks, dst // tile, dst % tile, src % tile, weight)
     return FusedDiagOperator(blocks=jnp.asarray(blocks, dtype=dtype), tile=tile)
 
 
@@ -230,7 +232,9 @@ def build_fused_diag_t(
     t = n_padded // tile
     t_pad = -(-t // min(K_TILES, t)) * min(K_TILES, t) if t else 1
     blocks = np.zeros((t_pad, tile, tile), np.float32)
-    np.add.at(blocks, (dst // tile, src % tile, dst % tile), weight)
+    from gnnkeras_tpu import native
+
+    native.scatter_add_3d(blocks, dst // tile, src % tile, dst % tile, weight)
     return FusedDiagOperator(blocks=jnp.asarray(blocks, dtype=dtype), tile=tile)
 
 

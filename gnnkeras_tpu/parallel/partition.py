@@ -495,6 +495,13 @@ def partition_graph(
                 for s, d, wl in local_edges
             ]
             local_bcsr = _stack_bcsr(locals_)
+            if agg_dtype is not None:
+                # explicit cast storage (bfloat16/float32), matching the
+                # single-graph route's cast_bcsr behavior — previously these
+                # values were silently ignored here
+                from gnnkeras_tpu.ops.bcsr import cast_bcsr
+
+                local_bcsr = cast_bcsr(local_bcsr, jnp.dtype(agg_dtype))
         halo_bcsr = _stack_bcsr(halos_)
 
     return PartitionedGraph(

@@ -208,7 +208,6 @@ class TestFactorMaskScaleNative:
     def test_nonfactorable_and_nan(self, monkeypatch, reset_native):
         arr = self._factorable(seed=5)
         bad = arr.copy()
-        r0, r1 = np.nonzero(bad[0, :, 0])[0][:1], None
         bad[0, 0, 0] = 1.25; bad[0, 1, 0] = 2.5  # two different nonzeros, one column
         assert native.factor_mask_scale(bad) is None
         nan = arr.copy(); nan[(nan != 0)] = np.nan  # NaN columns: both paths refuse
@@ -223,3 +222,21 @@ class TestFactorMaskScaleNative:
         assert native.factor_mask_scale(arr) is None
         _force_fallback(monkeypatch)
         assert native.factor_mask_scale(arr) is None
+
+
+class TestScatterAddIndexSemantics:
+    def test_out_of_range_raises_like_numpy(self):
+        out = np.zeros((2, 4, 4), np.float32)
+        with pytest.raises(IndexError):
+            native.scatter_add_3d(out, np.array([2]), np.array([0]), np.array([0]), np.array([1.0]))
+        with pytest.raises(IndexError):
+            native.scatter_add_3d(out, np.array([0]), np.array([-5]), np.array([0]), np.array([1.0]))
+
+    def test_negative_indices_wrap_like_numpy(self):
+        out = np.zeros((2, 4, 4), np.float32)
+        got = native.scatter_add_3d(out.copy(), np.array([-1, 0]), np.array([-2, 1]),
+                                    np.array([-4, 3]), np.array([2.0, 3.0]))
+        want = out.copy()
+        np.add.at(want, (np.array([-1, 0]), np.array([-2, 1]), np.array([-4, 3])),
+                  np.array([2.0, 3.0]))
+        np.testing.assert_array_equal(got, want)

@@ -1233,3 +1233,12 @@ class TestPartitionedAutoAggDtype:
         np.testing.assert_array_equal(
             np.asarray(pg.local_bcsr.blocks), np.asarray(ref.local_bcsr.blocks)
         )
+
+
+class TestPartitionedCastAggDtype:
+    def test_bfloat16_request_casts_local_operators(self, mesh8):
+        import jax.numpy as jnp
+
+        g = TestPartitionedQuantized().banded(seed=9)
+        pg = partition_graph(g, 8, halo=True, dense_blocks=True, agg_dtype="bfloat16")
+        assert pg.local_bcsr.blocks.dtype == jnp.bfloat16  # previously silently float32
