@@ -151,13 +151,15 @@ def _train_parallel(par, cfg, model, tr, va, args, class_weight=None):
         )
 
         merged = type(tr[0]).merge(list(tr), focus="g", aggregation_mode=cfg.aggregation_mode)
-        stacked, _ = partition_packed(merged, n_dev)
+        # the packed route follows the config's strip storage (int8 default),
+        # like the single-chip sequencer path — previously pinned to bf16
+        stacked, _ = partition_packed(merged, n_dev, strip_dtype=cfg.strip_dtype)
         # an empty (--val-frac 0) or too-small validation split skips
         # validation instead of crashing the merge/partition below
         stacked_va = None
         if len(va) >= n_dev:
             merged_va = type(va[0]).merge(list(va), focus="g", aggregation_mode=cfg.aggregation_mode)
-            stacked_va, _ = partition_packed(merged_va, n_dev)
+            stacked_va, _ = partition_packed(merged_va, n_dev, strip_dtype=cfg.strip_dtype)
         wrapper = PackedPartitionedLGNN if hasattr(model, "gnns") else PackedPartitionedGNN
         pgnn = wrapper(model, make_mesh(("graph",), devices=jax.devices()[:n_dev]))
         h = pgnn.fit(

@@ -115,11 +115,16 @@ def partition_packed(
     g: GraphObject,
     n_parts: int,
     slot_pack: int = 128,
-    strip_dtype: str = "bfloat16",
+    strip_dtype: str = "int8",
 ) -> Tuple[GraphBatch, PackedPartitionMeta]:
     """Split a merged focus-'g' batch into ``n_parts`` balanced groups of
     WHOLE graphs and build the per-device single-chip batches (slot packing +
     strip operator + CompactReadout), stacked along a leading device axis.
+
+    ``strip_dtype`` defaults to ``'int8'`` — the flagship single-chip
+    storage (GNNConfig default; BASELINE.md round 4).  Per-device
+    factorability differences downgrade COLLECTIVELY to dense storage below
+    so the stacked pytree keeps one structure.
 
     Shapes are made uniform across devices (max-tile node pad, max arc pad,
     shared compact g_max/span caps) so the stacked pytree shard_maps cleanly.

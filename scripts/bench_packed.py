@@ -50,10 +50,12 @@ def main():
 
     n_dev = len(jax.devices())
     mesh = make_mesh(("graph",))
-    stacked, meta = partition_packed(merged, n_dev, strip_dtype="bfloat16")
+    strip_dtype = os.environ.get("GNNK_BENCH_STRIP_DTYPE", "int8")
+    print(f"strip_dtype={strip_dtype}", flush=True)
+    stacked, meta = partition_packed(merged, n_dev, strip_dtype=strip_dtype)
     pgnn = PackedPartitionedGNN(gnn, mesh)
 
-    batch1 = from_graph_object(merged, slot_pack=128, strip_dtype="bfloat16")
+    batch1 = from_graph_object(merged, slot_pack=128, strip_dtype=strip_dtype)
 
     sync_probe = jax.jit(lambda x: jnp.sum(x))
 
