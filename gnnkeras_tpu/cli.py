@@ -125,6 +125,7 @@ def _train_parallel(par, cfg, model, tr, va, args, class_weight=None):
             cfg.build_sequencer(tr), epochs=epochs,
             validation_data=cfg.build_sequencer(va, shuffle=False) if va else None,
             verbose=args.verbose, checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+            class_weight=class_weight,
         )
         return {k: v[-1] for k, v in h.history.items()}
 
@@ -140,7 +141,9 @@ def _train_parallel(par, cfg, model, tr, va, args, class_weight=None):
         pg = partition_graph(merged, n_dev, dense_blocks=True, agg_dtype=cfg.agg_dtype)
         pgnn = PartitionedGNN(model, make_mesh(("graph",), devices=jax.devices()[:n_dev]))
         h = pgnn.fit(pg, epochs=epochs, verbose=args.verbose,
-                     checkpoint_dir=args.checkpoint_dir, resume=args.resume)
+                     validation_data=cfg.build_sequencer(va, shuffle=False) if va else None,
+                     checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+                     class_weight=class_weight)
         return {k: v[-1] for k, v in h.items()}
 
     if par == "packed":
@@ -183,14 +186,20 @@ def _train_parallel(par, cfg, model, tr, va, args, class_weight=None):
                             pad_nodes=-(-n_pad // 8) * 8, pad_arcs=-(-a_pad // 8) * 8)
             for i in range(2)
         ]
-        h = pp.fit([mbs], epochs=epochs, verbose=args.verbose)
+        h = pp.fit([mbs], epochs=epochs, verbose=args.verbose,
+                   validation_data=cfg.build_sequencer(va, shuffle=False) if va else None,
+                   checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+                   class_weight=class_weight)
         return {k: v[-1] for k, v in h.items()}
 
     if par == "expert":
         from gnnkeras_tpu.parallel.expert import ExpertParallelCompositeGNN
 
         ep = ExpertParallelCompositeGNN(model, make_mesh(("expert",), devices=jax.devices()[:n_dev]))
-        h = ep.fit(cfg.build_sequencer(tr), epochs=epochs, verbose=args.verbose)
+        h = ep.fit(cfg.build_sequencer(tr), epochs=epochs, verbose=args.verbose,
+                   validation_data=cfg.build_sequencer(va, shuffle=False) if va else None,
+                   checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+                   class_weight=class_weight)
         return {k: v[-1] for k, v in h.items()}
 
     raise SystemExit(f"unknown --parallel {par!r}")
@@ -211,11 +220,6 @@ def cmd_train(args) -> int:
     node_dim, arc_dim, t_dim = _dims(graphs)
     model = cfg.build_model(node_dim, arc_dim, t_dim)
     if cfg.parallel != "none":
-        if class_weight is not None and cfg.parallel != "packed":
-            raise SystemExit(
-                "--class-weight is supported on the single-device and "
-                "--parallel packed paths only"
-            )
         final_train = _train_parallel(cfg.parallel, cfg, model, tr, va, args, class_weight)
     else:
         history = model.fit(

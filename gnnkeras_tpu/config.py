@@ -61,11 +61,12 @@ class GNNConfig:
     per_iteration_bn: bool = False
 
     # beyond-reference: single-chip engine selection (the flagship transposed
-    # strip stack, BASELINE.md rounds 3-4).
-    # slot_pack: None = auto (128 for graph-focused multi-graph sequencers —
-    # the measured-fastest engine becomes the default user path), 0 = off,
-    # 128 = force on.  Controls whether sequencer batches carry the
-    # compact-strip operator that routes the transposed unfold engine.
+    # strip stack, BASELINE.md rounds 3-5).
+    # slot_pack: None = auto (128 for EVERY multi-graph sequencer focus —
+    # the strip/transposed engine measured fastest at graph, node AND arc
+    # focus, BASELINE.md round 5), 0 = off, 128 = force on.  Controls
+    # whether sequencer batches carry the compact-strip operator that
+    # routes the transposed unfold engine.
     slot_pack: Optional[int] = None
     # strip operator storage: 'int8' (mask+scale factorization, half the
     # bytes; production default per the round-4 measurement, BASELINE.md) |
@@ -176,11 +177,15 @@ class GNNConfig:
 
         import numpy as np
 
-        if np.ndim(dim_node_label) > 0 and len(np.atleast_1d(dim_node_label)) > 1:
-            # composite: the shared output MLP reads the converged state only
-            # (CompositeGNN.py:237-239); dims follow the model, not the
-            # reference's (broken for this case) output formula.
-            out_in = (self.dim_state,)
+        if np.ndim(dim_node_label) > 0:
+            # composite (any type count, incl. the reference's single-type
+            # starter_composite): the shared output MLP reads the converged
+            # state only (CompositeGNN.py:237-239 apply_filters) — dims
+            # follow the model, not the reference's (broken for this case)
+            # output formula.  At dim_state==0 the state IS the full node
+            # matrix, whose width is the widest type's label.
+            dims = [int(d) for d in np.atleast_1d(dim_node_label)]
+            out_in = (self.dim_state,) if self.dim_state > 0 else (max(dims),)
         else:
             inp_o, _ = get_inout_dims(
                 "output", dim_node_label, dim_arc_label, dim_target, self.focus, self.dim_state,
@@ -210,7 +215,11 @@ class GNNConfig:
         from gnnkeras_tpu.models.gnn import GNNarcBased, GNNgraphBased, GNNnodeBased
         from gnnkeras_tpu.models.lgnn import LGNN, CompositeLGNN
 
-        composite = np.ndim(dim_node_label) > 0 and len(np.atleast_1d(dim_node_label)) > 1
+        # ANY tuple dim (composite data, even single-type) builds the
+        # composite model — the reference's own composite starter wraps
+        # single-type MUTAG in CompositeGraphObjects and builds the composite
+        # model for it (starter_composite.py:57-59)
+        composite = np.ndim(dim_node_label) > 0
         homo_cls = {"n": GNNnodeBased, "a": GNNarcBased, "g": GNNgraphBased}[self.focus]
         comp_cls = {"n": CompositeGNNnodeBased, "a": CompositeGNNarcBased, "g": CompositeGNNgraphBased}[self.focus]
 
@@ -269,15 +278,20 @@ class GNNConfig:
                     "CompositeGraphObject input"
                 )
             if single:
+                # the re-transduced graph keeps the SAME arcs every epoch, so
+                # the auto-quantized operator structure is epoch-stable and
+                # agg_dtype threads through like the inductive route
+                # (reference TransductiveGraphSequencers.py:100-153)
                 return TransductiveSingleGraphSequencer(
-                    graphs, self.focus, transductive_rate, self.batch_size, shuffle
+                    graphs, self.focus, transductive_rate, self.batch_size, shuffle,
+                    agg_dtype=self.agg_dtype,
                 )
             # the per-epoch resampled 2-type merges run the strip engine too
             # (the uniformity latches persist across resamples); same auto
             # rule as the inductive multi-graph sequencer
             slot = self.slot_pack
             if slot is None:
-                slot = 128 if self.focus == "g" else 0
+                slot = 128
             return TransductiveMultiGraphSequencer(
                 graphs, self.focus, self.aggregation_mode, transductive_rate,
                 self.batch_size, shuffle,
@@ -302,11 +316,13 @@ class GNNConfig:
             else MultiGraphSequencer
         )
         # flagship engine routing: slot-packed strip batches drive the
-        # transposed unfold engine; auto = on for graph-focused multi-graph
-        # sequencers (the measured-fastest configuration, BASELINE.md r3-r4)
+        # transposed unfold engine — auto = on for EVERY focus (measured on
+        # merged Mutagenicity, BASELINE.md r5: graph r3-r4 numbers; node
+        # 6.97x fwd / 4.91x train; arc 1.81x fwd / 1.36x train vs the plain
+        # BCSR row-major path)
         slot = self.slot_pack
         if slot is None:
-            slot = 128 if self.focus == "g" else 0
+            slot = 128
         return cls(
             graphs, self.focus, self.aggregation_mode, self.batch_size, shuffle,
             slot_pack=slot or None, strip_dtype=self.strip_dtype,

@@ -51,7 +51,7 @@ class MultiGraphSequencer:
         shuffle_mode: str = "graphs",
         tile_pack: Optional[bool] = None,
         slot_pack: Optional[int] = None,
-        strip_dtype: str = "bfloat16",
+        strip_dtype: str = "int8",
     ):
         """``shuffle_mode='graphs'`` re-shuffles graphs into new merged batches
         each epoch (the reference's behavior, GraphSequencers.py:123-127, at
@@ -71,10 +71,11 @@ class MultiGraphSequencer:
                 "sequencers support slot_pack=128 (uniform per-batch layout); "
                 "use from_graph_object for 32/64-slot mixed formats"
             )
-        # tile packing permutes node rows (loss/metric-invariant; per-node
-        # output order changes) — default on for graph-focused batches where
-        # outputs are graph-indexed and unaffected.
-        self.tile_pack = (focus == "g") if tile_pack is None else bool(tile_pack)
+        # tile packing permutes node rows (loss/metric-invariant;
+        # ``predict`` restores the caller's row order via host_pred_rows) —
+        # default on for every focus: the packed layout is what the fast
+        # BCSR/strip operators want (BASELINE.md round 5 focus sweep).
+        self.tile_pack = True if tile_pack is None else bool(tile_pack)
         if slot_pack is not None:
             self.tile_pack = True  # slot packing subsumes tile packing
         self.slot_pack = slot_pack
@@ -153,7 +154,7 @@ class MultiGraphSequencer:
                 None if compact else self._pad_graphs,
                 agg_dtype=self.agg_dtype, tile_pack=self.tile_pack,
                 slot_pack=getattr(self, "slot_pack", None),
-                strip_dtype=getattr(self, "strip_dtype", "bfloat16"),
+                strip_dtype=getattr(self, "strip_dtype", "int8"),
                 compact_gmax=self._compact_gmax if compact else None,
                 compact_nspan=self._compact_nspan if compact else None,
             )
@@ -387,7 +388,7 @@ class MultiGraphSequencer:
             "shuffle_mode": self.shuffle_mode,
             "tile_pack": self.tile_pack,
             "slot_pack": getattr(self, "slot_pack", None),
-            "strip_dtype": getattr(self, "strip_dtype", "bfloat16"),
+            "strip_dtype": getattr(self, "strip_dtype", "int8"),
         }
 
     @classmethod

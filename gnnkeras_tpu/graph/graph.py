@@ -107,7 +107,15 @@ class GraphObject:
         if arcs_canonical:
             self.arcs = np.array(arcs, dtype=self.dtype)
         else:
-            self.arcs = np.unique(np.asarray(arcs), axis=0).astype(self.dtype)
+            from gnnkeras_tpu import native
+
+            arr = np.asarray(arcs)
+            # native key-packed row sort+dedup (bit-identical; None when the
+            # input needs NumPy's general semantics — NaN/-0.0/huge ids)
+            canon = native.canonical_arcs(arr)
+            if canon is None:
+                canon = np.unique(arr, axis=0)
+            self.arcs = canon.astype(self.dtype)
         self.targets = np.atleast_2d(np.asarray(targets)).astype(self.dtype)
         self.sample_weight = (np.asarray(sample_weight) * np.ones(self.targets.shape[0])).astype(self.dtype)
 

@@ -47,7 +47,10 @@ STATE_INIT_STDDEV = 0.1  # reference: tf.random.normal(..., stddev=0.1), GNN.py:
 # lane-pads a narrow state d→128 (transposed keeps features in sublanes and
 # wins), while a wide state is already lane-efficient row-major and the
 # transposed transition's small-sublane matmuls lose.  Measured boundary:
-# win/tie through sd_pad 32, loss at 64.
+# win/tie through sd_pad 32; the round-5 pin (same sweep, sd_pad 40/48)
+# puts the cliff immediately past 32 — 0.64x/0.74x at 40/48 on the
+# state-bound 100k workload, 0.96-0.98x on the operator-bound 500k one —
+# so 32 is exact, not merely conservative (BASELINE.md round 5).
 _TRANSPOSED_BCSR_MAX_STATE_DIM = 32
 
 # rematerialization policy for the unfolding scan: save ONLY the per-step

@@ -122,6 +122,23 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.factor_mask_scale_f32.argtypes = [
             _f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _i8p, _f32p,
         ]
+        lib.unique_i64.restype = ctypes.c_int64
+        lib.unique_i64.argtypes = [_i64p, ctypes.c_int64, _i64p]
+        lib.unique_i64_inverse.restype = ctypes.c_int64
+        lib.unique_i64_inverse.argtypes = [_i64p, ctypes.c_int64, _i64p, _i64p]
+        lib.scatter_add_f32_idx3.restype = None
+        lib.scatter_add_f32_idx3.argtypes = [
+            _i64p, _i64p, _i64p, _f64p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _f32p,
+        ]
+        lib.canonical_arcs_f64.restype = ctypes.c_int64
+        lib.canonical_arcs_f64.argtypes = [
+            _f64p, ctypes.c_int64, ctypes.c_int64, _f64p,
+        ]
+        lib.canonical_arcs_f32.restype = ctypes.c_int64
+        lib.canonical_arcs_f32.argtypes = [
+            _f32p, ctypes.c_int64, ctypes.c_int64, _f32p,
+        ]
         lib.parse_ints.restype = ctypes.c_int64
         lib.parse_ints.argtypes = [ctypes.c_char_p, _i64p, ctypes.c_int64]
         lib.count_ints.restype = ctypes.c_int64
@@ -218,16 +235,73 @@ def scatter_add_3d(out, i0, i1, i2, w):
     i0 = np.asarray(i0, np.int64)
     i1 = np.asarray(i1, np.int64)
     i2 = np.asarray(i2, np.int64)
+    w = np.asarray(w)
+    # the C++ kernel iterates len(w) reading idx[e] unchecked — it needs
+    # 1-D index/value arrays of ONE shared length; np.add.at additionally
+    # accepts broadcasting (scalar w, mixed shapes), so route any such
+    # caller to the NumPy path instead of reading past the index buffers
+    if not (i0.ndim == i1.ndim == i2.ndim == w.ndim == 1
+            and i0.size == i1.size == i2.size == w.size):
+        np.add.at(out, (i0, i1, i2), w)
+        return out
     # np.add.at index semantics: negatives wrap per dimension, out-of-range
     # raises — the raw C++ write must never see either (heap corruption)
     for i, d in ((i0, d0), (i1, d1), (i2, d2)):
         if i.size and (int(i.min()) < -d or int(i.max()) >= d):
             np.add.at(out, (i0, i1, i2), w)  # raises NumPy's IndexError
             raise AssertionError("np.add.at accepted an index the wrapper rejected")
-    idx = (i0 % d0 * d1 + i1 % d1) * d2 + i2 % d2
+    # flattening + negative wrap fused into the C++ pass (no 3x modulo +
+    # flatten NumPy temporaries — measured on the 500k-node batch build)
     w64 = np.ascontiguousarray(np.asarray(w, np.float64))
-    lib.scatter_add_f32(np.ascontiguousarray(idx), w64, len(w64), out.reshape(-1))
+    lib.scatter_add_f32_idx3(
+        np.ascontiguousarray(i0), np.ascontiguousarray(i1),
+        np.ascontiguousarray(i2), w64, len(w64), d0, d1, d2, out.reshape(-1),
+    )
     return out
+
+
+def unique_i64(keys: np.ndarray, return_inverse: bool = False):
+    """``np.unique`` for a 1-D int64 array (optionally with
+    ``return_inverse``) — one C++ sort pass; exact for any int64 values.
+    Falls back to np.unique when the native tier is unavailable or the
+    input is not 1-D int64 (identical results either way)."""
+    a = np.asarray(keys)
+    lib = _load()
+    if lib is None or a.dtype != np.int64 or a.ndim != 1:
+        return np.unique(a, return_inverse=return_inverse)
+    a = np.ascontiguousarray(a)
+    out = np.empty_like(a)
+    if return_inverse:
+        inv = np.empty(a.shape[0], np.int64)
+        m = int(lib.unique_i64_inverse(a, a.shape[0], out, inv))
+        return out[:m], inv
+    m = int(lib.unique_i64(a, a.shape[0], out))
+    return out[:m]
+
+
+def canonical_arcs(arcs: np.ndarray) -> Optional[np.ndarray]:
+    """``np.unique(arcs, axis=0)`` for an (A, C>=2) float arc matrix whose
+    first two columns are integral node ids — the GraphObject constructor's
+    canonicalization (reference graph_class.py:47), one C++ key-packed sort
+    instead of NumPy's structured row sort (measured 3.8 s of the 500k-node
+    batch build; an np.lexsort swap was refuted, BASELINE.md round 4).
+
+    Returns the sorted-unique rows, or None when unavailable or the input
+    is ineligible for guaranteed bit-identity with np.unique (any NaN, any
+    -0.0, or non-integral/out-of-range endpoints) — callers fall back to
+    np.unique."""
+    lib = _load()
+    a = np.asarray(arcs)
+    if (lib is None or a.ndim != 2 or a.shape[1] < 2
+            or a.dtype not in (np.float32, np.float64)):
+        return None
+    a = np.ascontiguousarray(a)
+    out = np.empty_like(a)
+    fn = lib.canonical_arcs_f64 if a.dtype == np.float64 else lib.canonical_arcs_f32
+    m = int(fn(a, a.shape[0], a.shape[1], out))
+    if m < 0:
+        return None
+    return out[:m]
 
 
 def factor_mask_scale(arr: np.ndarray):

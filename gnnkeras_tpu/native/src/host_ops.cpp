@@ -15,10 +15,13 @@
 // dtype/contiguity and falls back to NumPy when the compiled library is
 // unavailable.
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -168,7 +171,124 @@ static int32_t factor_mask_scale_impl(
     return 1;
 }
 
+// np.unique(arcs, axis=0) for an (n, c>=2) arc matrix whose first two
+// columns are the integral (src, dst) endpoints: sort rows
+// lexicographically, drop duplicates (the GraphObject constructor's
+// canonicalization, reference graph_class.py:47 — the measured 3.8 s host
+// hotspot of the 500k-node batch build; a NumPy lexsort formulation was
+// tried and refuted, BASELINE.md round 4).
+//
+// Strategy: pack (src, dst) into one u64 key (they are integral node ids)
+// and std::sort (key, row-index) pairs — the key resolves the order for
+// all but parallel arcs, whose ties fall back to elementwise label
+// comparison.  Bit-identity with np.unique is GUARANTEED only when no
+// value is NaN (np.unique keeps every NaN row; sort position ambiguous)
+// and no value is -0.0 (-0.0 == 0.0 makes the kept representative depend
+// on sort stability) and src/dst are integral in [0, 2^32) — the kernel
+// scans once and returns -1 for ineligible input (caller falls back).
+template <typename T>
+static int64_t canonical_arcs_impl(const T* rows, int64_t n, int64_t c, T* out) {
+    if (n == 0) return 0;
+    // eligibility scan
+    for (int64_t i = 0; i < n; ++i) {
+        const T* r = rows + i * c;
+        for (int64_t j = 0; j < c; ++j) {
+            const double v = (double)r[j];
+            if (v != v) return -1;                      // NaN
+            if (v == 0.0 && std::signbit(v)) return -1; // -0.0
+        }
+        const double s = (double)r[0], d = (double)r[1];
+        if (s < 0.0 || s >= 4294967296.0 || s != std::floor(s)) return -1;
+        if (d < 0.0 || d >= 4294967296.0 || d != std::floor(d)) return -1;
+    }
+    struct Entry { uint64_t key; int64_t idx; };
+    std::vector<Entry> order((size_t)n);
+    for (int64_t i = 0; i < n; ++i) {
+        const T* r = rows + i * c;
+        order[(size_t)i].key =
+            ((uint64_t)(double)r[0] << 32) | (uint64_t)(double)r[1];
+        order[(size_t)i].idx = i;
+    }
+    std::sort(order.begin(), order.end(), [&](const Entry& a, const Entry& b) {
+        if (a.key != b.key) return a.key < b.key;
+        const T* ra = rows + a.idx * c;
+        const T* rb = rows + b.idx * c;
+        for (int64_t j = 2; j < c; ++j) {
+            if (ra[j] < rb[j]) return true;
+            if (ra[j] > rb[j]) return false;
+        }
+        return false;
+    });
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const T* r = rows + order[(size_t)i].idx * c;
+        if (m > 0 && std::memcmp(r, out + (m - 1) * c, sizeof(T) * (size_t)c) == 0)
+            continue;  // bitwise equality == value equality (no NaN/-0.0)
+        std::memcpy(out + m * c, r, sizeof(T) * (size_t)c);
+        ++m;
+    }
+    return m;
+}
+
 extern "C" {
+
+// np.unique for a 1-D int64 key array (values only): sort a copy, dedup.
+// Exact for any int64 (no float caveats).  Replaces the three sorted-unique
+// key passes of the block/banded operator builders (ops/bcsr.py,
+// ops/banded.py) — np.unique's argsort+take was the second-largest host
+// cost of the 500k-node batch build after the ctor dedup.
+int64_t unique_i64(const int64_t* keys, int64_t n, int64_t* out_vals) {
+    if (n == 0) return 0;
+    std::vector<int64_t> v(keys, keys + n);
+    std::sort(v.begin(), v.end());
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (m == 0 || v[(size_t)i] != out_vals[m - 1]) out_vals[m++] = v[(size_t)i];
+    }
+    return m;
+}
+
+// np.unique(..., return_inverse=True): additionally fills inverse[i] = rank
+// of keys[i] in the sorted-unique values.
+int64_t unique_i64_inverse(const int64_t* keys, int64_t n,
+                           int64_t* out_vals, int64_t* inverse) {
+    if (n == 0) return 0;
+    struct Entry { int64_t key; int64_t idx; };
+    std::vector<Entry> v((size_t)n);
+    for (int64_t i = 0; i < n; ++i) { v[(size_t)i].key = keys[i]; v[(size_t)i].idx = i; }
+    std::sort(v.begin(), v.end(),
+              [](const Entry& a, const Entry& b) { return a.key < b.key; });
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (m == 0 || v[(size_t)i].key != out_vals[m - 1]) out_vals[m++] = v[(size_t)i].key;
+        inverse[v[(size_t)i].idx] = m - 1;
+    }
+    return m;
+}
+
+// scatter_add_f32 with the 3-D index flattening fused in (one pass, no
+// 4M-element NumPy modulo/flatten temporaries).  Indices must already be
+// validated in range [-d, d) per axis (the Python wrapper checks).
+void scatter_add_f32_idx3(
+    const int64_t* i0, const int64_t* i1, const int64_t* i2,
+    const double* w, int64_t n,
+    int64_t d0, int64_t d1, int64_t d2, float* out) {
+    for (int64_t e = 0; e < n; ++e) {
+        int64_t a = i0[e]; if (a < 0) a += d0;
+        int64_t b = i1[e]; if (b < 0) b += d1;
+        int64_t c = i2[e]; if (c < 0) c += d2;
+        float* o = out + (a * d1 + b) * d2 + c;
+        *o = (float)((double)*o + w[e]);
+    }
+}
+
+int64_t canonical_arcs_f64(const double* rows, int64_t n, int64_t c, double* out) {
+    return canonical_arcs_impl<double>(rows, n, c, out);
+}
+
+int64_t canonical_arcs_f32(const float* rows, int64_t n, int64_t c, float* out) {
+    return canonical_arcs_impl<float>(rows, n, c, out);
+}
 
 int32_t factor_mask_scale(
     const double* arr, int64_t B, int64_t R, int64_t C, int8_t* mask, float* scale) {

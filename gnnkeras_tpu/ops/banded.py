@@ -72,8 +72,10 @@ def _dense_offsets_from(off, dst, t: int, min_fill: float) -> Tuple[int, ...]:
     if len(off) == 0:
         return ()
     base = int(off.min())
+    from gnnkeras_tpu import native
+
     pair = (off - base) * np.int64(t) + dst // TILE
-    uniq = np.unique(pair)
+    uniq = native.unique_i64(pair)
     per_off = np.bincount((uniq // t).astype(np.int64))
     return tuple(int(i) + base for i in np.flatnonzero(per_off >= min_fill * t))
 
@@ -166,7 +168,9 @@ def build_banded_operator(
         # scattered remainder would otherwise materialize an unbounded
         # dense-block residual (the guard build_bcsr enforces for the
         # non-quantized path); decline so the caller falls back
-        n_res_blocks = len(np.unique(sr // TILE * t + dr // TILE))
+        from gnnkeras_tpu import native
+
+        n_res_blocks = len(native.unique_i64(sr // TILE * t + dr // TILE))
         if n_res_blocks > _MAX_BAND_FACTOR * t:
             return None
         residual = build_bcsr(sr, dr, wr, n_padded, max_band_factor=10**9)

@@ -84,11 +84,13 @@ def build_bcsr(
     dst = np.asarray(dst, dtype=np.int64)
     weight = np.asarray(weight, dtype=np.float64)
 
+    from gnnkeras_tpu import native
+
     live = weight != 0.0
     src_l, dst_l, w_l = src[live], dst[live], weight[live]
     bi, bj = src_l // tile, dst_l // tile
     block_key = bi * n_dst_tiles + bj
-    uniq, inverse = np.unique(block_key, return_inverse=True)
+    uniq, inverse = native.unique_i64(block_key, return_inverse=True)
     n_blocks = len(uniq)
     if n_blocks > max_band_factor * max(n_src_tiles, n_dst_tiles):
         return None
@@ -98,8 +100,6 @@ def build_bcsr(
     rank[order] = np.arange(n_blocks)
 
     blocks = np.zeros((max(n_blocks, 1), tile, tile), dtype=floatx())
-    from gnnkeras_tpu import native
-
     # scatter_add_3d takes the C++ path for f32 blocks and is np.add.at
     # itself otherwise (floatx='float64' configurations)
     native.scatter_add_3d(blocks, rank[inverse], src_l % tile, dst_l % tile, w_l)

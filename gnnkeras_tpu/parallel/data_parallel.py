@@ -168,20 +168,28 @@ class DataParallelTrainer:
         checkpoint_every: int = 1,
         resume: bool = False,
         scan_batches: Optional[bool] = None,
+        class_weight: Optional[dict] = None,
+        validation_freq: int = 1,
     ):
         """Data-parallel fit with the full single-device surface: validation
-        data, callbacks (History/EarlyStopping), and resumable checkpointing —
-        scaling up must not cost early stopping or resume (mirrors
-        training/trainer.py fit).
+        data (every ``validation_freq`` epochs), callbacks
+        (History/EarlyStopping), class_weight, and resumable checkpointing —
+        scaling up must not cost early stopping or resume (one shared driver
+        with training/trainer.py fit, training/fit_loop.py).
 
         ``scan_batches`` (default auto): run the whole epoch — every
         per-device step group — as one scanned launch instead of one dispatch
         per group; exact same trajectory, silent fallback on mixed batch
         structures."""
-        import time
-
-        from gnnkeras_tpu.training.callbacks import History
-        from gnnkeras_tpu.training.trainer import _reduce_logs, evaluate
+        from gnnkeras_tpu.training.fit_loop import run_fit_loop
+        from gnnkeras_tpu.training.trainer import (
+            _apply_class_weight,
+            _class_weight_vector,
+            _reduce_logs,
+            _try_stack,
+            _unstack_logs,
+            evaluate,
+        )
 
         model = self.model
         if model.optimizer is None:
@@ -190,43 +198,27 @@ class DataParallelTrainer:
         if model._opt_state is None:
             model._opt_state = model.optimizer.init(model.variables["params"])
 
-        start_epoch = 0
-        if checkpoint_dir is not None:
-            from gnnkeras_tpu.training.checkpoint import CheckpointCallback
-
-            ckpt_cb = CheckpointCallback(checkpoint_dir, every_epochs=checkpoint_every)
-            if resume and ckpt_cb.manager.latest_step() is not None:
-                extra = ckpt_cb.manager.restore(model)
-                start_epoch = int(extra.get("epoch", -1)) + 1
-                if verbose:
-                    print(f"resumed from {checkpoint_dir} at epoch {start_epoch}")
-            callbacks = list(callbacks or []) + [ckpt_cb]
-
         if self._step is None:
             self._step = make_dp_train_step(model, self.mesh, self.axis)
+        cw_vec = _class_weight_vector(class_weight) if class_weight else None
 
-        history = History()
-        cbs = [history] + list(callbacks or [])
-        for cb in cbs:
-            cb.set_model(model)
-            cb.on_train_begin()
-
-        params, mstate, opt_state = model.variables["params"], model.variables["state"], model._opt_state
         # the step needs mesh-replicated trees; callbacks/validation use the
         # model's single-device view — convert at epoch granularity
         rep = NamedSharding(self.mesh, P())
         dev0 = jax.devices()[0]
         to_rep = lambda t: jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), t)
         to_dev0 = lambda t: jax.tree_util.tree_map(lambda x: jax.device_put(x, dev0), t)
-        params, mstate, opt_state = to_rep((params, mstate, opt_state))
-        from gnnkeras_tpu.training.trainer import _try_stack, _unstack_logs
 
-        for epoch in range(start_epoch, epochs):
-            t0 = time.perf_counter()
+        def run_epoch(epoch, n):
+            params, mstate, opt_state = to_rep((
+                model.variables["params"], model.variables["state"], model._opt_state,
+            ))
             # one group build per epoch, shared by both paths (the scanned
             # path re-places the whole stacked epoch; the per-step fallback
             # places group-by-group below)
             groups, reals = self._device_groups(sequencer, place=False)
+            if cw_vec is not None:
+                groups = [_apply_class_weight(g, cw_vec) for g in groups]
             n_steps = len(groups)
             stacked_epoch = None
             if scan_batches in (None, True) and n_steps > 1:
@@ -256,30 +248,20 @@ class DataParallelTrainer:
                     )
                     accum.append(logs)
             sequencer.on_epoch_end()
-            logs = _reduce_logs(accum)
-
             model.variables = {"params": to_dev0(params), "state": to_dev0(mstate)}
             model._opt_state = to_dev0(opt_state)
-            if validation_data is not None:
-                logs.update(evaluate(model, validation_data, verbose=0, prefix="val_"))
-            if verbose:
-                dt = time.perf_counter() - t0
-                print(f"Epoch {epoch + 1}/{epochs} [{dt:.1f}s] " + " - ".join(f"{k}: {v:.4f}" for k, v in logs.items()))
-            stop = False
-            for cb in cbs:
-                cb.on_epoch_end(epoch, logs)
-                stop = stop or cb.stop_training
-            if stop:
-                break
-            # pick callback weight mutations back up (EarlyStopping restore)
-            params, mstate = to_rep((model.variables["params"], model.variables["state"]))
-            opt_state = to_rep(model._opt_state)
+            return [_reduce_logs(accum)]
 
-        model.variables = {"params": to_dev0(params), "state": to_dev0(mstate)}
-        model._opt_state = to_dev0(opt_state)
-        for cb in cbs:
-            cb.on_train_end()
-        return history
+        validate = None
+        if validation_data is not None:
+            validate = lambda: evaluate(model, validation_data, verbose=0, prefix="val_")
+
+        return run_fit_loop(
+            model, epochs=epochs, run_chunk=run_epoch,
+            validate=validate, callbacks=callbacks, verbose=verbose,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+            resume=resume, validation_freq=validation_freq,
+        )
 
     def evaluate(self, sequencer, **kwargs):
         """Evaluation is cheap relative to training — delegate to the model's

@@ -424,53 +424,127 @@ class ExpertParallelCompositeGNN:
         self._cache["train"] = step
         return step
 
-    def fit(self, sequencer, epochs: int = 1, verbose: int = 1, seed: int = 0):
-        """Expert-parallel training over a (composite) sequencer."""
-        import time
+    def fit(
+        self,
+        sequencer,
+        epochs: int = 1,
+        verbose: int = 1,
+        seed: int = 0,
+        *,
+        validation_data=None,
+        callbacks: Optional[list] = None,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 1,
+        resume: bool = False,
+        class_weight: Optional[dict] = None,
+        validation_freq: int = 1,
+    ):
+        """Expert-parallel training over a (composite) sequencer, with the
+        full single-device fit surface (one shared driver,
+        training/fit_loop.py): validation (scored by ``self.evaluate`` with
+        the sharded experts), callbacks, resumable Orbax checkpoints and
+        ``class_weight``.  Returns a History (dict-style ``h["loss"]``).
+
+        Checkpoints store the wrapped model's per-type variable lists (synced
+        every epoch) plus the engine's optimizer pair — sharded experts and
+        tied head — as ``{"expert": ..., "out": ...}`` in the model's
+        ``_opt_state``, so a resumed run restacks and continues exactly."""
+        from gnnkeras_tpu.training.fit_loop import run_fit_loop
+        from gnnkeras_tpu.training.metrics import get_metric
+        from gnnkeras_tpu.training.trainer import (
+            _apply_class_weight,
+            _class_weight_vector,
+        )
 
         gnn = self.cgnn
         if gnn.optimizer is None:
             raise RuntimeError("compile() the wrapped composite model before fit()")
         self._ensure_stacked(sequencer[0])
-        opt_e = gnn.optimizer.init(self.stacked_params)
-        out_p = gnn.variables["params"]["net_output"]
-        out_s = gnn.variables["state"]["net_output"]
-        opt_o = gnn.optimizer.init(out_p)
-        step = self.make_train_step(opt_e, opt_o)
-        sparams, sstate = self.stacked_params, self.stacked_state
-
-        from gnnkeras_tpu.training.metrics import get_metric
-
+        h = {
+            "sparams": self.stacked_params,
+            "sstate": self.stacked_state,
+            "out_p": gnn.variables["params"]["net_output"],
+            "out_s": gnn.variables["state"]["net_output"],
+            "opt_e": gnn.optimizer.init(self.stacked_params),
+        }
+        h["opt_o"] = gnn.optimizer.init(h["out_p"])
+        step = self.make_train_step(h["opt_e"], h["opt_o"])
+        cw_vec = _class_weight_vector(class_weight) if class_weight else None
         metric_names = [get_metric(spec)[0] for spec in gnn.metrics]
-        history = {"loss": []}
-        for epoch in range(epochs):
-            t0 = time.perf_counter()
+        # the engine's optimizer pair rides in the model view so Orbax
+        # checkpoints carry one stable tree (restored below in _pickup)
+        gnn._opt_state = {"expert": h["opt_e"], "out": h["opt_o"]}
+
+        def _sync_model():
+            """engine views -> wrapped model (checkpoints/callbacks/eval)."""
+            self.stacked_params, self.stacked_state = h["sparams"], h["sstate"]
+            gnn.variables["params"]["net_output"] = h["out_p"]
+            gnn.variables["state"]["net_output"] = h["out_s"]
+            self.sync_to_model()
+            gnn._opt_state = {"expert": h["opt_e"], "out": h["opt_o"]}
+            # tokens: _sync_model mutates these containers IN PLACE, so a
+            # callback/restore that REPLACES them is detectable by identity
+            h["var_token"], h["opt_token"] = gnn.variables, gnn._opt_state
+
+        def _pickup():
+            """wrapped model -> engine views, only when a callback or a
+            checkpoint restore replaced the model view since our last sync
+            (identity tokens).  Restored/copied trees come back COMMITTED to
+            one device, which conflicts with the expert-mesh shard_map —
+            round-trip through host numpy so the jitted step re-places them
+            per its specs, exactly like the initial stacking path."""
+            if (h.get("var_token") is gnn.variables
+                    and h.get("opt_token") is gnn._opt_state):
+                return
+            host = lambda t: jax.tree_util.tree_map(np.asarray, t)
+            self.stacked_params = None
+            self._ensure_stacked(sequencer[0])
+            h["sparams"] = host(self.stacked_params)
+            h["sstate"] = host(self.stacked_state)
+            h["out_p"] = host(gnn.variables["params"]["net_output"])
+            h["out_s"] = host(gnn.variables["state"]["net_output"])
+            h["opt_e"] = host(gnn._opt_state["expert"])
+            h["opt_o"] = host(gnn._opt_state["out"])
+            h["var_token"], h["opt_token"] = gnn.variables, gnn._opt_state
+
+        def run_epoch(epoch, n):
             losses = []
             sums = {name: [0.0, 0.0] for name in metric_names}
             for i in range(len(sequencer)):
                 batch = sequencer[i]
-                sparams, sstate, out_p, out_s, opt_e, opt_o, logs = step(
-                    sparams, sstate, out_p, out_s, opt_e, opt_o,
-                    self._nodes_by_type(batch), self._type_masks(batch), batch, gnn.next_rng()
+                if cw_vec is not None:
+                    batch = _apply_class_weight(batch, cw_vec)
+                (h["sparams"], h["sstate"], h["out_p"], h["out_s"],
+                 h["opt_e"], h["opt_o"], logs) = step(
+                    h["sparams"], h["sstate"], h["out_p"], h["out_s"],
+                    h["opt_e"], h["opt_o"],
+                    self._nodes_by_type(batch), self._type_masks(batch),
+                    batch, gnn.next_rng(),
                 )
                 losses.append(float(logs["loss"]))
                 for name in metric_names:
                     sums[name][0] += float(logs[f"{name}_sum"])
                     sums[name][1] += float(logs[f"{name}_count"])
             sequencer.on_epoch_end()
-            history["loss"].append(float(np.mean(losses)))
-            line = f"loss: {history['loss'][-1]:.4f}"
+            _sync_model()
+            ep_logs = {"loss": float(np.mean(losses))}
             for name in metric_names:
-                value = sums[name][0] / max(sums[name][1], 1.0)
-                history.setdefault(name, []).append(value)
-                line += f" - {name}: {value:.4f}"
-            if verbose:
-                print(f"Epoch {epoch + 1}/{epochs} [{time.perf_counter() - t0:.1f}s] {line}")
-        self.stacked_params, self.stacked_state = sparams, sstate
-        gnn.variables["params"]["net_output"] = out_p
-        gnn.variables["state"]["net_output"] = out_s
-        self.sync_to_model()
-        return history
+                ep_logs[name] = sums[name][0] / max(sums[name][1], 1.0)
+            return [ep_logs]
+
+        validate = None
+        if validation_data is not None:
+            validate = lambda: {
+                f"val_{k}": v for k, v in self.evaluate(validation_data).items()
+            }
+
+        return run_fit_loop(
+            gnn, epochs=epochs, run_chunk=run_epoch,
+            validate=validate, callbacks=callbacks, verbose=verbose,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+            resume=resume, validation_freq=validation_freq,
+            on_resume=_pickup, on_weights_mutated=_pickup,
+        )
 
     def sync_to_model(self) -> None:
         """Write the trained (sharded) expert weights and BatchNorm moments

@@ -403,8 +403,9 @@ class PackedPartitionedGNN:
 
         ``steps_per_launch`` amortizes launches by scanning K epochs per
         dispatch; per-epoch weights then exist only at chunk boundaries, so
-        requesting validation/callbacks/checkpointing forces it back to 1."""
-        from gnnkeras_tpu.training.callbacks import History
+        requesting validation/callbacks forces it back to 1 (checkpoints
+        compose with chunks: they save at cadence crossings)."""
+        from gnnkeras_tpu.training.fit_loop import run_fit_loop
 
         gnn = self.gnn
         if gnn.loss is None:
@@ -412,22 +413,6 @@ class PackedPartitionedGNN:
         gnn.build(seed=seed)
         if gnn._opt_state is None:
             gnn._opt_state = gnn.optimizer.init(gnn.variables["params"])
-
-        full_surface = validation_data is not None or bool(callbacks) or checkpoint_dir is not None
-        if full_surface:
-            steps_per_launch = 1
-
-        start_epoch = 0
-        if checkpoint_dir is not None:
-            from gnnkeras_tpu.training.checkpoint import CheckpointCallback
-
-            ckpt_cb = CheckpointCallback(checkpoint_dir, every_epochs=checkpoint_every)
-            if resume and ckpt_cb.manager.latest_step() is not None:
-                extra = ckpt_cb.manager.restore(gnn)
-                start_epoch = int(extra.get("epoch", -1)) + 1
-                if verbose:
-                    print(f"resumed from {checkpoint_dir} at epoch {start_epoch}")
-            callbacks = list(callbacks or []) + [ckpt_cb]
 
         if class_weight:
             from gnnkeras_tpu.training.trainer import (
@@ -439,12 +424,6 @@ class PackedPartitionedGNN:
             # leading device axis, so the stacked batch weights in place
             batch = _apply_class_weight(batch, _class_weight_vector(class_weight))
 
-        history = History()
-        cbs = [history] + list(callbacks or [])
-        for cb in cbs:
-            cb.set_model(gnn)
-            cb.on_train_begin()
-
         # the step wants mesh-replicated trees; checkpoint restores and
         # callback mutations come back committed to one device — re-replicate
         # whenever the model view is picked up (no-op when already replicated)
@@ -453,13 +432,10 @@ class PackedPartitionedGNN:
         rep = NamedSharding(self.mesh, P())
         to_rep = lambda t: jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), t)
 
-        params, mstate, opt_state = to_rep((
-            gnn.variables["params"], gnn.variables["state"], gnn._opt_state,
-        ))
-        e = start_epoch
-        stop = False
-        while e < epochs and not stop:
-            n = min(steps_per_launch, epochs - e)
+        def run_chunk(epoch, n):
+            params, mstate, opt_state = to_rep((
+                gnn.variables["params"], gnn.variables["state"], gnn._opt_state,
+            ))
             rngs = jnp.stack([gnn.next_rng() for _ in range(n)])
             if n == 1:
                 params, mstate, opt_state, logs = self.make_train_step()(
@@ -472,34 +448,20 @@ class PackedPartitionedGNN:
                 )
                 host = {k: np.asarray(v) for k, v in logs.items()}
                 chunk = [{k: v[i] for k, v in host.items()} for i in range(n)]
-            # write the updated weights back BEFORE callbacks so validation,
-            # checkpoints and EarlyStopping(restore_best) see this epoch's
-            # weights (chunked launches only reach here at chunk boundaries,
-            # where full_surface guarantees n == 1)
             gnn.variables = {"params": params, "state": mstate}
             gnn._opt_state = opt_state
-            for j, step_logs in enumerate(chunk):
-                epoch = e + j
-                ep_logs = self._epoch_logs(step_logs)
-                if validation_data is not None and (epoch + 1) % max(validation_freq, 1) == 0:
-                    ep_logs.update(self._validation_logs(validation_data))
-                if verbose:
-                    msg = " - ".join(f"{k}: {v:.4f}" for k, v in ep_logs.items())
-                    print(f"epoch {epoch + 1}/{epochs} {msg}")
-                for cb in cbs:
-                    cb.on_epoch_end(epoch, ep_logs)
-                    stop = stop or cb.stop_training
-                if stop:
-                    break
-            # pick callback weight mutations back up (EarlyStopping restore)
-            params, mstate = to_rep((gnn.variables["params"], gnn.variables["state"]))
-            opt_state = to_rep(gnn._opt_state)
-            e += n
-        gnn.variables = {"params": params, "state": mstate}
-        gnn._opt_state = opt_state
-        for cb in cbs:
-            cb.on_train_end()
-        return history
+            return [self._epoch_logs(step_logs) for step_logs in chunk]
+
+        validate = None
+        if validation_data is not None:
+            validate = lambda: self._validation_logs(validation_data)
+
+        return run_fit_loop(
+            gnn, epochs=epochs, run_chunk=run_chunk, chunk_size=steps_per_launch,
+            validate=validate, callbacks=callbacks, verbose=verbose,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+            resume=resume, validation_freq=validation_freq, label="epoch",
+        )
 
     def evaluate(self, batch, meta: Optional[PackedPartitionMeta] = None):
         """Loss + compiled-metric logs over the packed partition (inference

@@ -243,6 +243,14 @@ def partition_graph(
     for single-graph workloads)."""
     if reorder not in ("none", "rcm"):
         raise ValueError(f"unknown reorder {reorder!r} (none | rcm)")
+    if agg_dtype is not None and not dense_blocks:
+        # the quantized/cast storages are properties of the dense block
+        # operators; without them the scatter path would silently ignore
+        # the request
+        raise ValueError(
+            f"agg_dtype={agg_dtype!r} requires dense_blocks=True (the "
+            "operator storage it selects only exists on the block path)"
+        )
     if reorder == "rcm":
         g = permute_graph_nodes(g, locality_order(g))
     if dense_blocks:
@@ -453,9 +461,12 @@ def partition_graph(
                 else:
                     # factorability can differ per shard (a parallel arc on
                     # one shard only); stacking needs ONE structure —
-                    # degrade collectively to bf16 diagonals
+                    # degrade collectively to bf16 diagonals.  Only reachable
+                    # in explicit-int8 mode: under 'auto' (strict) any
+                    # non-factorable shard already nulled bops above, so auto
+                    # NEVER degrades — it quantizes exactly or stays float
                     scales = [d.scale is None for b in bops for d in b.diags]
-                    if any(scales) and not all(scales):
+                    if not strict and any(scales) and not all(scales):
                         bops = _build_all(jnp.bfloat16)
                     bops = uniformize_residuals(bops)
                     local_bcsr = jax.tree_util.tree_map(
@@ -993,15 +1004,25 @@ class PartitionedGNN:
         checkpoint_every: int = 1,
         resume: bool = False,
         steps_per_launch: int = 1,
+        validation_data=None,
+        callbacks: Optional[list] = None,
+        class_weight: Optional[dict] = None,
+        validation_freq: int = 1,
     ):
-        """Full-batch training of the partitioned graph, with the same
-        resumable checkpointing surface as the single-device fit (params +
-        BN state + optimizer state + PRNG via Orbax).
+        """Full-batch training of the partitioned graph with the full
+        single-device fit surface (one shared driver, training/fit_loop.py):
+        validation (a PartitionedGraph scored by ``self.evaluate`` or a plain
+        sequencer scored single-device on the synced weights), callbacks
+        (History/EarlyStopping/...), resumable Orbax checkpoints (params +
+        BN state + optimizer state + PRNG) and ``class_weight``.  Returns a
+        History (dict-style ``h["loss"]`` supported).
 
         ``steps_per_launch > 1`` scans that many epochs inside one compiled
         launch (exact same trajectory; per-epoch losses still recorded) —
-        checkpoints then land at launch-chunk boundaries."""
-        import time
+        checkpoints then land at launch-chunk crossings; requesting
+        validation or callbacks forces it back to 1 (per-epoch weights only
+        exist at launch boundaries)."""
+        from gnnkeras_tpu.training.fit_loop import run_fit_loop
 
         gnn = self.gnn
         if gnn.optimizer is None:
@@ -1010,66 +1031,56 @@ class PartitionedGNN:
         if gnn._opt_state is None:
             gnn._opt_state = gnn.optimizer.init(gnn.variables["params"])
 
-        manager = None
-        start_epoch = 0
-        if checkpoint_dir is not None:
-            from gnnkeras_tpu.training.checkpoint import CheckpointManager
+        if class_weight:
+            import dataclasses as _dc
 
-            manager = CheckpointManager(checkpoint_dir)
-            if resume and manager.latest_step() is not None:
-                extra = manager.restore(gnn)
-                start_epoch = int(extra.get("epoch", -1)) + 1
-                if verbose:
-                    print(f"resumed from {checkpoint_dir} at epoch {start_epoch}")
+            from gnnkeras_tpu.training.trainer import _class_weight_vector
+
+            cw_vec = _class_weight_vector(class_weight)
+            cls = jnp.clip(jnp.argmax(pg.targets, axis=-1), 0, cw_vec.shape[0] - 1)
+            pg = _dc.replace(pg, sample_weight=pg.sample_weight * cw_vec[cls])
 
         step = self.make_train_step()
-        params, mstate, opt_state = gnn.variables["params"], gnn.variables["state"], gnn._opt_state
-        # replicate across the mesh (checkpoint restore places on one device)
+        multi = self.make_multi_step() if steps_per_launch > 1 else None
+        # the step wants mesh-replicated trees; checkpoint restores and
+        # callback mutations come back committed to one device — re-replicate
+        # whenever the model view is picked up (no-op when already replicated)
         from jax.sharding import NamedSharding
 
         rep = NamedSharding(self.mesh, P())
-        params, mstate, opt_state = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, rep), (params, mstate, opt_state)
-        )
-        history = {"loss": []}
-        multi = self.make_multi_step() if steps_per_launch > 1 else None
-        epoch = start_epoch
-        while epoch < epochs:
-            t0 = time.perf_counter()
-            n = min(steps_per_launch, epochs - epoch)
+        to_rep = lambda t: jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), t)
+
+        def run_chunk(epoch, n):
+            params, mstate, opt_state = to_rep((
+                gnn.variables["params"], gnn.variables["state"], gnn._opt_state,
+            ))
             if multi is not None and n > 1:
                 rngs = jnp.stack([gnn.next_rng() for _ in range(n)])
                 params, mstate, opt_state, logs = multi(params, mstate, opt_state, pg, rngs)
                 losses = np.asarray(logs["loss"]).tolist()
-                ks = np.asarray(logs["k"])
+                ks = np.asarray(logs["k"]).tolist()
             else:
                 params, mstate, opt_state, logs = step(params, mstate, opt_state, pg, gnn.next_rng())
                 losses = [float(logs["loss"])]
-                ks = np.asarray([logs["k"]])
-            history["loss"].extend(losses)
-            if verbose:
-                dt = time.perf_counter() - t0
-                for i, l in enumerate(losses):
-                    print(
-                        f"Epoch {epoch + 1 + i}/{epochs} "
-                        f"[{dt / n:.2f}s] loss: {l:.4f} k: {float(ks[i]):.0f}"
-                    )
-            prev_epoch = epoch
-            epoch += n
-            # save whenever the chunk CROSSED a checkpoint_every boundary (a
-            # K-step launch may jump past several), not only when it lands
-            # exactly on one — otherwise steps_per_launch>1 silently thins
-            # the requested cadence to lcm(K, checkpoint_every)
-            # save on every crossed cadence boundary, and ALWAYS at the end
-            # (durability must not depend on epochs % checkpoint_every or on
-            # the launch-chunk size)
-            if manager is not None and (
-                prev_epoch // checkpoint_every != epoch // checkpoint_every
-                or epoch >= epochs
-            ):
-                gnn.variables = {"params": params, "state": mstate}
-                gnn._opt_state = opt_state
-                manager.save(epoch - 1, gnn, {"epoch": epoch - 1, "loss": history["loss"][-1]})
-        gnn.variables = {"params": params, "state": mstate}
-        gnn._opt_state = opt_state
-        return history
+                ks = [float(logs["k"])]
+            gnn.variables = {"params": params, "state": mstate}
+            gnn._opt_state = opt_state
+            return [{"loss": float(l), "k": float(k)} for l, k in zip(losses, ks)]
+
+        validate = None
+        if validation_data is not None:
+            if isinstance(validation_data, PartitionedGraph):
+                validate = lambda: {
+                    f"val_{k}": v for k, v in self.evaluate(validation_data).items()
+                }
+            else:
+                from gnnkeras_tpu.training.trainer import evaluate as seq_evaluate
+
+                validate = lambda: seq_evaluate(gnn, validation_data, verbose=0, prefix="val_")
+
+        return run_fit_loop(
+            gnn, epochs=epochs, run_chunk=run_chunk, chunk_size=steps_per_launch,
+            validate=validate, callbacks=callbacks, verbose=verbose,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+            resume=resume, validation_freq=validation_freq,
+        )

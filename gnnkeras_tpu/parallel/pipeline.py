@@ -446,24 +446,94 @@ class PipelineLGNN:
         rngs = self._stage_rngs(rng, M)
         return step(stacked_vars_p, stacked_vars_s, opt_state, batches, rngs)
 
-    def fit(self, microbatch_lists, epochs: int = 1, verbose: int = 1, seed: int = 0):
+    def fit(
+        self,
+        microbatch_lists,
+        epochs: int = 1,
+        verbose: int = 1,
+        seed: int = 0,
+        *,
+        validation_data=None,
+        callbacks: Optional[list] = None,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 1,
+        resume: bool = False,
+        class_weight: Optional[dict] = None,
+        validation_freq: int = 1,
+    ):
         """Pipelined training: each element of ``microbatch_lists`` is a list
-        of M equal-shape microbatches = one optimizer step per epoch pass."""
+        of M equal-shape microbatches = one optimizer step per epoch pass.
+
+        Carries the full single-device fit surface (one shared driver,
+        training/fit_loop.py): validation (a plain sequencer scored
+        single-device on the per-epoch synced LGNN weights), callbacks,
+        resumable Orbax checkpoints and ``class_weight``.  Returns a History
+        (dict-style ``h["loss"]``).  Checkpoints store the wrapped LGNN's
+        per-layer variables (synced every epoch) plus the stage-stacked
+        optimizer state in the model's ``_opt_state``; a resumed run
+        restacks and continues exactly."""
+        from gnnkeras_tpu.training.fit_loop import run_fit_loop
+        from gnnkeras_tpu.training.trainer import (
+            _apply_class_weight,
+            _class_weight_vector,
+        )
+        from gnnkeras_tpu.training.trainer import evaluate as seq_evaluate
+
         lgnn = self.lgnn
         if lgnn.optimizer is None:
             raise RuntimeError("compile() before fit()")
         lgnn.build(seed=seed)
+        if class_weight:
+            cw_vec = _class_weight_vector(class_weight)
+            microbatch_lists = [
+                [_apply_class_weight(mb, cw_vec) for mb in mbs]
+                for mbs in microbatch_lists
+            ]
         stacked = self.stack_variables()
-        svp, svs = stacked["params"], stacked["state"]
-        opt_state = jax.vmap(lgnn.optimizer.init)(svp)
-        history = {"loss": []}
-        for epoch in range(epochs):
+        h = {"svp": stacked["params"], "svs": stacked["state"]}
+        h["opt"] = jax.vmap(lgnn.optimizer.init)(h["svp"])
+        # the stage-stacked optimizer tree rides in the model view so Orbax
+        # checkpoints carry one stable structure
+        lgnn._opt_state = h["opt"]
+
+        def _sync_model():
+            lgnn.variables = self.unstack_variables({"params": h["svp"], "state": h["svs"]})
+            lgnn._opt_state = h["opt"]
+            # identity tokens: a callback/restore REPLACING the model view
+            # (vs our own sync) is what requires a restack
+            h["var_token"], h["opt_token"] = lgnn.variables, lgnn._opt_state
+
+        def _pickup():
+            # restored/copied trees come back COMMITTED to one device, which
+            # conflicts with the stage-mesh shard_map — round-trip through
+            # host numpy so the jitted step re-places them per its specs
+            if (h.get("var_token") is lgnn.variables
+                    and h.get("opt_token") is lgnn._opt_state):
+                return
+            host = lambda t: jax.tree_util.tree_map(np.asarray, t)
+            st = self.stack_variables()
+            h["svp"], h["svs"] = host(st["params"]), host(st["state"])
+            h["opt"] = host(lgnn._opt_state)
+            h["var_token"], h["opt_token"] = lgnn.variables, lgnn._opt_state
+
+        def run_epoch(epoch, n):
             losses = []
             for mbs in microbatch_lists:
-                svp, svs, opt_state, logs = self.train_step(svp, svs, opt_state, mbs, lgnn.next_rng())
+                h["svp"], h["svs"], h["opt"], logs = self.train_step(
+                    h["svp"], h["svs"], h["opt"], mbs, lgnn.next_rng()
+                )
                 losses.append(float(logs["loss"]))
-            history["loss"].append(float(np.mean(losses)))
-            if verbose:
-                print(f"Epoch {epoch + 1}/{epochs} loss: {history['loss'][-1]:.4f}")
-        self.lgnn.variables = self.unstack_variables({"params": svp, "state": svs})
-        return history
+            _sync_model()
+            return [{"loss": float(np.mean(losses))}]
+
+        validate = None
+        if validation_data is not None:
+            validate = lambda: seq_evaluate(lgnn, validation_data, verbose=0, prefix="val_")
+
+        return run_fit_loop(
+            lgnn, epochs=epochs, run_chunk=run_epoch,
+            validate=validate, callbacks=callbacks, verbose=verbose,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+            resume=resume, validation_freq=validation_freq,
+            on_resume=_pickup, on_weights_mutated=_pickup,
+        )

@@ -95,7 +95,14 @@ class CheckpointManager:
         restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
         model.variables = {"params": restored["params"], "state": restored["model_state"]}
         model._opt_state = restored["opt_state"]
-        model._rng = jax.numpy.asarray(restored["rng"])
+        # host round-trip: Orbax hands back arrays COMMITTED to device 0, and
+        # a committed PRNG key propagates committed-ness into every
+        # next_rng() — which conflicts with engines whose shard_map runs on a
+        # device SUBSET (expert/pipeline submeshes).  An uncommitted key is
+        # placed per the consuming program's specs, like a fresh one.
+        import numpy as _np
+
+        model._rng = jax.numpy.asarray(_np.asarray(restored["rng"]))
         import json
 
         sidecar = os.path.join(self.directory, f"extra_{step}.json")

@@ -279,36 +279,20 @@ def fit(
     launch — ``lax.scan`` of the train step over the stacked batches — instead
     of one dispatch per batch; it engages automatically when the sequencer's
     batches share a pytree structure and falls back silently otherwise."""
+    from gnnkeras_tpu.training.fit_loop import run_fit_loop
+
     if model.optimizer is None:
         raise RuntimeError("call compile() before fit()")
     model.build(seed=seed)
     if model._opt_state is None:
         model._opt_state = model.optimizer.init(model.variables["params"])
 
-    start_epoch = 0
-    ckpt_cb = None
-    if checkpoint_dir is not None:
-        from gnnkeras_tpu.training.checkpoint import CheckpointCallback
-
-        ckpt_cb = CheckpointCallback(checkpoint_dir, every_epochs=checkpoint_every)
-        if resume and ckpt_cb.manager.latest_step() is not None:
-            extra = ckpt_cb.manager.restore(model)
-            start_epoch = int(extra.get("epoch", -1)) + 1
-            if verbose:
-                print(f"resumed from {checkpoint_dir} at epoch {start_epoch}")
-        callbacks = list(callbacks or []) + [ckpt_cb]
-
     cw_vec = _class_weight_vector(class_weight) if class_weight else None
     train_step = _get_train_step(model)
-    history = History()
-    cbs = [history] + list(callbacks or [])
-    for cb in cbs:
-        cb.set_model(model)
-        cb.on_train_begin()
 
-    params, mstate, opt_state = model.variables["params"], model.variables["state"], model._opt_state
-    for epoch in range(start_epoch, epochs):
-        t0 = time.perf_counter()
+    def run_epoch(epoch, n):
+        params, mstate = model.variables["params"], model.variables["state"]
+        opt_state = model._opt_state
         batches = [sequencer[i] for i in range(len(sequencer))]
         stacked = _try_stack(batches, cache_host=sequencer) if scan_batches in (None, True) else None
         if stacked is not None:
@@ -331,30 +315,20 @@ def fit(
                 )
                 accum.append(logs)
         sequencer.on_epoch_end()
-        logs = _reduce_logs(accum)
-
         model.variables = {"params": params, "state": mstate}
         model._opt_state = opt_state
-        if validation_data is not None and (epoch + 1) % max(validation_freq, 1) == 0:
-            logs.update(evaluate(model, validation_data, verbose=0, prefix="val_"))
-        if verbose:
-            dt = time.perf_counter() - t0
-            msg = " - ".join(f"{k}: {v:.4f}" for k, v in logs.items())
-            print(f"Epoch {epoch + 1}/{epochs} [{dt:.1f}s] {msg}")
-        stop = False
-        for cb in cbs:
-            cb.on_epoch_end(epoch, logs)
-            stop = stop or cb.stop_training
-        if stop:
-            break
-        params, mstate = model.variables["params"], model.variables["state"]
-        opt_state = model._opt_state
+        return [_reduce_logs(accum)]
 
-    model.variables = {"params": params, "state": mstate}
-    model._opt_state = opt_state
-    for cb in cbs:
-        cb.on_train_end()
-    return history
+    validate = None
+    if validation_data is not None:
+        validate = lambda: evaluate(model, validation_data, verbose=0, prefix="val_")
+
+    return run_fit_loop(
+        model, epochs=epochs, run_chunk=run_epoch,
+        validate=validate, callbacks=callbacks, verbose=verbose,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        resume=resume, validation_freq=validation_freq,
+    )
 
 
 def evaluate(

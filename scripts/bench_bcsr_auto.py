@@ -124,7 +124,13 @@ def main():
              tile_pack=True)
     run_case("banded 500k pn=8 band=64 d=8", banded(500_000, 8, 64), build_gnn(8, 2, 2, "n", 0), 0)
     run_case("banded 500k pn=8 band=64 ds=32", banded(500_000, 8, 64), build_gnn(8, 2, 2, "n", 32), 32)
+    # boundary pin (VERDICT r4 stretch #10): sd_pad 40/48 bracket the cliff
+    # between the measured tie at 32 and the loss at 64
+    run_case("banded 500k pn=8 band=64 ds=40", banded(500_000, 8, 64), build_gnn(8, 2, 2, "n", 40), 40)
+    run_case("banded 500k pn=8 band=64 ds=48", banded(500_000, 8, 64), build_gnn(8, 2, 2, "n", 48), 48)
     run_case("banded 100k pn=4 band=8 d=8", banded(100_000, 4, 8), build_gnn(8, 2, 2, "n", 0), 0)
+    run_case("banded 100k pn=4 band=8 ds=40", banded(100_000, 4, 8), build_gnn(8, 2, 2, "n", 40), 40)
+    run_case("banded 100k pn=4 band=8 ds=48", banded(100_000, 4, 8), build_gnn(8, 2, 2, "n", 48), 48)
     run_case("banded 100k pn=4 band=8 ds=64", banded(100_000, 4, 8), build_gnn(8, 2, 2, "n", 64), 64)
 
 

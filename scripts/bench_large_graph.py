@@ -33,8 +33,11 @@ def build(agg_dtype=None):
     src = np.repeat(np.arange(N_NODES), PER_NODE)
     dst = (src + rng.integers(-BAND, BAND + 1, len(src))) % N_NODES
     # unique (src, dst): parallel arcs would defeat the int8 factorization
-    pairs = np.unique(np.stack([src, dst], 1), axis=0)
-    src, dst = pairs[:, 0], pairs[:, 1]
+    # unique (src, dst) via one packed-key native sort (equal to the row
+    # unique for nonnegative ids; np.unique fallback inside)
+    from gnnkeras_tpu import native
+    key = native.unique_i64(src.astype(np.int64) * N_NODES + dst.astype(np.int64))
+    src, dst = key // N_NODES, key % N_NODES
     arcs = np.concatenate(
         [np.stack([src, dst], 1).astype(np.float32), rng.normal(size=(len(src), 2)).astype(np.float32)],
         axis=1,
@@ -42,7 +45,7 @@ def build(agg_dtype=None):
     nodes = rng.normal(size=(N_NODES, 8)).astype(np.float32)
     g_tmp = GraphObject(nodes=nodes, arcs=arcs, targets=np.ones((N_NODES, 2), np.float32), focus="n")
     g = GraphObject(nodes=nodes, arcs=g_tmp.arcs, targets=rng.normal(size=(N_NODES, 2)).astype(np.float32),
-                    focus="n", aggregation_mode="average")
+                    focus="n", aggregation_mode="average", arcs_canonical=True)
     n_arcs = g.arcs.shape[0]
 
     batch = from_graph_object(g, agg_dtype=agg_dtype)
@@ -106,8 +109,11 @@ def partitioned(dense_blocks: bool, agg_dtype=None):
     rng = np.random.default_rng(0)
     src = np.repeat(np.arange(N_NODES), PER_NODE)
     dst = (src + rng.integers(-BAND, BAND + 1, len(src))) % N_NODES
-    pairs = np.unique(np.stack([src, dst], 1), axis=0)
-    src, dst = pairs[:, 0], pairs[:, 1]
+    # unique (src, dst) via one packed-key native sort (equal to the row
+    # unique for nonnegative ids; np.unique fallback inside)
+    from gnnkeras_tpu import native
+    key = native.unique_i64(src.astype(np.int64) * N_NODES + dst.astype(np.int64))
+    src, dst = key // N_NODES, key % N_NODES
     arcs = np.concatenate(
         [np.stack([src, dst], 1).astype(np.float32), rng.normal(size=(len(src), 2)).astype(np.float32)],
         axis=1,
@@ -115,7 +121,7 @@ def partitioned(dense_blocks: bool, agg_dtype=None):
     nodes = rng.normal(size=(N_NODES, 8)).astype(np.float32)
     g_tmp = GraphObject(nodes=nodes, arcs=arcs, targets=np.ones((N_NODES, 2), np.float32), focus="n")
     g = GraphObject(nodes=nodes, arcs=g_tmp.arcs, targets=rng.normal(size=(N_NODES, 2)).astype(np.float32),
-                    focus="n", aggregation_mode="average")
+                    focus="n", aggregation_mode="average", arcs_canonical=True)
     n_arcs = g.arcs.shape[0]
 
     n_dev = len(jax.devices())

@@ -30,8 +30,10 @@ class TestEndToEndMutag:
 
         seq = MultiGraphSequencer(gTr[:800], "g", "average", batch_size=400, shuffle=False)
         h = gnn.fit(seq, epochs=6, verbose=0)
-        assert h.history["accuracy"][-1] > 0.62, h.history["accuracy"]
+        # measured band over 3 seeds (round 5, CPU 8-device mesh): train
+        # 0.674-0.716, test 0.573-0.579 — floors sit under the band with
+        # seed margin but far above the ~0.55/0.45 majority class, so a
+        # semantics regression (not noise) trips them
+        assert h.history["accuracy"][-1] > 0.65, h.history["accuracy"]
         ev = gnn.evaluate(MultiGraphSequencer(gTe, "g", "average", 1000, shuffle=False))
-        # matches the measured starter-scale behavior (BASELINE.md: 0.57-0.63);
-        # generous floor so the assertion is about learning, not noise
-        assert ev["accuracy"] > 0.5, ev
+        assert ev["accuracy"] > 0.55, ev

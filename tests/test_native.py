@@ -240,3 +240,131 @@ class TestScatterAddIndexSemantics:
         np.add.at(want, (np.array([-1, 0]), np.array([-2, 1]), np.array([-4, 3])),
                   np.array([2.0, 3.0]))
         np.testing.assert_array_equal(got, want)
+
+
+class TestCanonicalArcs:
+    """native.canonical_arcs == np.unique(arcs, axis=0) bit-for-bit on
+    eligible input (the GraphObject ctor hotspot — 7.2x measured at the
+    500k-node/4M-arc shape), with the general-semantics cases refused."""
+
+    def _arcs(self, dtype, n=20000, nodes=200, seed=0):
+        rng = np.random.default_rng(seed)
+        src = rng.integers(0, nodes, n)
+        dst = rng.integers(0, nodes, n)
+        labels = rng.normal(size=(n, 2)).round(1)
+        labels[labels == 0] = 0.25  # -0.0 is (correctly) refused
+        arcs = np.concatenate([np.stack([src, dst], 1), labels], 1).astype(dtype)
+        # exact duplicates AND parallel arcs (same pair, different label)
+        return np.concatenate([arcs, arcs[:500]])
+
+    @pytest.mark.parametrize("dtype", [np.float64, np.float32])
+    def test_matches_np_unique(self, dtype):
+        arcs = self._arcs(dtype)
+        got = native.canonical_arcs(arcs)
+        if got is None:
+            pytest.skip("native tier unavailable")
+        ref = np.unique(arcs, axis=0)
+        assert got.dtype == ref.dtype
+        np.testing.assert_array_equal(got, ref)
+
+    def test_ineligible_inputs_refused(self):
+        if not native.available():
+            pytest.skip("native tier unavailable")
+        cases = [
+            np.array([[0.0, 1.0, np.nan]]),       # NaN label
+            np.array([[np.nan, 1.0, 1.0]]),       # NaN endpoint
+            np.array([[-0.0, 1.0, 1.0]]),         # -0.0 endpoint
+            np.array([[0.0, 1.0, -0.0]]),         # -0.0 label
+            np.array([[-1.0, 1.0, 1.0]]),         # negative id
+            np.array([[0.5, 1.0, 1.0]]),          # non-integral id
+            np.array([[2.0 ** 33, 1.0, 1.0]]),    # id >= 2^32
+            np.array([[1, 2, 3]], dtype=np.int64),  # non-float dtype
+        ]
+        for bad in cases:
+            assert native.canonical_arcs(bad) is None, bad
+
+    def test_empty(self):
+        got = native.canonical_arcs(np.zeros((0, 4)))
+        if got is None:
+            pytest.skip("native tier unavailable")
+        assert got.shape == (0, 4)
+
+    def test_graph_ctor_uses_it_and_falls_back(self):
+        """The ctor's canonical arcs equal the NumPy path's on a graph whose
+        labels include a NaN (forced fallback) and on a clean graph."""
+        from gnnkeras_tpu.graph.graph import GraphObject
+
+        rng = np.random.default_rng(3)
+        n = 50
+        arcs = np.concatenate(
+            [rng.integers(0, n, (200, 2)).astype(float), rng.normal(size=(200, 1))], 1
+        )
+        g1 = GraphObject(nodes=rng.normal(size=(n, 3)), arcs=arcs.copy(),
+                         targets=rng.normal(size=(n, 2)), focus="n")
+        np.testing.assert_array_equal(
+            np.asarray(g1.arcs), np.unique(arcs, axis=0).astype(g1.arcs.dtype)
+        )
+        arcs_nan = arcs.copy()
+        arcs_nan[0, 2] = np.nan
+        g2 = GraphObject(nodes=rng.normal(size=(n, 3)), arcs=arcs_nan,
+                         targets=rng.normal(size=(n, 2)), focus="n")
+        assert g2.arcs.shape[1] == 3  # NumPy fallback path ran
+
+
+class TestUniqueI64:
+    @pytest.mark.parametrize("return_inverse", [False, True])
+    def test_matches_np_unique(self, return_inverse):
+        rng = np.random.default_rng(9)
+        keys = rng.integers(-1000, 1000, 40000).astype(np.int64)
+        got = native.unique_i64(keys, return_inverse=return_inverse)
+        want = np.unique(keys, return_inverse=return_inverse)
+        if return_inverse:
+            np.testing.assert_array_equal(got[0], want[0])
+            np.testing.assert_array_equal(got[1], want[1])
+        else:
+            np.testing.assert_array_equal(got, want)
+
+    def test_empty_and_single(self):
+        np.testing.assert_array_equal(
+            native.unique_i64(np.array([], np.int64)), np.array([], np.int64))
+        u, inv = native.unique_i64(np.array([7], np.int64), return_inverse=True)
+        np.testing.assert_array_equal(u, [7])
+        np.testing.assert_array_equal(inv, [0])
+
+    def test_non_i64_falls_back(self):
+        got = native.unique_i64(np.array([3.0, 1.0, 3.0]))
+        np.testing.assert_array_equal(got, [1.0, 3.0])
+
+
+class TestWholeBatchBitIdentity:
+    def test_banded_auto_batch_native_equals_numpy(self, monkeypatch, reset_native):
+        """End-to-end: the agg_dtype='auto' banded batch (ctor dedup +
+        unique_i64 block keys + fused scatter + factorization) is
+        bit-identical with and without the native tier (round-5 kernels:
+        canonical_arcs, unique_i64, scatter_add_f32_idx3)."""
+        import jax
+
+        from gnnkeras_tpu.graph.batch import from_graph_object
+        from gnnkeras_tpu.graph.graph import GraphObject
+
+        rng = np.random.default_rng(7)
+        n = 1024
+        src = np.repeat(np.arange(n), 4)
+        dst = (src + rng.integers(-24, 25, len(src))) % n
+        arcs = np.concatenate(
+            [np.stack([src, dst], 1).astype(np.float32),
+             rng.normal(size=(len(src), 2)).astype(np.float32)], axis=1)
+        nodes = rng.normal(size=(n, 5)).astype(np.float32)
+        targets = rng.normal(size=(n, 2)).astype(np.float32)
+
+        def build():
+            g = GraphObject(nodes=nodes, arcs=arcs.copy(), targets=targets,
+                            focus="n", aggregation_mode="average")
+            return from_graph_object(g, agg_dtype="auto")
+
+        b_native = build()
+        _force_fallback(monkeypatch)
+        b_numpy = build()
+        for a, b in zip(jax.tree_util.tree_leaves(b_native),
+                        jax.tree_util.tree_leaves(b_numpy)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

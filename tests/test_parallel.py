@@ -1242,3 +1242,27 @@ class TestPartitionedCastAggDtype:
         g = TestPartitionedQuantized().banded(seed=9)
         pg = partition_graph(g, 8, halo=True, dense_blocks=True, agg_dtype="bfloat16")
         assert pg.local_bcsr.blocks.dtype == jnp.bfloat16  # previously silently float32
+
+    def test_bfloat16_cast_forward_matches_float(self, mesh8):
+        """The sharded einsum must actually RUN with the cast blocks and
+        stay within bf16 rounding of the float-operator forward (dtype-only
+        assertions would miss a broken mixed-dtype aggregation)."""
+        g = TestPartitionedQuantized().banded(seed=9)
+        gnn = build_gnn(GNNnodeBased, "n")
+        batch = from_graph_object(g)
+        k_ref, state_ref, _ = gnn.unfold(gnn.variables, batch, training=True)
+
+        pg = partition_graph(g, 8, halo=True, dense_blocks=True, agg_dtype="bfloat16")
+        pgnn = PartitionedGNN(gnn, mesh8)
+        k, state, out, _ = pgnn.forward(pg, training=True)
+        assert float(k) == float(k_ref)
+        got = np.asarray(state).reshape(-1, state.shape[-1])
+        mask = np.asarray(pg.node_mask).reshape(-1)
+        np.testing.assert_allclose(
+            got[mask], np.asarray(state_ref)[: g.nodes.shape[0]], rtol=2e-2, atol=2e-2
+        )
+
+    def test_agg_dtype_without_dense_blocks_raises(self):
+        g = TestPartitionedQuantized().banded(seed=9)
+        with pytest.raises(ValueError, match="dense_blocks"):
+            partition_graph(g, 8, dense_blocks=False, agg_dtype="auto")

@@ -139,6 +139,66 @@ class TestEngineEquality:
         _, s2, _ = gnn.unfold(gnn.variables, batch, training=False)
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-5)
 
+    def test_arc_focus_readout_rows_parity(self):
+        """Arc-focused slot-packed batches: tile packing permutes NODE rows
+        but arc rows stay in canonical order (batch.py _scatter_targets:
+        focus 'a' scatters by out_idx, not pos) — the transposed engine's
+        full forward must match the row-major forward ROW-FOR-ROW on arc
+        rows, and both must match the unpacked batch in caller order
+        (VERDICT r4 next-step #1 arc parity condition)."""
+        import jax
+
+        from gnnkeras_tpu.graph.graph import GraphObject
+        from gnnkeras_tpu.models.gnn import GNNarcBased
+
+        rng = np.random.default_rng(11)
+        graphs = []
+        for _ in range(24):
+            n = int(rng.integers(5, 40))
+            a = int(rng.integers(n, 3 * n))
+            pairs = np.unique(np.stack([rng.integers(0, n, a), rng.integers(0, n, a)], 1), axis=0)
+            arcs = np.concatenate([pairs.astype(np.float64), rng.normal(size=(len(pairs), 3))], axis=1)
+            g_tmp = GraphObject(nodes=rng.normal(size=(n, 14)), arcs=arcs,
+                                targets=np.ones((1, 1)), focus="g")
+            graphs.append(GraphObject(
+                nodes=g_tmp.nodes, arcs=g_tmp.arcs,
+                targets=rng.normal(size=(g_tmp.arcs.shape[0], 2)),
+                focus="a", aggregation_mode="average", arcs_canonical=True,
+            ))
+        merged = GraphObject.merge(graphs, focus="a", aggregation_mode="average")
+        inp_s, ls = get_inout_dims("state", 14, 3, 2, "a", 0)
+        inp_o, lo = get_inout_dims("output", 14, 3, 2, "a", 0)
+        gnn = GNNarcBased(
+            MLP(input_dim=inp_s[0], layers=ls, activations="selu",
+                kernel_initializer="lecun_normal", bias_initializer="lecun_normal"),
+            MLP(input_dim=inp_o[0], layers=lo, activations="softmax",
+                kernel_initializer="glorot_normal", bias_initializer="glorot_normal"),
+            0, 5, 0.0,
+        )
+        gnn.build(seed=0)
+
+        packed = graphs_to_batch([merged], "a", "average", slot_pack=128, strip_dtype="int8")
+        assert packed.strip is not None and packed.strip.scale is not None
+        plain = graphs_to_batch([merged], "a", "average")
+
+        rng_k = jax.random.PRNGKey(3)
+        gnn.transposed = None
+        assert gnn._use_transposed(packed)
+        _, _, out_t, mask_t, _ = gnn.forward(gnn.variables, packed, training=False, rng=rng_k)
+        gnn.transposed = False
+        _, _, out_r, mask_r, _ = gnn.forward(gnn.variables, packed, training=False, rng=rng_k)
+        np.testing.assert_array_equal(np.asarray(mask_t), np.asarray(mask_r))
+        np.testing.assert_allclose(
+            np.asarray(out_t)[np.asarray(mask_t)], np.asarray(out_r)[np.asarray(mask_r)],
+            rtol=2e-5, atol=2e-6,
+        )
+        # caller-order parity vs the unpacked batch: arc rows are identical
+        _, _, out_p, mask_p, _ = gnn.forward(gnn.variables, plain, training=False, rng=rng_k)
+        a_rows = merged.arcs.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(out_t)[:a_rows], np.asarray(out_p)[:a_rows], rtol=2e-4, atol=2e-5,
+        )
+
 
 class TestDimStateTransposed:
     """dim_state>0 through the transposed engine: random state init drawn in
