@@ -53,8 +53,11 @@ def timed_unfold(gnn, batch):
 
 
 def main():
+    print("building auto batch...", flush=True)
     gnn_a, batch_a, n_arcs = build(agg_dtype="auto")
+    print("building int8 batch...", flush=True)
     gnn_b, batch_b, _ = build(agg_dtype="int8")
+    print("batches built", flush=True)
     gnn_b.transposed = True
     from gnnkeras_tpu.ops.banded import BandedOperator
 

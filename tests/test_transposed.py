@@ -483,6 +483,49 @@ class TestSlotPackedSequencer:
         for a, b in zip(jax.tree_util.tree_leaves(p_t), jax.tree_util.tree_leaves(p_r)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
 
+    def test_node_focus_predict_order_matches_plain(self):
+        """Round 5 made slot-packed strips the default for node focus: the
+        tile-pack node-row permutation must stay invisible to users —
+        ``predict`` through a strip sequencer returns the same rows in the
+        same caller order as the plain (unpacked, no-tile-pack) sequencer."""
+        from gnnkeras_tpu.data.sequencers import MultiGraphSequencer
+        from gnnkeras_tpu.graph.graph import GraphObject
+        from gnnkeras_tpu.models.gnn import GNNnodeBased
+        from gnnkeras_tpu.models.mlp import get_inout_dims as _dims
+
+        rng = np.random.default_rng(23)
+        graphs = []
+        for _ in range(10):
+            n = int(rng.integers(5, 30))
+            a = int(rng.integers(n, 3 * n))
+            pairs = np.unique(np.stack([rng.integers(0, n, a), rng.integers(0, n, a)], 1), axis=0)
+            arcs = np.concatenate([pairs.astype(np.float64), rng.normal(size=(len(pairs), 3))], 1)
+            graphs.append(GraphObject(nodes=rng.normal(size=(n, 14)), arcs=arcs,
+                                      targets=rng.normal(size=(n, 2)), focus="n",
+                                      aggregation_mode="average"))
+        ins, ls = _dims("state", 14, 3, 2, "n", 0)
+        ino, lo = _dims("output", 14, 3, 2, "n", 0)
+        gnn = GNNnodeBased(
+            MLP(input_dim=ins[0], layers=ls, activations="selu",
+                kernel_initializer="lecun_normal", bias_initializer="lecun_normal"),
+            MLP(input_dim=ino[0], layers=lo, activations="softmax",
+                kernel_initializer="glorot_normal", bias_initializer="glorot_normal"),
+            0, 4, 0.0,
+        )
+        gnn.compile(optimizer="adam:0.01", loss="mse")
+        gnn.build(seed=1)
+
+        strip_seq = MultiGraphSequencer(graphs, "n", "average", batch_size=5,
+                                        shuffle=False, slot_pack=128)
+        plain_seq = MultiGraphSequencer(graphs, "n", "average", batch_size=5,
+                                        shuffle=False, tile_pack=False)
+        assert strip_seq[0].strip is not None
+        p_strip = gnn.predict(strip_seq, seed=0)
+        gnn.transposed = False
+        p_plain = gnn.predict(plain_seq, seed=0)
+        assert p_strip.shape == p_plain.shape
+        np.testing.assert_allclose(p_strip, p_plain, rtol=2e-4, atol=2e-5)
+
     def test_rejects_sub128_slots(self):
         from gnnkeras_tpu.data.sequencers import MultiGraphSequencer
 
