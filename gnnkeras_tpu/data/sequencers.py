@@ -198,7 +198,14 @@ class MultiGraphSequencer:
         degraded = getattr(self, "_bcsr_degraded", None)
         if degraded is None:
             degraded = self._bcsr_degraded = set()
-        for name, attr in (("bcsr", "_pad_blocks"), ("nodegraph_bcsr", "_pad_ng_blocks")):
+        for name, attr in (
+            ("bcsr", "_pad_blocks"),
+            ("nodegraph_bcsr", "_pad_ng_blocks"),
+            # arc focus: the readout-backward incidence operators are
+            # data-dependent block structures too (ops/incidence.py)
+            ("arc_inc_src", "_pad_inc_src_blocks"),
+            ("arc_inc_dst", "_pad_inc_dst_blocks"),
+        ):
             ops = [getattr(b, name) for b in self.batches]
             if name in degraded or any(op is None for op in ops):
                 # LATCH the degrade across epoch rebuilds: a later epoch whose

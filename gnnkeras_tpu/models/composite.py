@@ -348,7 +348,17 @@ class CompositeGNNarcBased(CompositeGNNnodeBased):
     name = "arc"
 
     def readout_input(self, state: jax.Array, batch: GraphBatch) -> Tuple[jax.Array, jax.Array]:
-        arc_rows = jnp.concatenate([state[batch.arc_src], state[batch.arc_dst], batch.arc_label], axis=1)
+        if batch.arc_inc_src is not None:
+            # scatter-free backward via the incidence BCSR (ops/incidence.py)
+            from gnnkeras_tpu.ops.incidence import incidence_gather
+
+            s_rows, d_rows = incidence_gather(
+                state, batch.arc_src, batch.arc_dst,
+                batch.arc_inc_src, batch.arc_inc_dst,
+            )
+        else:
+            s_rows, d_rows = state[batch.arc_src], state[batch.arc_dst]
+        arc_rows = jnp.concatenate([s_rows, d_rows, batch.arc_label], axis=1)
         return arc_rows, batch.output_row_mask
 
 

@@ -836,7 +836,19 @@ class GNNarcBased(GNNnodeBased):
     def readout_input(self, state: jax.Array, batch: GraphBatch) -> Tuple[jax.Array, jax.Array]:
         if self.state_vect_dim:
             state = jnp.concatenate([state, batch.nodes], axis=1)
-        arc_rows = jnp.concatenate([state[batch.arc_src], state[batch.arc_dst], batch.arc_label], axis=1)
+        if batch.arc_inc_src is not None:
+            # scatter-free backward: the gather VJP's per-index scatter was
+            # ~85% of the arc train step (BASELINE.md round 5); the
+            # incidence-BCSR cotangent reduction runs on the MXU instead
+            from gnnkeras_tpu.ops.incidence import incidence_gather
+
+            s_rows, d_rows = incidence_gather(
+                state, batch.arc_src, batch.arc_dst,
+                batch.arc_inc_src, batch.arc_inc_dst,
+            )
+        else:
+            s_rows, d_rows = state[batch.arc_src], state[batch.arc_dst]
+        arc_rows = jnp.concatenate([s_rows, d_rows, batch.arc_label], axis=1)
         return arc_rows, batch.output_row_mask
 
 

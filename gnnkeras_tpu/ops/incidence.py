@@ -1,0 +1,107 @@
+"""Arc-row gathers with an MXU block-operator backward.
+
+The arc-focused readout reads ``state[arc_src]`` / ``state[arc_dst]``
+(reference GNN.py:317-330).  The forward gathers are cheap on TPU, but
+their autodiff transpose is a scatter-add of the (A, d) cotangent rows
+into (N, d) node rows — measured 7.7 ms of the 10.5 ms arc-focused train
+step on merged Mutagenicity (~85% of the whole step; the TPU scatter
+serializes per index).
+
+This module replaces that transpose with block-sparse matmuls: the
+TRANSPOSED incidence maps (arc row → endpoint node) are batch-constant
+0/1 matrices with exactly one nonzero per arc row, and with tile packing
+each 128-arc tile touches only the couple of node tiles its graphs pack
+into — so they compress into the standard rectangular BCSR operator
+(ops/bcsr.py) and the cotangent reduction runs on the MXU:
+``d_state = Inc_srcᵀ·ct_src + Inc_dstᵀ·ct_dst``.
+
+The operators are constants (no cotangent), matching the reference where
+the incidence structure is data.  Numerics: the block einsum sums each
+node's incident-arc contributions in a different order than the serial
+scatter — gradients agree to f32 rounding (tested), not bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from gnnkeras_tpu.ops.bcsr import BcsrMatrix, bcsr_aggregate, build_bcsr
+
+TILE = 128
+
+# acceptance bound: average node-tiles touched per arc tile.  Tile-packed
+# merges sit near 1-2; beyond this the structure is too scattered for the
+# block form to pay and the caller keeps the autodiff scatter.
+_MAX_TILES_PER_ARC_TILE = 8
+
+
+def build_incidence_operators(
+    arc_src: np.ndarray,
+    arc_dst: np.ndarray,
+    arc_mask: np.ndarray,
+    n_nodes_padded: int,
+) -> Optional[Tuple[BcsrMatrix, BcsrMatrix]]:
+    """(Inc_srcᵀ, Inc_dstᵀ) as rectangular BCSR: edges (arc row a → node
+    endpoint) with weight 1 for live arcs.  ``bcsr_aggregate(ct, inc)``
+    then computes the (N, d) scatter-free cotangent reduction.
+
+    Returns None when the padded arc count is not 128-aligned or the block
+    structure exceeds ``_MAX_TILES_PER_ARC_TILE`` (callers fall back to the
+    autodiff scatter)."""
+    a_pad = len(arc_src)
+    if a_pad == 0 or n_nodes_padded % TILE:
+        return None
+    # the arc-row space rounds up to the BCSR tile internally; the backward
+    # zero-pads the cotangent rows to match (incidence_gather._ig_bwd)
+    a_pad = -(-a_pad // TILE) * TILE
+    live = np.flatnonzero(np.asarray(arc_mask))
+    if len(live) == 0:
+        return None
+    rows = live.astype(np.int64)
+    ones = np.ones(len(rows), np.float64)
+    n_node_tiles = n_nodes_padded // TILE
+    cap = _MAX_TILES_PER_ARC_TILE * (a_pad // TILE)
+    ops = []
+    for endpoint in (arc_src, arc_dst):
+        nodes = np.asarray(endpoint)[live].astype(np.int64)
+        from gnnkeras_tpu import native
+
+        est = len(native.unique_i64(rows // TILE * n_node_tiles + nodes // TILE))
+        if est > cap:
+            return None
+        m = build_bcsr(rows, nodes, ones, a_pad, n_nodes_padded,
+                       max_band_factor=10 ** 9)
+        if m is None:
+            return None
+        ops.append(m)
+    return ops[0], ops[1]
+
+
+@jax.custom_vjp
+def incidence_gather(state, arc_src, arc_dst, inc_src, inc_dst):
+    """(state[arc_src], state[arc_dst]) with the scatter-free backward."""
+    return state[arc_src], state[arc_dst]
+
+
+def _ig_fwd(state, arc_src, arc_dst, inc_src, inc_dst):
+    return (state[arc_src], state[arc_dst]), (inc_src, inc_dst)
+
+
+def _ig_bwd(res, cts):
+    import jax.numpy as jnp
+
+    inc_src, inc_dst = res
+    ct_src, ct_dst = cts
+    a_rows = inc_src.n_src_tiles * inc_src.tile
+    if ct_src.shape[0] != a_rows:  # operator rounded the arc rows to tiles
+        pad = ((0, a_rows - ct_src.shape[0]), (0, 0))
+        ct_src = jnp.pad(ct_src, pad)
+        ct_dst = jnp.pad(ct_dst, pad)
+    dstate = bcsr_aggregate(ct_src, inc_src) + bcsr_aggregate(ct_dst, inc_dst)
+    return dstate, None, None, None, None
+
+
+incidence_gather.defvjp(_ig_fwd, _ig_bwd)
