@@ -26,9 +26,10 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
-from gnnkeras_tpu.ops.bcsr import BcsrMatrix, bcsr_aggregate, build_bcsr
+from gnnkeras_tpu.ops.bcsr import BcsrMatrix, bcsr_aggregate, build_bcsr, cast_bcsr
 
 TILE = 128
 
@@ -76,7 +77,10 @@ def build_incidence_operators(
                        max_band_factor=10 ** 9)
         if m is None:
             return None
-        ops.append(m)
+        # bf16 block storage: EXACT for 0/1 weights, and the v5e f32 matmul
+        # is one-pass bf16 operands anyway (measured bit-identical output,
+        # 1.04x runtime) — halves the operator's HBM/upload bytes
+        ops.append(cast_bcsr(m, jnp.bfloat16))
     return ops[0], ops[1]
 
 

@@ -64,8 +64,13 @@ class TestIncidenceOperators:
         l1, g1 = jax.value_and_grad(loss)(params, batch)
         l2, g2 = jax.value_and_grad(loss)(params, batch_scatter)
         assert float(l1) == pytest.approx(float(l2), abs=1e-7)
+        # tolerance: the operators store bf16 blocks (exact for 0/1 weights);
+        # on CPU the f32 matmul casts the cotangent operand to bf16, so
+        # gradients round at bf16 here — on v5e the f32 matmul is one-pass
+        # bf16 operands anyway and the outputs measured BIT-identical to the
+        # f32-block path (BASELINE.md round 5 storage sweep)
         for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=5e-5)
 
     def test_forward_identical(self):
         merged = GraphObject.merge(arc_graphs(seed=5), focus="a", aggregation_mode="average")
