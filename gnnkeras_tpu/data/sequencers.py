@@ -174,6 +174,9 @@ class MultiGraphSequencer:
         from gnnkeras_tpu.ops.bcsr import QuantBcsr, build_bcsr, pad_bcsr
 
         def _n_blocks(op):
+            # IncidencePairs counts pairs; BCSR-family operators count blocks
+            if hasattr(op, "n_pairs"):
+                return op.n_pairs
             return int(op.blocks.shape[0])
 
         def _rebuild_float(b):
@@ -201,10 +204,9 @@ class MultiGraphSequencer:
         for name, attr in (
             ("bcsr", "_pad_blocks"),
             ("nodegraph_bcsr", "_pad_ng_blocks"),
-            # arc focus: the readout-backward incidence operators are
-            # data-dependent block structures too (ops/incidence.py)
-            ("arc_inc_src", "_pad_inc_src_blocks"),
-            ("arc_inc_dst", "_pad_inc_dst_blocks"),
+            # arc focus: the readout-backward incidence pair list is a
+            # data-dependent structure too (ops/incidence.py)
+            ("arc_inc", "_pad_inc_pairs"),
         ):
             ops = [getattr(b, name) for b in self.batches]
             if name in degraded or any(op is None for op in ops):
@@ -254,8 +256,12 @@ class MultiGraphSequencer:
             setattr(self, attr, need)
             if all(_n_blocks(op) == need for op in ops):
                 continue  # already uniform — keep the original batch objects
+            if name == "arc_inc":
+                from gnnkeras_tpu.ops.incidence import pad_incidence_pairs as _pad_op
+            else:
+                _pad_op = pad_bcsr
             self.batches = [
-                replace_keep_host(b, **{name: pad_bcsr(getattr(b, name), need)})
+                replace_keep_host(b, **{name: _pad_op(getattr(b, name), need)})
                 for b in self.batches
             ]
 

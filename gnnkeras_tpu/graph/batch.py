@@ -98,8 +98,7 @@ class CompactReadout:
         "agg_arc_labels",
         "agg_node_labels",
         "agg_component",
-        "arc_inc_src",
-        "arc_inc_dst",
+        "arc_inc",
     ],
     meta_fields=["focus", "dim_node_label"],
 )
@@ -149,12 +148,11 @@ class GraphBatch:
     # composite: concat of per-type ``CompAdjᵀ·nodes[:, :d_t]`` and the arc
     # sum (reference CompositeGNN.py:251-253) — also batch-constant
     agg_component: Optional[jax.Array]  # (N, Σd_t + da)
-    # arc focus only: TRANSPOSED incidence operators (arc row → endpoint
-    # node) for the readout backward's scatter-free cotangent reduction
-    # (ops/incidence.py — the gather VJP's scatter was ~85% of the arc
-    # train step); None elsewhere or when the structure declined
-    arc_inc_src: Optional[object] = None  # BcsrMatrix (A x N)
-    arc_inc_dst: Optional[object] = None  # BcsrMatrix (A x N)
+    # arc focus only: the union one-hot incidence pairs (arc row → src/dst
+    # endpoint node) for the readout backward's scatter-free cotangent
+    # reduction (ops/incidence.py — the gather VJP's scatter was ~85% of
+    # the arc train step); None elsewhere or when the structure declined
+    arc_inc: Optional[object] = None  # IncidencePairs
     focus: str = "n"
     dim_node_label: Tuple[int, ...] = ()
 
@@ -553,13 +551,11 @@ def from_graph_object(
         )
         agg_component = np.concatenate([per_type, agg_arc], axis=1)
 
-    arc_inc_src = arc_inc_dst = None
+    arc_inc = None
     if g.focus == "a" and dense_blocks:
-        from gnnkeras_tpu.ops.incidence import build_incidence_operators
+        from gnnkeras_tpu.ops.incidence import build_incidence_pairs
 
-        inc = build_incidence_operators(src, dst, arc_mask, N)
-        if inc is not None:
-            arc_inc_src, arc_inc_dst = inc
+        arc_inc = build_incidence_pairs(src, dst, N)
 
     batch = GraphBatch(
         nodes=jnp.asarray(nodes),
@@ -585,8 +581,7 @@ def from_graph_object(
         agg_arc_labels=jnp.asarray(agg_arc.astype(dtype)),
         agg_node_labels=jnp.asarray(agg_node.astype(dtype)),
         agg_component=None if agg_component is None else jnp.asarray(agg_component.astype(dtype)),
-        arc_inc_src=arc_inc_src,
-        arc_inc_dst=arc_inc_dst,
+        arc_inc=arc_inc,
         focus=g.focus,
         dim_node_label=dims,
     )
@@ -601,17 +596,17 @@ def pad_operators_to_cap(batch: GraphBatch) -> GraphBatch:
     regardless of its topology.  Used by the serving endpoint and the serial
     bake loop; sequencers instead pad to their observed maximum (cheaper)."""
     from gnnkeras_tpu.ops.bcsr import _MAX_BAND_FACTOR, pad_bcsr
-    from gnnkeras_tpu.ops.incidence import _MAX_TILES_PER_ARC_TILE
+    from gnnkeras_tpu.ops.incidence import _MAX_PAIRS_PER_ARC_TILE, pad_incidence_pairs
 
     kwargs = {}
     for name in ("bcsr", "nodegraph_bcsr"):
         m = getattr(batch, name)
         if m is not None:
             kwargs[name] = pad_bcsr(m, _MAX_BAND_FACTOR * max(m.n_src_tiles, m.n_dst_tiles))
-    for name in ("arc_inc_src", "arc_inc_dst"):
-        m = getattr(batch, name)
-        if m is not None:
-            kwargs[name] = pad_bcsr(m, _MAX_TILES_PER_ARC_TILE * m.n_src_tiles)
+    if batch.arc_inc is not None:
+        kwargs["arc_inc"] = pad_incidence_pairs(
+            batch.arc_inc, _MAX_PAIRS_PER_ARC_TILE * batch.arc_inc.n_arc_tiles
+        )
     if not kwargs:
         return batch
     rows = getattr(batch, "host_pred_rows", None)

@@ -348,13 +348,13 @@ class CompositeGNNarcBased(CompositeGNNnodeBased):
     name = "arc"
 
     def readout_input(self, state: jax.Array, batch: GraphBatch) -> Tuple[jax.Array, jax.Array]:
-        if batch.arc_inc_src is not None:
-            # scatter-free backward via the incidence BCSR (ops/incidence.py)
+        if batch.arc_inc is not None:
+            # scatter-free backward via the one-hot incidence pairs
+            # (ops/incidence.py)
             from gnnkeras_tpu.ops.incidence import incidence_gather
 
             s_rows, d_rows = incidence_gather(
-                state, batch.arc_src, batch.arc_dst,
-                batch.arc_inc_src, batch.arc_inc_dst,
+                state, batch.arc_src, batch.arc_dst, batch.arc_inc,
             )
         else:
             s_rows, d_rows = state[batch.arc_src], state[batch.arc_dst]

@@ -836,15 +836,14 @@ class GNNarcBased(GNNnodeBased):
     def readout_input(self, state: jax.Array, batch: GraphBatch) -> Tuple[jax.Array, jax.Array]:
         if self.state_vect_dim:
             state = jnp.concatenate([state, batch.nodes], axis=1)
-        if batch.arc_inc_src is not None:
+        if batch.arc_inc is not None:
             # scatter-free backward: the gather VJP's per-index scatter was
-            # ~85% of the arc train step (BASELINE.md round 5); the
-            # incidence-BCSR cotangent reduction runs on the MXU instead
+            # ~85% of the arc train step (BASELINE.md round 5); the one-hot
+            # incidence-pair cotangent reduction runs on the MXU instead
             from gnnkeras_tpu.ops.incidence import incidence_gather
 
             s_rows, d_rows = incidence_gather(
-                state, batch.arc_src, batch.arc_dst,
-                batch.arc_inc_src, batch.arc_inc_dst,
+                state, batch.arc_src, batch.arc_dst, batch.arc_inc,
             )
         else:
             s_rows, d_rows = state[batch.arc_src], state[batch.arc_dst]

@@ -1,7 +1,8 @@
-"""Arc-readout incidence operators (ops/incidence.py): the gather VJP's
+"""Arc-readout incidence pairs (ops/incidence.py): the gather VJP's
 scatter — measured ~85% of the arc-focused train step (BASELINE.md round 5)
-— is replaced by rectangular-BCSR cotangent reductions.  Gradients must
-match the scatter path to f32 rounding; forwards are identical."""
+— is replaced by one-hot pair contractions rebuilt in VMEM from int32
+column indices.  Gradients must match the scatter path to f32 rounding;
+forwards are identical (the forward stays the plain gather)."""
 
 import jax
 import jax.numpy as jnp
@@ -47,15 +48,15 @@ def build_arc_gnn(dn=14, da=3, T=2, seed=1):
     return gnn
 
 
-class TestIncidenceOperators:
+class TestIncidencePairs:
     def test_grad_matches_scatter_path(self):
         merged = GraphObject.merge(arc_graphs(), focus="a", aggregation_mode="average")
         batch = from_graph_object(merged)
-        assert batch.arc_inc_src is not None and batch.arc_inc_dst is not None
+        assert batch.arc_inc is not None
         gnn = build_arc_gnn()
         params, mstate = gnn.variables["params"], gnn.variables["state"]
         rng_k = jax.random.PRNGKey(0)
-        batch_scatter = batch.replace(arc_inc_src=None, arc_inc_dst=None)
+        batch_scatter = batch.replace(arc_inc=None)
 
         def loss(p, b):
             l, _ = _objective(gnn, p, mstate, b, rng_k, training=True)
@@ -64,13 +65,15 @@ class TestIncidenceOperators:
         l1, g1 = jax.value_and_grad(loss)(params, batch)
         l2, g2 = jax.value_and_grad(loss)(params, batch_scatter)
         assert float(l1) == pytest.approx(float(l2), abs=1e-7)
-        # tolerance: the operators store bf16 blocks (exact for 0/1 weights);
-        # on CPU the f32 matmul casts the cotangent operand to bf16, so
-        # gradients round at bf16 here — on v5e the f32 matmul is one-pass
-        # bf16 operands anyway and the outputs measured BIT-identical to the
-        # f32-block path (BASELINE.md round 5 storage sweep)
+        # tolerance: on TPU the pair kernel's dot runs the platform-default
+        # f32 matmul (one-pass bf16 operands) so gradients round at bf16
+        # there; under the CPU interpreter the dot is true f32 and only the
+        # contribution ORDER differs from the scatter (f32 rounding)
         for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=5e-5)
+            tol = dict(rtol=1e-4, atol=1e-6)
+            if jax.default_backend() == "tpu":
+                tol = dict(rtol=1e-2, atol=5e-5)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), **tol)
 
     def test_forward_identical(self):
         merged = GraphObject.merge(arc_graphs(seed=5), focus="a", aggregation_mode="average")
@@ -79,11 +82,53 @@ class TestIncidenceOperators:
         rng_k = jax.random.PRNGKey(3)
         _, _, o1, m1, _ = gnn.forward(gnn.variables, batch, training=False, rng=rng_k)
         _, _, o2, m2, _ = gnn.forward(
-            gnn.variables, batch.replace(arc_inc_src=None, arc_inc_dst=None),
-            training=False, rng=rng_k,
+            gnn.variables, batch.replace(arc_inc=None), training=False, rng=rng_k,
         )
         np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
         np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+    def test_scatter_kernel_matches_dense(self):
+        """incidence_scatter == the dense Incᵀ·ct oracle, per endpoint."""
+        merged = GraphObject.merge(arc_graphs(seed=13), focus="a",
+                                   aggregation_mode="average")
+        batch = from_graph_object(merged)
+        inc = batch.arc_inc
+        assert inc is not None
+        from gnnkeras_tpu.ops.incidence import incidence_scatter
+
+        rng = np.random.default_rng(0)
+        A = int(batch.arc_src.shape[0])
+        N = int(batch.nodes.shape[0])
+        d = 6
+        ct_src = rng.normal(size=(A, d)).astype(np.float32)
+        ct_dst = rng.normal(size=(A, d)).astype(np.float32)
+        # the operator covers EVERY arc row (dead/padding ones scatter to
+        # their filler endpoint — the true transpose of the gather forward)
+        out = np.asarray(incidence_scatter(jnp.asarray(ct_src), jnp.asarray(ct_dst), inc))
+        oracle = np.zeros((N, d), np.float32)
+        np.add.at(oracle, np.asarray(batch.arc_src), ct_src)
+        np.add.at(oracle, np.asarray(batch.arc_dst), ct_dst)
+        np.testing.assert_allclose(out[:N], oracle, rtol=1e-5, atol=1e-5)
+
+    def test_select_kernel_exact(self):
+        """incidence_select at precision='highest' reproduces the gather
+        bitwise on EVERY row, dead/padding arcs included."""
+        merged = GraphObject.merge(arc_graphs(seed=17), focus="a",
+                                   aggregation_mode="average")
+        batch = from_graph_object(merged)
+        inc = batch.arc_inc
+        assert inc is not None
+        from gnnkeras_tpu.ops.incidence import incidence_select
+
+        rng = np.random.default_rng(1)
+        N = int(batch.nodes.shape[0])
+        state = jnp.asarray(rng.normal(size=(N, 14)).astype(np.float32))
+        y_src, y_dst = incidence_select(state, inc)
+        A = int(batch.arc_src.shape[0])
+        gs = np.asarray(state)[np.asarray(batch.arc_src)]
+        gd = np.asarray(state)[np.asarray(batch.arc_dst)]
+        np.testing.assert_array_equal(np.asarray(y_src)[:A], gs)
+        np.testing.assert_array_equal(np.asarray(y_dst)[:A], gd)
 
     def test_non_arc_focus_has_no_operators(self):
         rng = np.random.default_rng(0)
@@ -93,10 +138,10 @@ class TestIncidenceOperators:
                         targets=rng.normal(size=(n, 2)), focus="n",
                         aggregation_mode="average")
         b = from_graph_object(g)
-        assert b.arc_inc_src is None and b.arc_inc_dst is None
+        assert b.arc_inc is None
 
     def test_sequencer_fit_with_rebuilds(self):
-        """Arc-focused sequencer batches carry uniform incidence block
+        """Arc-focused sequencer batches carry uniform incidence pair
         counts across shuffled epoch rebuilds (one pytree, no retrace)."""
         from gnnkeras_tpu.data.sequencers import MultiGraphSequencer
 
@@ -105,8 +150,8 @@ class TestIncidenceOperators:
         seq = MultiGraphSequencer(graphs, "a", "average", batch_size=4,
                                   shuffle=True, slot_pack=128)
         for i in range(len(seq)):
-            assert seq[i].arc_inc_src is not None
-        counts = {int(seq[i].arc_inc_src.blocks.shape[0]) for i in range(len(seq))}
+            assert seq[i].arc_inc is not None
+        counts = {seq[i].arc_inc.n_pairs for i in range(len(seq))}
         assert len(counts) == 1  # uniform static shape
         gnn = build_arc_gnn(seed=7)
         h = gnn.fit(seq, epochs=3, verbose=0)
@@ -119,8 +164,56 @@ class TestIncidenceOperators:
         merged = GraphObject.merge(arc_graphs(seed=11, n_graphs=5),
                                    focus="a", aggregation_mode="average")
         batch = from_graph_object(merged)
-        if batch.arc_inc_src is None:
+        if batch.arc_inc is None:
             pytest.skip("structure declined")
-        a_rows = batch.arc_inc_src.n_src_tiles * batch.arc_inc_src.tile
+        a_rows = batch.arc_inc.n_arc_tiles * batch.arc_inc.tile
         assert a_rows >= batch.arc_src.shape[0]
         assert a_rows % 128 == 0
+
+    def test_fused_matches_xla_variant(self):
+        """The fused (run-walking, DMA-accumulating) kernels match the
+        XLA-assisted (gather + segment-sum) formulation."""
+        merged = GraphObject.merge(arc_graphs(seed=23), focus="a",
+                                   aggregation_mode="average")
+        batch = from_graph_object(merged)
+        inc = batch.arc_inc
+        assert inc is not None
+        from gnnkeras_tpu.ops.incidence import (incidence_scatter_fused,
+                                                incidence_scatter_xla,
+                                                incidence_select_fused,
+                                                incidence_select_xla)
+
+        rng = np.random.default_rng(3)
+        A = int(batch.arc_src.shape[0])
+        N = int(batch.nodes.shape[0])
+        ct_src = jnp.asarray(rng.normal(size=(A, 14)).astype(np.float32))
+        ct_dst = jnp.asarray(rng.normal(size=(A, 14)).astype(np.float32))
+        o1 = np.asarray(incidence_scatter_xla(ct_src, ct_dst, inc))
+        o2 = np.asarray(incidence_scatter_fused(ct_src, ct_dst, inc))
+        np.testing.assert_allclose(o1, o2, rtol=1e-5, atol=1e-6)
+        state = jnp.asarray(rng.normal(size=(N, 14)).astype(np.float32))
+        s1 = incidence_select_xla(state, inc)
+        s2 = incidence_select_fused(state, inc)
+        for a, b in zip(s1, s2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_pad_incidence_pairs(self):
+        """Padded pair lists keep both sort orders and the same outputs."""
+        merged = GraphObject.merge(arc_graphs(seed=19, n_graphs=6),
+                                   focus="a", aggregation_mode="average")
+        batch = from_graph_object(merged)
+        inc = batch.arc_inc
+        assert inc is not None
+        from gnnkeras_tpu.ops.incidence import (incidence_scatter,
+                                                pad_incidence_pairs)
+
+        padded = pad_incidence_pairs(inc, inc.n_pairs + 33)
+        assert padded.n_pairs % 16 == 0 and padded.n_pairs > inc.n_pairs
+        assert bool(jnp.all(padded.b_node_tile[:-1] <= padded.b_node_tile[1:]))
+        assert bool(jnp.all(padded.f_arc_tile[:-1] <= padded.f_arc_tile[1:]))
+        rng = np.random.default_rng(2)
+        A = int(batch.arc_src.shape[0])
+        ct = rng.normal(size=(A, 5)).astype(np.float32)
+        o1 = np.asarray(incidence_scatter(jnp.asarray(ct), jnp.asarray(ct), inc))
+        o2 = np.asarray(incidence_scatter(jnp.asarray(ct), jnp.asarray(ct), padded))
+        np.testing.assert_allclose(o1, o2, rtol=1e-6, atol=1e-6)
