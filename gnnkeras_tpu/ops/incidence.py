@@ -418,6 +418,23 @@ def _fused_kernel(d_pad: int, t: int, op_dtype, bwd: bool, precision=None):
                                           preferred_element_type=jnp.float32)
                 )
             # (d_pad, node cols) × oh_t → (d_pad, arc lanes)
+            if precision == "bf16x3":
+                # exact selection from 3 one-pass bf16 planes: hi/mid/lo
+                # reconstruct the f32 exactly (Sterbenz-exact residuals) and
+                # each plane·one-hot product is exact — fewer MXU passes
+                # than the HIGHEST f32 dot
+                hi = g.astype(jnp.bfloat16)
+                r1 = g - hi.astype(jnp.float32)
+                mid = r1.astype(jnp.bfloat16)
+                lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                oh_s_b = oh_s_t.astype(jnp.bfloat16)
+                oh_d_b = oh_d_t.astype(jnp.bfloat16)
+                ys = jnp.zeros((d_pad, t), jnp.float32)
+                yd = jnp.zeros((d_pad, t), jnp.float32)
+                for plane in (hi, mid, lo):
+                    ys = ys + jnp.dot(plane, oh_s_b, preferred_element_type=jnp.float32)
+                    yd = yd + jnp.dot(plane, oh_d_b, preferred_element_type=jnp.float32)
+                return acc + jnp.concatenate([ys, yd], axis=0)
             ys = jnp.dot(g, oh_s_t, preferred_element_type=jnp.float32,
                          precision=precision)
             yd = jnp.dot(g, oh_d_t, preferred_element_type=jnp.float32,
@@ -515,14 +532,17 @@ def incidence_scatter(
     return incidence_scatter_xla(ct_src, ct_dst, inc)
 
 
-def incidence_select(state, inc: IncidencePairs, precision="highest"):
-    """(state[arc_src], state[arc_dst]) through the one-hot pairs (bit-equal
-    to the gather at ``precision='highest'``).  The XLA-assisted variant is
-    the measured pick (merged Mutagenicity, v5e: 0.99-1.07 ms vs 1.04-1.16
-    fused and 1.10-1.29 for the two plain gathers); the fused kernel is
-    bit-identical and within noise — kept for the backward's access
-    pattern, where it wins decisively."""
-    return incidence_select_xla(state, inc, precision)
+def incidence_select(state, inc: IncidencePairs, precision=None):
+    """(state[arc_src], state[arc_dst]) through the one-hot pairs, bit-equal
+    to the gather.  Measured pick (merged Mutagenicity, v5e): the FUSED
+    kernel with the manual ``bf16x3`` exact split (0.58-0.63 ms vs 0.80-0.83
+    for its HIGHEST f32 dots, 0.63-0.71 for the XLA-assisted HIGHEST and
+    1.10-1.29 for the two plain gathers); beyond the fused VMEM pair budget
+    the XLA-assisted variant at HIGHEST takes over.  Pass ``precision``
+    explicitly to override."""
+    if inc.n_pairs <= _FUSED_MAX_PAIRS:
+        return incidence_select_fused(state, inc, precision or "bf16x3")
+    return incidence_select_xla(state, inc, precision or "highest")
 
 
 def _select_rows(state, n_rows, inc):

@@ -170,6 +170,40 @@ class TestIncidencePairs:
         assert a_rows >= batch.arc_src.shape[0]
         assert a_rows % 128 == 0
 
+    def test_single_graph_arc_focus(self):
+        """A banded single large graph at arc focus builds the pair operator
+        (reference SingleGraphSequencer at focus='a', GraphSequencers.py:133)
+        and its gradients match the scatter path."""
+        from gnnkeras_tpu.data.sequencers import SingleGraphSequencer
+
+        rng = np.random.default_rng(5)
+        n, a = 2000, 6000
+        src = rng.integers(0, n, a)
+        dst = np.clip(src + rng.integers(-60, 60, a), 0, n - 1)
+        pairs = np.unique(np.stack([src, dst], 1), axis=0)
+        arcs = np.concatenate([pairs.astype(np.float64),
+                               rng.normal(size=(len(pairs), 3))], 1)
+        g = GraphObject(nodes=rng.normal(size=(n, 14)), arcs=arcs,
+                        targets=rng.normal(size=(arcs.shape[0], 2)), focus="a",
+                        aggregation_mode="average", arcs_canonical=True)
+        seq = SingleGraphSequencer(g, "a", batch_size=10 ** 6, shuffle=False)
+        batch = seq[0]
+        assert batch.arc_inc is not None
+        gnn = build_arc_gnn(seed=3)
+        params, mstate = gnn.variables["params"], gnn.variables["state"]
+        rng_k = jax.random.PRNGKey(0)
+
+        def loss(p, b):
+            l, _ = _objective(gnn, p, mstate, b, rng_k, training=True)
+            return l
+
+        l1, g1 = jax.value_and_grad(loss)(params, batch)
+        l2, g2 = jax.value_and_grad(loss)(params, batch.replace(arc_inc=None))
+        assert float(l1) == pytest.approx(float(l2), abs=1e-7)
+        for x, y in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-4, atol=1e-6)
+
     def test_fused_matches_xla_variant(self):
         """The fused (run-walking, DMA-accumulating) kernels match the
         XLA-assisted (gather + segment-sum) formulation."""
