@@ -367,6 +367,8 @@ def incidence_select_xla(state: jax.Array, inc: IncidencePairs, precision="highe
 # XLA-assisted path rather than blow VMEM
 _FUSED_MAX_PAIRS = 10_240
 
+_N_BUF = 4  # DMA prefetch window (slots) in the fused kernels
+
 
 def _fused_kernel(d_pad: int, t: int, op_dtype, bwd: bool, precision=None):
     """Shared fused body.  ``bwd``: accumulate one-hotᵀ contractions of
@@ -389,20 +391,24 @@ def _fused_kernel(d_pad: int, t: int, op_dtype, bwd: bool, precision=None):
                 src_ref.at[idx_ref[p]], scratch.at[slot], sems.at[slot]
             )
 
-        @pl.when(n > 0)
-        def _():
-            dma(0, s).start()
+        # _N_BUF-deep prefetch window (up to _N_BUF-1 copies in flight;
+        # plain double buffering measured within session noise of this —
+        # kept for the deeper latency hiding at zero cost)
+        for k in range(_N_BUF - 1):
+            @pl.when(k < n)
+            def _(k=k):
+                dma(k, s + k).start()
 
         out_rows = d_pad if bwd else 2 * d_pad
         dn_t = (((1,), (1,)), ((), ()))  # contract both operands' dim 1
 
         def body(i, acc):
             p = s + i
-            slot = jax.lax.rem(i, 2)
+            slot = jax.lax.rem(i, _N_BUF)
 
-            @pl.when(i + 1 < n)
+            @pl.when(i + _N_BUF - 1 < n)
             def _():
-                dma(1 - slot, p + 1).start()
+                dma(jax.lax.rem(i + _N_BUF - 1, _N_BUF), p + _N_BUF - 1).start()
 
             dma(slot, p).wait()
             g = scratch[slot]
@@ -465,8 +471,8 @@ def _fused_call(start, idx, cols_s, cols_d, tiles, n_out, d_pad, t, op_dtype,
             (1, n_rows, t), lambda j, *_: (j, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, in_rows, t), op_dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_N_BUF, in_rows, t), op_dtype),
+            pltpu.SemaphoreType.DMA((_N_BUF,)),
         ],
     )
     return pl.pallas_call(
