@@ -348,9 +348,9 @@ class CompositeGNNarcBased(CompositeGNNnodeBased):
     name = "arc"
 
     def readout_input(self, state: jax.Array, batch: GraphBatch) -> Tuple[jax.Array, jax.Array]:
-        if batch.arc_inc is not None:
+        if batch.arc_inc is not None and state.dtype == jnp.float32:
             # scatter-free backward via the one-hot incidence pairs
-            # (ops/incidence.py)
+            # (ops/incidence.py; f32 only — see GNNarcBased.readout_input)
             from gnnkeras_tpu.ops.incidence import incidence_gather
 
             s_rows, d_rows = incidence_gather(

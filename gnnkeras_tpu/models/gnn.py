@@ -836,10 +836,12 @@ class GNNarcBased(GNNnodeBased):
     def readout_input(self, state: jax.Array, batch: GraphBatch) -> Tuple[jax.Array, jax.Array]:
         if self.state_vect_dim:
             state = jnp.concatenate([state, batch.nodes], axis=1)
-        if batch.arc_inc is not None:
+        if batch.arc_inc is not None and state.dtype == jnp.float32:
             # scatter-free backward: the gather VJP's per-index scatter was
             # ~85% of the arc train step (BASELINE.md round 5); the one-hot
-            # incidence-pair cotangent reduction runs on the MXU instead
+            # incidence-pair cotangent reduction runs on the MXU instead.
+            # f32 only: the kernels' bf16x3/bf16 planes are exact for f32 —
+            # a floatx('float64') state keeps the (exact) gather + scatter
             from gnnkeras_tpu.ops.incidence import incidence_gather
 
             s_rows, d_rows = incidence_gather(

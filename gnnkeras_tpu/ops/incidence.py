@@ -1,4 +1,4 @@
-"""Arc-row gathers with a one-hot Pallas backward (and optional forward).
+"""Arc-row gathers as one-hot Pallas kernels, forward and backward.
 
 The arc-focused readout reads ``state[arc_src]`` / ``state[arc_dst]``
 (reference GNN.py:317-330).  The forward gathers are cheap on TPU, but
@@ -22,12 +22,14 @@ the src/dst operators merge into ONE union pair list (src and dst
 endpoints of an arc usually share a node tile under tile packing).
 
 The operators are constants (no cotangent), matching the reference where
-the incidence structure is data.  Numerics: the block contraction sums
-each node's incident-arc contributions in a different order than the
-serial scatter — gradients agree to f32 rounding (tested), not
-bit-for-bit.  The forward stays the plain (exact) XLA gather unless the
-one-hot forward kernel is measured exact AND faster on the target
-(see ``incidence_select``).
+the incidence structure is data.  Numerics: the FORWARD select is
+bit-equal to ``state[arc_src]`` for every row (exact bf16x3 planes /
+HIGHEST-precision dots against a 0/1 one-hot — and it beats the TPU row
+gather, which runs ~2 rows/cycle regardless of row width); the BACKWARD
+contraction sums each node's incident-arc contributions in a different
+order than the serial scatter, so gradients agree to f32 rounding
+(tested), not bit-for-bit.  f32 only — the model call sites keep the
+plain gather for ``floatx('float64')`` states.
 """
 
 from __future__ import annotations
@@ -68,9 +70,9 @@ class IncidencePairs:
 
     ``cols_src[k, r]`` is the local column (node % TILE) of arc row
     ``arc_tile[k]*TILE + r``'s SOURCE endpoint when that endpoint lives in
-    ``node_tile[k]`` and the arc is live, else -1 (the iota compare then
-    yields an all-zero one-hot row).  ``cols_dst`` likewise for the
-    destination endpoint.  The ``b_*`` arrays are sorted by node tile (the
+    ``node_tile[k]``, else -1 (the iota compare then yields an all-zero
+    one-hot row; -1 also marks rows past the true arc count — the tile
+    roundup).  ``cols_dst`` likewise for the destination endpoint.  The ``b_*`` arrays are sorted by node tile (the
     backward's segment-sum axis), the ``f_*`` arrays by arc tile (the
     forward's); both orders carry the SAME pair set."""
 
